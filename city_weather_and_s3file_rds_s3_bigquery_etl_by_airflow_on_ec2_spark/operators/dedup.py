@@ -1,0 +1,195 @@
+"""Deduplication operators for LLM-corpus pipelines (SURVEY.md §2.13):
+exact, content-hash, MinHash-LSH, SimHash, and n-gram Jaccard.
+
+Scale design notes
+------------------
+- Exact/hash dedup is one hash-aggregate shuffle on the dedup key —
+  the minimal possible plan; at 100 TB prefer the *hash* variant so
+  the shuffle key is 32 fixed bytes instead of the document body.
+- MinHash-LSH: banding turns near-dup detection from O(n²) pairs into
+  an equi-join on (band_id, band_hash) buckets — the only join shape
+  that survives web-scale corpora. Built on pyspark.ml's MinHashLSH
+  (public API) over a HashingTF token space.
+- SimHash: 64-bit signature per doc via one Arrow-batched pandas UDF
+  (per-token hashing is not expressible as Catalyst expressions), then
+  near-dup candidates = equality on rotated signature bands.
+- n-gram Jaccard: exact verification metric; pairs are generated
+  banded (same language + near length) to bound the candidate set, the
+  same blocking idea LSH automates.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.text import tokens
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Collapse exact duplicates on ``key_cols``: keep the minimum id
+    per group and report multiplicity. One hash-agg shuffle; partial
+    aggregation (map-side combine) applies automatically."""
+    return (
+        df.groupBy(*key_cols)
+        .agg(F.min(id_col).alias(id_col),
+             F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def hash_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup on sha256(text): shuffles 32-byte digests, not
+    document bodies — the at-scale variant of ``exact_dedup``."""
+    hashed = df.select(F.col(id_col), F.sha2(F.col(text_col), 256).alias("content_sha"))
+    return (
+        hashed.groupBy("content_sha")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hash_tables: int = 8,
+    num_features: int = 1 << 18,
+    jaccard_distance_threshold: float = 0.6,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash-LSH
+    (shingle→minhash→band→bucket-join), returning
+    (id_a, id_b, jaccard_distance) with id_a < id_b.
+
+    Uses pyspark.ml MinHashLSH: ``approxSimilarityJoin`` self-join —
+    the banded bucket join runs as an equi-join on hash buckets, so
+    cost tracks the number of colliding pairs, not n². Deterministic
+    given ``seed``, but hash-dependent — correctness-checked by
+    rows-only gate + the exact Jaccard verifier in tests.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("toks")) \
+             .where(F.size("toks") > 0)
+    tf = HashingTF(inputCol="toks", outputCol="features",
+                   numFeatures=num_features, binary=True)
+    feats = tf.transform(toks)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes",
+                     numHashTables=num_hash_tables, seed=seed)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, jaccard_distance_threshold,
+                                       distCol="jaccard_distance")
+    return (
+        pairs.select(
+            F.col(f"datasetA.{id_col}").alias("id_a"),
+            F.col(f"datasetB.{id_col}").alias("id_b"),
+            F.round("jaccard_distance", 4).alias("jaccard_distance"),
+        )
+        .where(F.col("id_a") < F.col("id_b"))
+    )
+
+
+_SIMHASH_BITS = 64
+
+
+@F.pandas_udf(T.LongType())
+def simhash64(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens (md5-based token hashes —
+    stable across Python processes, unlike builtin hash()). Arrow-
+    batched; one pass per document."""
+    def one(text: str) -> int:
+        if text is None:
+            return 0
+        weights = [0] * _SIMHASH_BITS
+        for tok in text.split():
+            h = int.from_bytes(
+                hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
+            for b in range(_SIMHASH_BITS):
+                weights[b] += 1 if (h >> b) & 1 else -1
+        sig = 0
+        for b in range(_SIMHASH_BITS):
+            if weights[b] > 0:
+                sig |= 1 << b
+        # two's-complement into signed 64-bit for Spark LongType
+        return sig - (1 << 64) if sig >= (1 << 63) else sig
+    return texts.map(one)
+
+
+def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return df.select(F.col(id_col), simhash64(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
+                       band_bits: int = 16) -> DataFrame:
+    """SimHash near-dup candidates: split the 64-bit signature into
+    64/band_bits bands and equi-join on (band_idx, band_value) — any
+    pair within Hamming distance < #bands collides on ≥1 band
+    (pigeonhole). Equi-join keeps it shuffle-based at scale."""
+    n_bands = _SIMHASH_BITS // band_bits
+    sigs = simhash_signatures(df, text_col, id_col)
+    mask = (1 << band_bits) - 1
+    banded = sigs.select(
+        id_col, "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band_idx"),
+                     F.shiftrightunsigned("simhash", i * band_bits)
+                      .bitwiseAND(F.lit(mask)).alias("band_val"))
+            for i in range(n_bands)
+        ])).alias("band"),
+    ).select(id_col, "simhash", "band.band_idx", "band.band_val")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, on=["band_idx", "band_val"], how="inner")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+             .alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def token_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_cols: list[str],
+    length_col: str | None = None,
+    length_band: int = 8,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Exact token-set Jaccard over blocked candidate pairs.
+
+    Blocking (equality on ``block_cols`` + optional length band on
+    ``length_col``) bounds the pair count the way LSH banding does, but
+    deterministically — this operator doubles as the ground-truth
+    verifier for the probabilistic dedupers. The join stays an
+    equi-join on the block key (length banding joins on the coarse
+    band id, then filters the exact band) so it never degenerates to a
+    cross product."""
+    sel = [F.col(id_col), *[F.col(c) for c in block_cols],
+           F.array_distinct(tokens(F.col(text_col))).alias("tokset")]
+    if length_col:
+        sel.append((F.col(length_col) / length_band).cast("long").alias("len_band"))
+    t = df.select(*sel)
+    join_keys = list(block_cols) + (["len_band"] if length_col else [])
+    a, b = t.alias("a"), t.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.tokset"), F.col("b.tokset")))
+    uni = F.size(F.array_union(F.col("a.tokset"), F.col("b.tokset")))
+    jac = inter.cast("double") / uni.cast("double")
+    return (
+        a.join(b, on=join_keys, how="inner")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= min_jaccard)
+    )

@@ -1,0 +1,83 @@
+"""Multimodal column conventions (SURVEY.md §2.13).
+
+Images/audio/video are opaque ``binary`` columns plus a typed metadata
+struct — the parquet-native layout that lets Catalyst prune/push down
+on metadata while the payload bytes stream through untouched. The
+decode/feature steps run as Arrow-batched ``mapInPandas`` (the real
+plumbing: schema, batch iteration, partition alignment), with the
+actual codec stubbed — the container has no image/audio libraries, so
+decode is a clearly-marked deterministic fake behind a flag (or
+``NotImplementedError`` in strict mode).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# metadata struct convention carried beside every binary payload column
+MEDIA_META_SCHEMA = T.StructType([
+    T.StructField("media_type", T.StringType()),   # "image" | "audio" | ...
+    T.StructField("format", T.StringType()),       # "png", "wav", ...
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("sha256", T.StringType()),
+])
+
+FEATURE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("n_bytes", T.LongType()),
+])
+
+
+def attach_media_columns(df: DataFrame, payload_text_col: str,
+                         media_type: str = "image",
+                         fmt: str = "fake") -> DataFrame:
+    """Wrap a column's bytes as an opaque media payload + metadata
+    struct. (Testdata has no true binaries, so payload bytes are the
+    UTF-8 encoding of a text column — the *column conventions* are what
+    downstream operators depend on, not the codec.)"""
+    payload = F.encode(F.col(payload_text_col), "UTF-8")
+    return df.withColumn("media_bytes", payload).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit(media_type).alias("media_type"),
+            F.lit(fmt).alias("format"),
+            F.octet_length(payload).cast("long").alias("n_bytes"),
+            F.sha2(payload, 256).alias("sha256"),
+        ),
+    )
+
+
+def decode_and_extract(df: DataFrame, id_col: str = "doc_id",
+                       strict: bool = False) -> DataFrame:
+    """Decode + feature-extract over media payloads via mapInPandas.
+
+    ``strict=True`` raises NotImplementedError per batch — the marker
+    that a real codec (PIL/ffmpeg/...) belongs here. Default mode
+    derives deterministic fake width/height from the payload sha so the
+    distributed plumbing (Arrow batches, schema, partition-parallel
+    execution) is fully exercised and testable."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if strict:
+                raise NotImplementedError(
+                    "real media decode requires an image/audio codec; "
+                    "not available in this environment")
+            digests = pdf["media_bytes"].map(
+                lambda b: hashlib.sha256(bytes(b)).digest())
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col],
+                "width": digests.map(lambda d: 16 + d[0] % 240).astype("int32"),
+                "height": digests.map(lambda d: 16 + d[1] % 240).astype("int32"),
+                "n_bytes": pdf["media_bytes"].map(len).astype("int64"),
+            })
+
+    return df.select(id_col, "media_bytes").mapInPandas(extract, FEATURE_SCHEMA)

@@ -1,0 +1,102 @@
+"""Similarity search over embedding columns (SURVEY.md §2.13).
+
+Two tiers:
+- ``brute_force_topk`` — exact cosine top-k, the correctness baseline.
+  Query set ⋈ corpus via broadcast of the (small) query side, cosine as
+  a pure Catalyst expression, top-k via window row_number. Exact and
+  oracle-checkable; cost O(|Q|·|C|) — right whenever |Q| is small or
+  as the re-rank stage after candidate generation.
+- ``lsh_topk`` — the scale path: random-hyperplane bucketing
+  (BucketedRandomProjectionLSH, public pyspark.ml API) generates
+  candidates with an equi-join on buckets, then exact cosine re-ranks.
+  At 100 TB the bucket join shuffles only colliding pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import as_double, cosine
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    query_id: str = "q_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    sim_decimals: int = 6,
+) -> DataFrame:
+    """Exact cosine top-k: returns (q_id, vec_id, cos_sim) — k corpus
+    rows per query, excluding self-matches, ties broken by corpus id
+    for full determinism. Vectors are cast to double before any
+    arithmetic so accumulation precision is engine-independent."""
+    q = queries.select(F.col(query_id), as_double(vec_col).alias("__qv"))
+    c = corpus.select(F.col(corpus_id), as_double(vec_col).alias("__cv"))
+    # Broadcast the query side: the corpus (the 100 TB side) streams
+    # through map tasks with zero shuffle.
+    sims = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col(query_id) != F.col(corpus_id))
+        .select(
+            query_id, corpus_id,
+            F.round(cosine(F.col("__qv"), F.col("__cv")), sim_decimals)
+             .alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cos_sim").desc(), F.col(corpus_id).asc())
+    return (
+        sims.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    query_id: str = "q_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN top-k via random-hyperplane LSH candidates + exact cosine
+    re-rank. Recall < 1.0 by construction (probabilistic buckets);
+    tests cross-check recall against ``brute_force_topk`` at small SF.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    q = queries.select(F.col(query_id).alias("id"),
+                       array_to_vector(as_double(vec_col)).alias("features"))
+    c = corpus.select(F.col(corpus_id).alias("id"),
+                      array_to_vector(as_double(vec_col)).alias("features"))
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes",
+        bucketLength=bucket_length, numHashTables=num_hash_tables, seed=seed)
+    model = lsh.fit(c)
+    # generous euclidean radius: candidates only; cosine re-rank decides
+    cands = model.approxSimilarityJoin(q, c, float("inf"), distCol="__d") \
+        .select(F.col("datasetA.id").alias(query_id),
+                F.col("datasetB.id").alias(corpus_id))
+    qv = queries.select(F.col(query_id), as_double(vec_col).alias("__qv"))
+    cv = corpus.select(F.col(corpus_id), as_double(vec_col).alias("__cv"))
+    scored = (
+        cands.where(F.col(query_id) != F.col(corpus_id))
+        .join(qv, query_id).join(cv, corpus_id)
+        .select(query_id, corpus_id,
+                F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cos_sim"))
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cos_sim").desc(), F.col(corpus_id).asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -1,0 +1,196 @@
+"""Extension query registry: the LLM-training-data-pipeline operators
+(SURVEY.md §2.13) over the ``documents`` and ``embeddings`` tables —
+dedup, similarity search, text analysis, multimodal plumbing.
+
+Same contract as plans/relational.py: builders take (spark, sf_dir);
+oracle SQL lives in plans/registry.py next to each name. Probabilistic
+operators (MinHash-LSH, SimHash, RP-LSH ANN) are rows-only for the
+driver and are instead ground-truthed in tests against their exact
+counterparts at small SF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..functions.vectors import as_double, dot, norm
+from ..operators import dedup as D
+from ..operators import similarity as S
+from ..operators.multimodal import attach_media_columns, decode_and_extract
+from ..sources.tables import load_tables
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str):
+    dfs = load_tables(spark, sf_dir, names)
+    return [dfs[n] for n in names]
+
+
+# ------------------------------------------------------------------- dedup —
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = _t(spark, sf_dir, "documents")
+    return D.exact_dedup(documents.select("doc_id", "text"),
+                         key_cols=["text"], id_col="doc_id") \
+            .select("doc_id", "dup_count")
+
+
+def dedup_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = _t(spark, sf_dir, "documents")
+    return D.hash_dedup(documents, "text", "doc_id")
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates (rows-only: hash-dependent)."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(documents, "text", "doc_id",
+                               jaccard_distance_threshold=0.5)
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banded near-dup candidates (rows-only: pandas-UDF
+    signature), capped to close pairs by hamming distance."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    return D.simhash_near_pairs(documents, "text", "doc_id") \
+            .where(F.col("hamming") <= 12)
+
+
+def dedup_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard over language+length-blocked pairs —
+    the deterministic ground truth for the probabilistic dedupers."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    return D.token_jaccard_pairs(
+        documents, "text", "doc_id",
+        block_cols=["lang"], length_col="n_chars", length_band=16,
+        min_jaccard=0.4,
+    )
+
+
+# -------------------------------------------------------------- similarity —
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for a fixed query subset (vec_id < 20) —
+    broadcast queries over the corpus, no corpus shuffle."""
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    queries = embeddings.where(F.col("vec_id") < 20) \
+                        .select(F.col("vec_id").alias("q_id"), "embedding")
+    return S.brute_force_topk(queries, embeddings, k=5)
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection-LSH candidates + exact re-rank (rows-only:
+    probabilistic recall; tests measure recall vs brute force)."""
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    queries = embeddings.where(F.col("vec_id") < 20) \
+                        .select(F.col("vec_id").alias("q_id"), "embedding")
+    return S.lsh_topk(queries, embeddings, k=5)
+
+
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    v = as_double(F.col("embedding"))
+    return (
+        embeddings.select(
+            "label",
+            norm(v).alias("l2"),
+            F.size("embedding").cast("long").alias("dim"))
+        .groupBy("label")
+        .agg(F.round(F.avg("l2"), 6).alias("avg_norm"),
+             F.round(F.min("l2"), 6).alias("min_norm"),
+             F.round(F.max("l2"), 6).alias("max_norm"),
+             F.max("dim").alias("dim"),
+             F.count(F.lit(1)).alias("n_vecs"))
+    )
+
+
+def embedding_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid, then each vector's dot product with its
+    label centroid — a grouped vector aggregation entirely in Catalyst
+    expressions (posexplode → avg per dimension → re-assemble)."""
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    e = embeddings.select("vec_id", "label",
+                          F.posexplode(as_double(F.col("embedding")))
+                           .alias("pos", "x"))
+    centroids = (e.groupBy("label", "pos").agg(F.avg("x").alias("cx")))
+    joined = (
+        e.join(centroids, on=["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(F.round(F.sum(F.col("x") * F.col("cx")), 6).alias("dot_centroid"))
+    )
+    return joined
+
+
+# ----------------------------------------------------------- text analysis —
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = _t(spark, sf_dir, "documents")
+    return documents.select(
+        "doc_id",
+        TX.token_count("text").alias("n_tokens"),
+        F.round(TX.mean_token_length("text"), 4).alias("mean_tok_len"),
+        F.round(TX.stopword_ratio("text"), 4).alias("stop_ratio"),
+    )
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = _t(spark, sf_dir, "documents")
+    return documents.select(
+        "doc_id", "lang",
+        TX.quality_score("text").alias("quality"),
+    )
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = _t(spark, sf_dir, "documents")
+    return documents.select(
+        "doc_id",
+        F.col("lang").alias("lang_true"),
+        TX.lang_pred("text").alias("lang_pred"),
+    )
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = _t(spark, sf_dir, "documents")
+    return documents.select(
+        "doc_id",
+        TX.fingerprint_sha("text").alias("sha_fp"),
+        TX.rolling_hash("text").alias("roll_fp"),
+    )
+
+
+def text_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level token frequency profile (the n-gram-counting shape
+    used for LM data analysis): explode tokens → count → top-50."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    return (
+        documents.select(F.explode(TX.tokens("text")).alias("tok"))
+        .where(F.length("tok") > 0)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("tok"))
+        .limit(50)
+    )
+
+
+# -------------------------------------------------------------- multimodal —
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload + typed metadata struct conventions: project the
+    metadata of the wrapped payload column."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    m = attach_media_columns(documents, "text")
+    return m.select(
+        "doc_id",
+        F.col("media_meta.media_type").alias("media_type"),
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.sha256").alias("payload_sha"),
+    )
+
+
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode/feature-extract plumbing with the
+    deterministic stub codec (real codecs absent in this container)."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    m = attach_media_columns(documents, "text")
+    return decode_and_extract(m, "doc_id")

@@ -1,0 +1,718 @@
+"""Driver-facing query registry: name → (Spark builder, DuckDB oracle).
+
+Contract (BASELINE.md / __spark_entry__.py): every operator claimed in
+SURVEY.md §2 appears here; the driver executes the Spark builder and
+the oracle SQL side-by-side at sf0.01 and compares row-count + schema +
+order-insensitive value hash. Names and types are aligned expression by
+expression; probabilistic operators carry ``oracle=None`` (rows-only
+check) and are ground-truthed in tests instead.
+
+Cross-engine alignment rules used throughout (verified empirically in
+tools/check_correctness.py):
+- every aggregated/computed double rounded identically on both sides;
+- DuckDB ``count``/``row_number``/``rank`` return BIGINT — Spark side
+  casts where its native type is INT, oracle casts where DuckDB's
+  wider type (HUGEINT sums, BIGINT year()) would mismatch;
+- LIMIT only behind a total order with a unique tiebreak key.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import extensions as X
+from . import relational as R
+
+_SW = "'the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','this','be','are'"
+
+_TOKS = "string_split_regex(trim(text), '\\s+')"
+_STOP_RATIO = (f"(CAST(len(list_filter({_TOKS}, t -> list_contains([{_SW}], lower(t)))) AS DOUBLE)"
+               f" / len({_TOKS}))")
+_PUNCT_RATIO = ("(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)"
+                " / length(text))")
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None          # ANSI SQL for DuckDB; None → rows-only
+    bench: bool = False         # include in bench.py headline set
+
+
+REGISTRY: dict[str, QuerySpec] = {
+    # ---------------- reference parity: scan/project/join/scalar ----------
+    "flagship_weather_join": QuerySpec(
+        R.flagship_weather_join,
+        """
+        SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
+               p_name AS part_name, p_brand AS brand,
+               round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 3) AS charge,
+               l_shipdate - INTERVAL 18000 SECOND AS local_ship_time
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_quantity < 30
+        """,
+        bench=True,
+    ),
+    "ref_pipeline_golden": QuerySpec(R.ref_pipeline_golden, None),
+    "serial_id_assignment": QuerySpec(
+        R.serial_id_assignment,
+        """
+        SELECT o_orderkey,
+               CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) AS id
+        FROM orders
+        """,
+    ),
+    "filter_project_pushdown": QuerySpec(
+        R.filter_project_pushdown,
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+        FROM orders
+        WHERE o_orderstatus = 'F' AND o_totalprice > 350000.0
+        """,
+    ),
+    "topk_orders": QuerySpec(
+        R.topk_orders,
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+        """,
+    ),
+    # ------------------------------ aggregations --------------------------
+    "q1_pricing_summary": QuerySpec(
+        R.q1_pricing_summary,
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_extendedprice), 4) AS avg_price,
+               round(avg(l_discount), 4) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        """,
+        bench=True,
+    ),
+    "agg_stats_by_returnflag": QuerySpec(
+        R.agg_stats_by_returnflag,
+        """
+        SELECT l_returnflag,
+               round(min(l_extendedprice), 2) AS min_price,
+               round(max(l_extendedprice), 2) AS max_price,
+               round(avg(l_extendedprice), 4) AS avg_price,
+               round(stddev_samp(l_extendedprice), 4) AS std_price,
+               count(DISTINCT l_partkey) AS ndv_parts,
+               count(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag
+        """,
+    ),
+    "agg_count_distinct": QuerySpec(
+        R.agg_count_distinct,
+        """
+        SELECT o_orderpriority, count(DISTINCT o_custkey) AS ndv_cust,
+               count(*) AS n_orders
+        FROM orders GROUP BY o_orderpriority
+        """,
+    ),
+    "agg_approx_distinct": QuerySpec(R.agg_approx_distinct, None),
+    "agg_rollup": QuerySpec(
+        R.agg_rollup,
+        """
+        SELECT n_regionkey, n_name, count(*) AS n_cust,
+               round(sum(c_acctbal), 2) AS sum_bal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY ROLLUP (n_regionkey, n_name)
+        """,
+    ),
+    "agg_cube": QuerySpec(
+        R.agg_cube,
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+    ),
+    "agg_grouping_sets": QuerySpec(
+        R.agg_grouping_sets,
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """,
+    ),
+    "agg_pivot": QuerySpec(
+        R.agg_pivot,
+        """
+        SELECT l_returnflag,
+               round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS "O",
+               round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS "F"
+        FROM lineitem GROUP BY l_returnflag
+        """,
+    ),
+    "agg_median_percentile": QuerySpec(
+        R.agg_median_percentile,
+        """
+        SELECT o_orderpriority,
+               round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+               round(quantile_cont(o_totalprice, 0.9), 2) AS p90
+        FROM orders GROUP BY o_orderpriority
+        """,
+    ),
+    # ---------------------------------- joins -----------------------------
+    "join_inner_3way_topk": QuerySpec(
+        R.join_inner_3way_topk,
+        """
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING' AND l_shipdate > o_orderdate
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey LIMIT 10
+        """,
+        bench=True,
+    ),
+    "join_5way_star": QuerySpec(
+        R.join_5way_star,
+        """
+        SELECT r_name, n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_lineitems
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY r_name, n_name
+        """,
+        bench=True,
+    ),
+    "join_left_outer_agg": QuerySpec(
+        R.join_left_outer_agg,
+        """
+        SELECT c_custkey, c_mktsegment, count(o_orderkey) AS n_big_orders,
+               round(coalesce(sum(o_totalprice), 0), 2) AS big_spend
+        FROM customer LEFT JOIN (
+            SELECT * FROM orders WHERE o_totalprice > 400000.0
+        ) o ON c_custkey = o_custkey
+        GROUP BY c_custkey, c_mktsegment
+        """,
+    ),
+    "join_semi": QuerySpec(
+        R.join_semi,
+        """
+        SELECT c_custkey, c_mktsegment FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)
+        """,
+    ),
+    "join_anti": QuerySpec(
+        R.join_anti,
+        """
+        SELECT c_custkey, c_acctbal FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)
+        """,
+    ),
+    "join_full_outer": QuerySpec(
+        R.join_full_outer,
+        """
+        SELECT coalesce(c_custkey, o_custkey) AS custkey, c_acctbal,
+               coalesce(n_f_orders, 0) AS n_f_orders
+        FROM (SELECT * FROM customer WHERE c_acctbal > 9000.0) c
+        FULL OUTER JOIN (
+            SELECT o_custkey, count(*) AS n_f_orders
+            FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey
+        ) o ON c_custkey = o_custkey
+        """,
+    ),
+    "join_cross": QuerySpec(
+        R.join_cross,
+        """
+        SELECT r_name, n_name, (r_regionkey = n_regionkey) AS same_region
+        FROM region CROSS JOIN nation
+        """,
+    ),
+    "join_theta_pairs": QuerySpec(
+        R.join_theta_pairs,
+        """
+        SELECT a.n_regionkey AS regionkey, a.n_name AS nation_a,
+               b.n_name AS nation_b
+        FROM nation a JOIN nation b
+          ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+        """,
+    ),
+    "join_asof_events_orders": QuerySpec(
+        R.join_asof_events_orders,
+        """
+        SELECT e.event_id, e.user_id, e.ts, o.last_orderkey
+        FROM events e ASOF JOIN (
+            SELECT o_custkey AS user_id, o_orderdate,
+                   max(o_orderkey) AS last_orderkey
+            FROM orders GROUP BY o_custkey, o_orderdate
+        ) o ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
+        """,
+        bench=True,
+    ),
+    "join_range_events": QuerySpec(
+        R.join_range_events,
+        """
+        SELECT e1.event_id AS err_id, count(e2.event_id) AS n_follow
+        FROM (SELECT * FROM events WHERE event_type = 'error') e1
+        LEFT JOIN events e2
+          ON e1.user_id = e2.user_id
+         AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 5 MINUTE
+        GROUP BY e1.event_id
+        """,
+    ),
+    # --------------------------------- windows ----------------------------
+    "window_topk_per_group": QuerySpec(
+        R.window_topk_per_group,
+        """
+        SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS INTEGER) AS rk
+        FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey) AS rk
+              FROM orders)
+        WHERE rk <= 3
+        """,
+        bench=True,
+    ),
+    "window_running_sum": QuerySpec(
+        R.window_running_sum,
+        """
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+               round(sum(l_extendedprice * (1 - l_discount)) OVER (
+                   PARTITION BY l_suppkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ROWS UNBOUNDED PRECEDING), 2) AS running_rev
+        FROM lineitem
+        """,
+    ),
+    "window_lag_lead": QuerySpec(
+        R.window_lag_lead,
+        """
+        SELECT user_id, event_id,
+               date_diff('second', lag(ts) OVER w, ts) AS secs_since_prev,
+               lead(event_type) OVER w AS next_type
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+    ),
+    "window_rank_ntile": QuerySpec(
+        R.window_rank_ntile,
+        """
+        SELECT p_brand, p_partkey,
+               CAST(rank() OVER w AS INTEGER) AS rnk,
+               CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+               CAST(ntile(4) OVER w AS INTEGER) AS quartile
+        FROM part
+        WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey)
+        """,
+    ),
+    "window_range_frame": QuerySpec(
+        R.window_range_frame,
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                              RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING)
+                   AS n_similar
+        FROM orders
+        """,
+    ),
+    # ----------------------------- sorts & set ops ------------------------
+    "sort_multi_key": QuerySpec(
+        R.sort_multi_key,
+        """
+        SELECT o_orderkey, o_orderstatus, o_orderdate FROM orders
+        ORDER BY o_orderstatus, o_orderdate DESC, o_orderkey LIMIT 1000
+        """,
+    ),
+    "set_union_all": QuerySpec(
+        R.set_union_all,
+        """
+        SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 9500.0
+        UNION ALL
+        SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 480000.0
+        """,
+    ),
+    "set_union_distinct": QuerySpec(
+        R.set_union_distinct,
+        """
+        SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 9500.0
+        UNION
+        SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 480000.0
+        """,
+    ),
+    "set_intersect": QuerySpec(
+        R.set_intersect,
+        """
+        SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 8000.0
+        INTERSECT
+        SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 450000.0
+        """,
+    ),
+    "set_except": QuerySpec(
+        R.set_except,
+        """
+        SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 8000.0
+        EXCEPT ALL
+        SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 450000.0
+        """,
+    ),
+    "distinct_projection": QuerySpec(
+        R.distinct_projection,
+        "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+    ),
+    # ----------------------------- scalar functions -----------------------
+    "scalar_string_funcs": QuerySpec(
+        R.scalar_string_funcs,
+        """
+        SELECT c_custkey, upper(c_name) AS name_upper,
+               substr(c_name, 1, 9) AS name_prefix,
+               CAST(length(c_name) AS BIGINT) AS name_len,
+               concat_ws('-', c_mktsegment, CAST(c_custkey AS VARCHAR)) AS seg_key,
+               lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS key_padded,
+               replace(c_name, 'Customer', 'C') AS name_short,
+               reverse(c_mktsegment) AS seg_rev
+        FROM customer
+        """,
+    ),
+    "scalar_date_funcs": QuerySpec(
+        R.scalar_date_funcs,
+        """
+        SELECT o_orderkey,
+               CAST(year(o_orderdate) AS INTEGER) AS yr,
+               CAST(month(o_orderdate) AS INTEGER) AS mth,
+               CAST(day(o_orderdate) AS INTEGER) AS dom,
+               CAST(dayofweek(o_orderdate) AS INTEGER) AS dow_sun0,
+               date_trunc('month', o_orderdate) AS month_start,
+               CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01')
+                    AS INTEGER) AS days_to_2002,
+               CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+        FROM orders
+        """,
+    ),
+    "scalar_case_math": QuerySpec(
+        R.scalar_case_math,
+        """
+        SELECT l_orderkey, l_linenumber,
+               CASE WHEN l_quantity < 10 THEN 'low'
+                    WHEN l_quantity < 30 THEN 'mid' ELSE 'high' END AS qty_bucket,
+               round(abs(l_discount - 0.05), 4) AS disc_dev,
+               CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+               CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+               round(sqrt(l_quantity), 6) AS qty_sqrt,
+               round(pow(1.0 + l_tax, 2), 6) AS tax_sq,
+               round(ln(l_extendedprice), 6) AS price_ln,
+               l_partkey % 10 AS part_mod
+        FROM lineitem
+        """,
+    ),
+    "scalar_json_extract": QuerySpec(
+        R.scalar_json_extract,
+        """
+        SELECT event_type,
+               round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4)
+                   AS avg_k,
+               count(*) AS n
+        FROM events GROUP BY event_type
+        """,
+    ),
+    "scalar_conditional_funcs": QuerySpec(
+        R.scalar_conditional_funcs,
+        """
+        SELECT c_custkey,
+               coalesce(nullif(c_mktsegment, 'MACHINERY'), 'OTHER') AS seg_or_other,
+               greatest(c_acctbal, 0.0) AS bal_floor0,
+               least(c_acctbal, 5000.0) AS bal_cap,
+               c_acctbal BETWEEN 0.0 AND 1000.0 AS small_bal
+        FROM customer
+        """,
+    ),
+    # -------------------------------- subqueries --------------------------
+    "subquery_scalar": QuerySpec(
+        R.subquery_scalar,
+        """
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_totalprice > 1.9 * (SELECT avg(o_totalprice) FROM orders)
+        """,
+    ),
+    "subquery_in": QuerySpec(
+        R.subquery_in,
+        """
+        SELECT c_custkey, c_mktsegment FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders
+                            WHERE o_totalprice > 490000.0)
+        """,
+    ),
+    "subquery_exists_correlated": QuerySpec(
+        R.subquery_exists_correlated,
+        """
+        SELECT c_custkey, c_acctbal FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'F' AND o.o_totalprice > 470000.0)
+        """,
+    ),
+    "cte_multi_step": QuerySpec(
+        R.cte_multi_step,
+        """
+        WITH spend AS (
+            SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spend,
+                   count(*) AS n_orders
+            FROM orders GROUP BY o_custkey
+        ), ranked AS (
+            SELECT *, CAST(row_number() OVER (ORDER BY total_spend DESC, o_custkey)
+                           AS INTEGER) AS spend_rank
+            FROM spend
+        )
+        SELECT r.o_custkey AS custkey, c.c_mktsegment, r.total_spend,
+               r.n_orders, r.spend_rank
+        FROM ranked r JOIN customer c ON r.o_custkey = c.c_custkey
+        WHERE r.spend_rank <= 50
+        """,
+    ),
+    # ---------------------------- events & streaming ----------------------
+    "events_tumbling_hour": QuerySpec(
+        R.events_tumbling_hour,
+        """
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               count(*) AS n_events, round(sum(value), 2) AS sum_value
+        FROM events GROUP BY 1, 2
+        """,
+        bench=True,
+    ),
+    "events_sessionize": QuerySpec(
+        R.events_sessionize,
+        """
+        WITH flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+            SELECT user_id,
+                   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM flagged
+        )
+        SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
+               count(*) AS n_events
+        FROM sess GROUP BY user_id
+        """,
+        bench=True,
+    ),
+    "streaming_tumbling_hour": QuerySpec(
+        R.streaming_tumbling_hour,
+        """
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               count(*) AS n_events, round(sum(value), 2) AS sum_value
+        FROM events GROUP BY 1, 2
+        """,
+    ),
+    # -------------------------------- dedup -------------------------------
+    "dedup_exact": QuerySpec(
+        X.dedup_exact,
+        """
+        SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+        FROM documents GROUP BY text
+        """,
+    ),
+    "dedup_content_hash": QuerySpec(
+        X.dedup_content_hash,
+        """
+        SELECT sha256(text) AS content_sha, min(doc_id) AS doc_id,
+               count(*) AS dup_count
+        FROM documents GROUP BY sha256(text)
+        """,
+    ),
+    "dedup_minhash_lsh": QuerySpec(X.dedup_minhash_lsh, None, bench=True),
+    "dedup_simhash_pairs": QuerySpec(X.dedup_simhash_pairs, None),
+    "dedup_token_jaccard": QuerySpec(
+        X.dedup_token_jaccard,
+        f"""
+        WITH t AS (
+            SELECT doc_id, lang, n_chars // 16 AS len_band,
+                   list_distinct({_TOKS}) AS tokset
+            FROM documents
+        ), pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.tokset, b.tokset))),
+                         4) AS jaccard
+            FROM t a JOIN t b
+              ON a.lang = b.lang AND a.len_band = b.len_band
+             AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.4
+        """,
+        bench=True,
+    ),
+    # ------------------------------ similarity ----------------------------
+    "ann_cosine_topk": QuerySpec(
+        X.ann_cosine_topk,
+        """
+        WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id < 20),
+        c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        sims AS (
+            SELECT q_id, vec_id,
+                   round(list_dot_product(qv, cv)
+                         / (sqrt(list_dot_product(qv, qv))
+                            * sqrt(list_dot_product(cv, cv))), 6) AS cos_sim
+            FROM q CROSS JOIN c WHERE q_id <> vec_id
+        )
+        SELECT q_id, vec_id, cos_sim FROM (
+            SELECT *, row_number() OVER (PARTITION BY q_id
+                                         ORDER BY cos_sim DESC, vec_id) AS rn
+            FROM sims)
+        WHERE rn <= 5
+        """,
+        bench=True,
+    ),
+    "ann_lsh_topk": QuerySpec(X.ann_lsh_topk, None),
+    "embedding_norm_stats": QuerySpec(
+        X.embedding_norm_stats,
+        """
+        WITH e AS (
+            SELECT label,
+                   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                         CAST(embedding AS DOUBLE[]))) AS l2,
+                   CAST(len(embedding) AS BIGINT) AS dim
+            FROM embeddings
+        )
+        SELECT label, round(avg(l2), 6) AS avg_norm,
+               round(min(l2), 6) AS min_norm, round(max(l2), 6) AS max_norm,
+               max(dim) AS dim, count(*) AS n_vecs
+        FROM e GROUP BY label
+        """,
+    ),
+    "embedding_centroid_sim": QuerySpec(
+        X.embedding_centroid_sim,
+        """
+        WITH e AS (
+            SELECT vec_id, label,
+                   unnest(CAST(embedding AS DOUBLE[])) AS x,
+                   unnest(range(len(embedding))) AS pos
+            FROM embeddings
+        ), centroids AS (
+            SELECT label, pos, avg(x) AS cx FROM e GROUP BY label, pos
+        )
+        SELECT e.vec_id, e.label, round(sum(e.x * c.cx), 6) AS dot_centroid
+        FROM e JOIN centroids c ON e.label = c.label AND e.pos = c.pos
+        GROUP BY e.vec_id, e.label
+        """,
+    ),
+    # ----------------------------- text analysis --------------------------
+    "text_token_stats": QuerySpec(
+        X.text_token_stats,
+        f"""
+        SELECT doc_id,
+               CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+               round(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+                     / len({_TOKS}), 4) AS mean_tok_len,
+               round({_STOP_RATIO}, 4) AS stop_ratio
+        FROM documents
+        """,
+        bench=True,
+    ),
+    "text_quality_score": QuerySpec(
+        X.text_quality_score,
+        f"""
+        SELECT doc_id, lang,
+               round(0.5 * least({_STOP_RATIO} * 4.0, 1.0)
+                     + 0.3 * least(CAST(len({_TOKS}) AS DOUBLE) / 50.0, 1.0)
+                     + 0.2 * (1.0 - least({_PUNCT_RATIO} * 10.0, 1.0)),
+                     4) AS quality
+        FROM documents
+        """,
+    ),
+    "text_lang_id": QuerySpec(
+        X.text_lang_id,
+        f"""
+        SELECT doc_id, lang AS lang_true,
+               CASE WHEN {_STOP_RATIO} >= 0.08 THEN 'en' ELSE 'other' END
+                   AS lang_pred
+        FROM documents
+        """,
+    ),
+    "text_fingerprint": QuerySpec(
+        X.text_fingerprint,
+        """
+        WITH n AS (
+            SELECT doc_id, regexp_replace(trim(text), '\\s+', ' ', 'g') AS norm
+            FROM documents
+        )
+        SELECT doc_id,
+               substr(sha256(lower(norm)), 1, 16) AS sha_fp,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(range(1, length(norm) + 1),
+                                      i -> CAST(ascii(substr(norm, i, 1)) AS BIGINT))),
+                   (acc, c) -> (acc * 31 + c) % 1000000007) AS roll_fp
+        FROM n
+        """,
+    ),
+    "text_ngram_profile": QuerySpec(
+        X.text_ngram_profile,
+        f"""
+        SELECT tok, count(*) AS freq
+        FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+        WHERE length(tok) > 0
+        GROUP BY tok ORDER BY freq DESC, tok LIMIT 50
+        """,
+    ),
+    # ------------------------------ multimodal ----------------------------
+    "multimodal_meta": QuerySpec(
+        X.multimodal_meta,
+        """
+        SELECT doc_id, 'image' AS media_type,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               sha256(text) AS payload_sha
+        FROM documents
+        """,
+    ),
+    "multimodal_decode_features": QuerySpec(
+        X.multimodal_decode_features,
+        """
+        WITH h AS (
+            SELECT doc_id, sha256(text) AS hx,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(16 + ((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+                          + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1))
+                         % 240 AS INTEGER) AS width,
+               CAST(16 + ((strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16
+                          + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1))
+                         % 240 AS INTEGER) AS height,
+               n_bytes
+        FROM h
+        """,
+    ),
+}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in REGISTRY.items()
+            if spec.oracle is not None}
+
+
+def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in REGISTRY.items() if spec.bench}

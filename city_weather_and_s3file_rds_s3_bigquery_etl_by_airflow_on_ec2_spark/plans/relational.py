@@ -1,0 +1,605 @@
+"""Relational query registry: reference-parity operators (SURVEY.md
+§2.1–§2.9, §2.12) plus the standard relational surface the reference
+lacks but the engine exposes (§2.5–§2.8 engine-surface notes).
+
+Every builder takes ``(spark, sf_dir)`` and returns a DataFrame whose
+column names/types align exactly with its DuckDB oracle SQL in
+``ORACLES`` (driver compares row-count + schema + order-insensitive
+value hash). Aggregated doubles are rounded on BOTH sides (Spark
+HALF_UP == DuckDB round-half-away-from-zero for these magnitudes) so
+cross-engine float accumulation order can't flip the hash.
+
+LIMIT queries always order by a total (unique-key-tiebroken) ordering
+so the selected row set is engine-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.joins import asof_join
+from ..sources.tables import load_tables, register_views
+from ..streaming.windows import run_tumbling_count_stream, sessionize
+from .reference_pipeline import run_reference_pipeline
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str):
+    dfs = load_tables(spark, sf_dir, names)
+    return [dfs[n] for n in names]
+
+
+# ---------------------------------------------------------------- S/P/J/F —
+# reference-parity shapes (SURVEY.md §2.1-2.4, §2.9)
+
+def flagship_weather_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship shape (J1+P1..P3+F1+F2 — SURVEY.md §3.1)
+    on the lake corpus: fact scan → filter → broadcast-dim join →
+    projection with arithmetic conversion + epoch-shift timestamp.
+    At 100 TB: lineitem streams map-side; `part` broadcasts; no fact
+    shuffle."""
+    lineitem, part = _t(spark, sf_dir, "lineitem", "part")
+    return (
+        lineitem.where(F.col("l_quantity") < 30)
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"), "inner")
+        .select(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("l_linenumber").alias("linenumber"),
+            F.col("p_name").alias("part_name"),
+            F.col("p_brand").alias("brand"),
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax")), 3).alias("charge"),
+            # F2 shape: naive local wall-clock = instant + utc offset
+            F.timestamp_seconds(F.unix_timestamp("l_shipdate") - 18000)
+             .alias("local_ship_time"),
+        )
+    )
+
+
+def ref_pipeline_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full reference pipeline on the golden fixture payload
+    (FIXTURES.md A1-A4) — fixture-driven, so rows-only for the driver;
+    the exact golden-row assertion lives in tests/."""
+    return run_reference_pipeline(spark)
+
+
+def serial_id_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SERIAL id semantics (SURVEY.md §1.2): deterministic 1-based id
+    over a total order replaces Postgres auto-increment."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_orderkey")
+    return orders.select("o_orderkey").withColumn(
+        "id", F.row_number().over(w).cast("long"))
+
+
+def filter_project_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4/P2 — predicate + projection; both reach the parquet scan
+    (PushedFilters/ReadSchema verified in tests)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return orders.where(
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 350000.0)
+    ).select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+
+
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 top-k: order by + limit → TakeOrderedAndProject (no global
+    sort at scale)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+            .limit(100))
+
+
+# ------------------------------------------------------------ aggregations —
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape (public spec): the canonical partial-agg +
+    final-agg scan; no join, one shuffle on the 6-group key."""
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def agg_stats_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("std_price"),
+        F.countDistinct("l_partkey").alias("ndv_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("ndv_cust"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approx distinct — engine surface (SURVEY.md §2.5). Sketch
+    internals differ across engines → rows-only gate; exactness is
+    bounded vs `agg_count_distinct` in tests."""
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"))
+
+
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, nation = _t(spark, sf_dir, "customer", "nation")
+    return (
+        customer.join(F.broadcast(nation),
+                      F.col("c_nationkey") == F.col("n_nationkey"))
+        .rollup("n_regionkey", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_cust"),
+             F.round(F.sum("c_acctbal"), 2).alias("sum_bal"))
+    )
+
+
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    return lineitem.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               count(*) AS n_rows
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """)
+
+
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot → conditional aggregation (what any engine compiles it
+    to; the oracle states the CASE form explicitly)."""
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+
+
+def agg_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (engine surface §2.5)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90"),
+    )
+
+
+# ------------------------------------------------------------------- joins —
+
+def join_inner_3way_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → two hash joins → agg →
+    deterministic top-10. Customer/orders broadcast-eligible at this
+    SF; at 100 TB AQE picks SMJ for orders⋈lineitem."""
+    customer, orders, lineitem = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    revenue = F.round(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+    return (
+        customer.where(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .where(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue.alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def join_5way_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: star join through 4 dims; all dims broadcast —
+    the fact table never shuffles until the final agg."""
+    lineitem, orders, customer, nation, region = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation", "region")
+    return (
+        lineitem
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where((F.col("o_orderdate") >= F.lit("1996-01-01"))
+               & (F.col("o_orderdate") < F.lit("1997-01-01")))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"),
+             F.count(F.lit(1)).alias("n_lineitems"))
+    )
+
+
+def join_left_outer_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    big = orders.where(F.col("o_totalprice") > 400000.0)
+    return (
+        customer.join(big, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.count("o_orderkey").alias("n_big_orders"),
+             F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2)
+              .alias("big_spend"))
+    )
+
+
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS → left-semi: no right-side duplication, right side only
+    shuffles its join key."""
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    big = orders.where(F.col("o_totalprice") > 450000.0)
+    return customer.join(big, F.col("c_custkey") == F.col("o_custkey"),
+                         "left_semi").select("c_custkey", "c_mktsegment")
+
+
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS → left-anti."""
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    big = orders.where(F.col("o_totalprice") > 450000.0)
+    return customer.join(big, F.col("c_custkey") == F.col("o_custkey"),
+                         "left_anti").select("c_custkey", "c_acctbal")
+
+
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    per_cust = (orders.where(F.col("o_orderstatus") == "F")
+                .groupBy("o_custkey")
+                .agg(F.count(F.lit(1)).alias("n_f_orders")))
+    return (
+        customer.where(F.col("c_acctbal") > 9000.0)
+        .join(per_cust, F.col("c_custkey") == F.col("o_custkey"), "full_outer")
+        .select(
+            F.coalesce(F.col("c_custkey"), F.col("o_custkey")).alias("custkey"),
+            F.col("c_acctbal"),
+            F.coalesce(F.col("n_f_orders"), F.lit(0).cast("long"))
+             .alias("n_f_orders"),
+        )
+    )
+
+
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region, nation = _t(spark, sf_dir, "region", "nation")
+    return (
+        region.crossJoin(nation)
+        .select(F.col("r_name"), F.col("n_name"),
+                (F.col("r_regionkey") == F.col("n_regionkey")).alias("same_region"))
+    )
+
+
+def join_theta_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta join (equi part + inequality residual): nation pairs
+    within a region."""
+    (nation,) = _t(spark, sf_dir, "nation")
+    a, b = nation.alias("a"), nation.alias("b")
+    return (
+        a.join(b, (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+               & (F.col("a.n_nationkey") < F.col("b.n_nationkey")))
+        .select(F.col("a.n_regionkey").alias("regionkey"),
+                F.col("a.n_name").alias("nation_a"),
+                F.col("b.n_name").alias("nation_b"))
+    )
+
+
+def join_asof_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (SURVEY.md §2.4 extension list): each event gets the
+    customer's latest order at event time. Right side pre-aggregated to
+    unique (key, time) so the carried payload is well-defined; oracle
+    uses DuckDB's native ASOF JOIN."""
+    events, orders = _t(spark, sf_dir, "events", "orders")
+    right = (orders.groupBy("o_custkey", "o_orderdate")
+             .agg(F.max("o_orderkey").alias("last_orderkey"))
+             .withColumnRenamed("o_custkey", "user_id"))
+    out = asof_join(
+        events.select("event_id", "user_id", "ts"),
+        right, on="user_id", left_time="ts", right_time="o_orderdate",
+        payload_cols=["last_orderkey"],
+    )
+    return out.where(F.col("last_orderkey").isNotNull()) \
+              .select("event_id", "user_id", "ts", "last_orderkey")
+
+
+def join_range_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: per 'error' event, count same-user events in the
+    following 5 minutes. Equi key (user) drives the hash join; the
+    range predicate is a residual filter — the scalable plan shape."""
+    (events,) = _t(spark, sf_dir, "events")
+    errors = events.where(F.col("event_type") == "error") \
+                   .select(F.col("user_id").alias("u"),
+                           F.col("event_id").alias("err_id"),
+                           F.col("ts").alias("err_ts"))
+    follow = events.select(F.col("user_id").alias("u2"),
+                           F.col("event_id").alias("f_id"),
+                           F.col("ts").alias("f_ts"))
+    cond = (
+        (F.col("u") == F.col("u2"))
+        & (F.col("f_ts") > F.col("err_ts"))
+        & (F.col("f_ts") <= F.col("err_ts") + F.expr("INTERVAL 5 MINUTES"))
+    )
+    return (
+        errors.join(follow, cond, "left")
+        .groupBy("err_id")
+        .agg(F.count("f_id").alias("n_follow"))
+    )
+
+
+# ----------------------------------------------------------------- windows —
+
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (orders.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= 3)
+            .select("o_custkey", "o_orderkey", "o_totalprice", "rk"))
+
+
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    w = (Window.partitionBy("l_suppkey")
+         .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return lineitem.select(
+        "l_suppkey", "l_orderkey", "l_linenumber",
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .over(w), 2).alias("running_rev"),
+    )
+
+
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "user_id", "event_id",
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)))
+        .alias("secs_since_prev"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+def window_rank_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (part,) = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey"))
+    return part.select(
+        "p_brand", "p_partkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey").orderBy("o_totalprice")
+         .rangeBetween(-1000.0, 1000.0))
+    return orders.select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        F.count(F.lit(1)).over(w).alias("n_similar"),
+    )
+
+
+# --------------------------------------------------------- sorts & set ops —
+
+def sort_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (orders.orderBy(F.col("o_orderstatus"),
+                           F.col("o_orderdate").desc(),
+                           F.col("o_orderkey"))
+            .select("o_orderkey", "o_orderstatus", "o_orderdate")
+            .limit(1000))
+
+
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    hi_bal = customer.where(F.col("c_acctbal") > 9500.0).select(
+        F.col("c_custkey").alias("custkey"))
+    hi_spend = orders.where(F.col("o_totalprice") > 480000.0).select(
+        F.col("o_custkey").alias("custkey"))
+    return hi_bal.unionAll(hi_spend)
+
+
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return set_union_all(spark, sf_dir).distinct()
+
+
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    hi_bal = customer.where(F.col("c_acctbal") > 8000.0).select(
+        F.col("c_custkey").alias("custkey"))
+    hi_spend = orders.where(F.col("o_totalprice") > 450000.0).select(
+        F.col("o_custkey").alias("custkey"))
+    return hi_bal.intersect(hi_spend)
+
+
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    hi_bal = customer.where(F.col("c_acctbal") > 8000.0).select(
+        F.col("c_custkey").alias("custkey"))
+    hi_spend = orders.where(F.col("o_totalprice") > 450000.0).select(
+        F.col("o_custkey").alias("custkey"))
+    return hi_bal.exceptAll(hi_spend)
+
+
+def distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (customer,) = _t(spark, sf_dir, "customer")
+    return customer.select("c_mktsegment", "c_nationkey").distinct()
+
+
+# -------------------------------------------------------- scalar functions —
+
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (customer,) = _t(spark, sf_dir, "customer")
+    return customer.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.substring("c_name", 1, 9).alias("name_prefix"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.concat_ws("-", F.col("c_mktsegment"),
+                    F.col("c_custkey").cast("string")).alias("seg_key"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("key_padded"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("C")).alias("name_short"),
+        F.reverse(F.col("c_mktsegment")).alias("seg_rev"),
+    )
+
+
+def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mth"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        (F.dayofweek("o_orderdate") - 1).alias("dow_sun0"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.datediff(F.lit("2002-01-01").cast("date"),
+                   F.col("o_orderdate").cast("date")).alias("days_to_2002"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+    )
+
+
+def scalar_case_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    return lineitem.select(
+        "l_orderkey", "l_linenumber",
+        F.when(F.col("l_quantity") < 10, "low")
+         .when(F.col("l_quantity") < 30, "mid")
+         .otherwise("high").alias("qty_bucket"),
+        F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("disc_dev"),
+        F.ceil("l_extendedprice").alias("price_ceil"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+        F.round(F.pow(F.lit(1.0) + F.col("l_tax"), 2), 6).alias("tax_sq"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        (F.col("l_partkey") % 10).alias("part_mod"),
+    )
+
+
+def scalar_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 JSON decode generalized (SURVEY.md §2.9): schema-on-read over
+    a JSON string column."""
+    (events,) = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (events.select("event_type", k.alias("k_val"))
+            .groupBy("event_type")
+            .agg(F.round(F.avg("k_val"), 4).alias("avg_k"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+def scalar_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (customer,) = _t(spark, sf_dir, "customer")
+    return customer.select(
+        "c_custkey",
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")),
+                   F.lit("OTHER")).alias("seg_or_other"),
+        F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("bal_floor0"),
+        F.least(F.col("c_acctbal"), F.lit(5000.0)).alias("bal_cap"),
+        F.col("c_acctbal").between(0.0, 1000.0).alias("small_bal"),
+    )
+
+
+# --------------------------------------------------------------- subqueries —
+
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql("""
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > 1.9 * (SELECT avg(o_totalprice) FROM orders)
+    """)
+
+
+def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql("""
+        SELECT c_custkey, c_mktsegment
+        FROM customer
+        WHERE c_custkey IN (
+            SELECT o_custkey FROM orders WHERE o_totalprice > 490000.0)
+    """)
+
+
+def subquery_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql("""
+        SELECT c_custkey, c_acctbal
+        FROM customer c
+        WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderstatus = 'F' AND o.o_totalprice > 470000.0)
+    """)
+
+
+def cte_multi_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql("""
+        WITH spend AS (
+            SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spend,
+                   count(*) AS n_orders
+            FROM orders GROUP BY o_custkey
+        ), ranked AS (
+            SELECT *, row_number() OVER (ORDER BY total_spend DESC, o_custkey)
+                      AS spend_rank
+            FROM spend
+        )
+        SELECT r.o_custkey AS custkey, c.c_mktsegment, r.total_spend,
+               r.n_orders, r.spend_rank
+        FROM ranked r JOIN customer c ON r.o_custkey = c.c_custkey
+        WHERE r.spend_rank <= 50
+    """)
+
+
+# ------------------------------------------------------- events & sessions —
+
+def events_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window (batch form — F.window aligns to the
+    epoch, so hourly windows == date_trunc('hour'))."""
+    (events,) = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"),
+                "event_type", "n_events", "sum_value")
+    )
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min gap) → per-user session stats."""
+    (events,) = _t(spark, sf_dir, "events")
+    s = sessionize(events, gap_minutes=30)
+    return (
+        s.groupBy("user_id")
+        .agg(F.max("session_id").alias("n_sessions"),
+             F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def streaming_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics as events_tumbling_hour but through a real
+    Structured Streaming query (readStream → watermark → window →
+    memory sink) — the oracle SQL is identical, so the streaming
+    engine itself is hash-checked against DuckDB."""
+    return run_tumbling_count_stream(spark, sf_dir)

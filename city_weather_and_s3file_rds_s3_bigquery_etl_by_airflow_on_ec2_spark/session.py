@@ -1,0 +1,57 @@
+"""SparkSession factory.
+
+Engine-level configuration is deliberately *configuration, not
+implementation* (SURVEY.md §4.2): Catalyst already provides predicate
+pushdown, column pruning, broadcast selection, AQE skew handling and
+whole-stage codegen; we pin the handful of settings that reference
+parity and 100 TB scale need.
+
+Scale notes (local[32] here, 1000-executor cluster in production):
+- ``spark.sql.shuffle.partitions`` — sized to cores locally; on a real
+  cluster AQE coalesces post-shuffle partitions anyway, so a generous
+  static value plus AQE is the right posture.
+- ``spark.sql.session.timeZone=UTC`` — required for the reference's
+  naive-local-wall-clock timestamp semantics (SURVEY.md §2.9 F2) and
+  for DuckDB-oracle comparability (DuckDB timestamps are UTC-naive).
+- AQE on, incl. skew-join — the runtime re-planner is the main defence
+  against skewed keys at 100 TB.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CONFS: dict[str, str] = {
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # 10 MB default is conservative; dims like part/customer stay well
+    # under this at bench scale, and explicit F.broadcast() hints are
+    # used where we *know* the side is small (SURVEY.md §2.4 J1).
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    "spark.ui.enabled": "false",
+    "spark.sql.files.maxPartitionBytes": "128m",
+}
+
+
+def get_spark(app_name: str = "cw_spark_engine", master: str | None = None,
+              extra_confs: dict[str, str] | None = None) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32)
+    so bench/tests saturate the container; on a cluster the caller
+    passes nothing and spark-submit's master wins.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder.appName(app_name)
+    builder = builder.master(master or f"local[{cpus}]")
+    for k, v in {**DEFAULT_CONFS, **(extra_confs or {})}.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,61 @@
+"""File sources & sinks (SURVEY.md §2.1 S3/S4, §2.2 K3).
+
+The reference reads CSVs with pandas dtype inference and *positional*
+column mapping — its lookup CSV header carries a UTF-8 BOM and a
+case-mismatched column name, and the load works only because insertion
+is positional (reference codes/us_cities.csv:1, codes/
+weather_etl_pipeline.py:132-141; SURVEY.md §1.3). ``read_csv_positional``
+reproduces that rename-by-position semantic safely: explicit schema (no
+inference in prod) + header skipped + canonical names applied by
+position.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_csv_positional(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+) -> DataFrame:
+    """CSV scan with positional rename onto ``schema``'s names/types.
+
+    BOM/odd-case headers in the file are irrelevant: the header row is
+    skipped and columns bind by position, exactly the semantics of the
+    reference's itertuples positional INSERT (weather_etl_pipeline.py:138).
+    """
+    anon = T.StructType(
+        [T.StructField(f"_c{i}", f.dataType, True) for i, f in enumerate(schema.fields)]
+    )
+    df = spark.read.option("header", str(header).lower()).schema(anon).csv(path)
+    return df.toDF(*[f.name for f in schema.fields])
+
+
+def write_single_csv(df: DataFrame, out_path: str, header: bool = True) -> str:
+    """Write ``df`` as exactly ONE csv object at ``out_path``.
+
+    The reference emits a single S3 object (353 B — SURVEY.md §2.2 K3);
+    Spark writes directories, so this coalesces to one partition and
+    renames the part file. Deliberately a *small-output* tool: at 100 TB
+    the engine's canonical sink is partitioned parquet
+    (``df.write.partitionBy(...).parquet``); ``coalesce(1)`` funnels all
+    data through one task and must never appear in a large-scale plan.
+    """
+    tmp_dir = out_path + "._spark_tmp"
+    (df.coalesce(1)
+       .write.mode("overwrite")
+       .option("header", str(header).lower())
+       .csv(tmp_dir))
+    part = glob.glob(os.path.join(tmp_dir, "part-*.csv"))[0]
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    shutil.move(part, out_path)
+    shutil.rmtree(tmp_dir)
+    return out_path

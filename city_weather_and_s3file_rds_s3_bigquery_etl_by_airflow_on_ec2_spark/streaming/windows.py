@@ -1,0 +1,83 @@
+"""Event-time windowing & sessionization.
+
+``run_tumbling_count_stream`` drives a real Structured Streaming query
+(readStream → watermark → window agg → memory sink) to completion over
+the parquet events table — the smoke path for the streaming engine.
+Its batch twin lives in the registry with a DuckDB oracle: same
+semantics, so the streaming result is oracle-checked transitively.
+
+``sessionize`` is the batch sessionization pattern (lag + gap-flag +
+running sum) — one shuffle on the user key; at 100 TB this is the
+standard windowed-shuffle plan and AQE handles hot users.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def run_tumbling_count_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming tumbling-window counts over the events table.
+
+    Reads the parquet file as a bounded stream (one-file micro-batch),
+    applies watermark + window aggregation, writes to an in-memory
+    sink in *complete* mode (so every window is emitted even at the
+    head of the stream), and returns the settled result as a batch
+    DataFrame with deterministic columns."""
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+    qname = f"tumbling_{uuid.uuid4().hex[:8]}"
+    query = (
+        agg.writeStream.outputMode("complete")
+        .format("memory").queryName(qname)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination()
+    finally:
+        if query.isActive:  # pragma: no cover
+            query.stop()
+    return spark.table(qname).select(
+        F.col("w.start").alias("window_start"),
+        "event_type", "n_events", "sum_value",
+    )
+
+
+def sessionize(events: DataFrame, user_col: str = "user_id",
+               ts_col: str = "ts", gap_minutes: int = 30) -> DataFrame:
+    """Assign session ids: a new session starts when the gap from the
+    previous event of the same user exceeds ``gap_minutes``. Returns
+    the input plus ``session_id`` (per-user ordinal, 1-based)."""
+    order = [F.col(ts_col), F.col("event_id")] if "event_id" in events.columns \
+        else [F.col(ts_col)]
+    w = Window.partitionBy(user_col).orderBy(*order)
+    gap_s = gap_minutes * 60
+    prev_ts = F.lag(ts_col).over(w)
+    new_sess = (
+        prev_ts.isNull()
+        | ((F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev_ts)) > gap_s)
+    ).cast("long")
+    return events.withColumn(
+        "session_id",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )

@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Local stand-in for the driver's correctness gate: run every
+queries() entry and its oracle_sql() side-by-side (default sf0.01) and
+compare row count, sorted column names, and order-insensitive values.
+
+Usage: python tools/check_correctness.py [--sf DIR] [name ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark import (  # noqa: E402
+    get_spark,
+)
+from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.sources.tables import (  # noqa: E402
+    TPCH_TABLES,
+)
+
+
+def normalize(rows, cols):
+    """Sort columns by name, canonicalize cell values, sort rows."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in order:
+            v = row[i]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "NaN"
+                else:
+                    v = round(v, 9)
+                    v = 0.0 if v == 0 else v
+            if isinstance(v, bytes):
+                v = v.hex()
+            vals.append((v is None, str(type(v).__name__), repr(v)))
+        out.append(tuple(vals))
+    out.sort()
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    spark = get_spark("check_correctness")
+    con = duckdb.connect()
+    for t in TPCH_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    names = args.names or list(qs)
+    n_pass = n_fail = n_rows_only = 0
+    failures = []
+    for name in names:
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, args.sf)
+            spark_cols = sdf.columns
+            spark_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {e}")
+            n_fail += 1
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"rows  {name}: {len(spark_rows)} rows "
+                  f"({time.time()-t0:.1f}s) [rows-only]")
+            n_rows_only += 1
+            continue
+        try:
+            res = con.execute(oracles[name])
+            duck_cols = [d[0] for d in res.description]
+            duck_rows = res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {e}")
+            n_fail += 1
+            failures.append(name)
+            continue
+        problems = []
+        if sorted(spark_cols) != sorted(duck_cols):
+            problems.append(f"cols spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
+        if len(spark_rows) != len(duck_rows):
+            problems.append(f"rowcount spark={len(spark_rows)} duck={len(duck_rows)}")
+        if not problems:
+            a = normalize(spark_rows, spark_cols)
+            b = normalize(duck_rows, duck_cols)
+            if a != b:
+                diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
+                problems.append(f"values differ, e.g. {diff}")
+        if problems:
+            print(f"FAIL  {name}: " + "; ".join(problems))
+            n_fail += 1
+            failures.append(name)
+        else:
+            print(f"ok    {name}: {len(spark_rows)} rows ({time.time()-t0:.1f}s)")
+            n_pass += 1
+    print(f"\n{n_pass} ok, {n_rows_only} rows-only, {n_fail} fail")
+    if failures:
+        print("failed:", " ".join(failures))
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
