@@ -49,7 +49,7 @@ REGISTRY: dict[str, QuerySpec] = {
         """
         SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
                p_name AS part_name, p_brand AS brand,
-               round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 3) AS charge,
+               l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge,
                l_shipdate - INTERVAL 18000 SECOND AS local_ship_time
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE l_quantity < 30
@@ -160,8 +160,8 @@ REGISTRY: dict[str, QuerySpec] = {
         R.agg_median_percentile,
         """
         SELECT o_orderpriority,
-               round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
-               round(quantile_cont(o_totalprice, 0.9), 2) AS p90
+               round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+               round(quantile_cont(o_totalprice, 0.9), 4) AS p90
         FROM orders GROUP BY o_orderpriority
         """,
     ),
@@ -292,11 +292,12 @@ REGISTRY: dict[str, QuerySpec] = {
         R.window_running_sum,
         """
         SELECT l_suppkey, l_orderkey, l_linenumber,
-               round(sum(l_extendedprice * (1 - l_discount)) OVER (
-                   PARTITION BY l_suppkey
-                   ORDER BY l_shipdate, l_orderkey, l_linenumber
-                   ROWS UNBOUNDED PRECEDING), 2) AS running_rev
+               sum(l_quantity) OVER w AS running_qty,
+               count(*) OVER w AS running_cnt
         FROM lineitem
+        WINDOW w AS (PARTITION BY l_suppkey
+                     ORDER BY l_shipdate, l_orderkey, l_linenumber
+                     ROWS UNBOUNDED PRECEDING)
         """,
     ),
     "window_lag_lead": QuerySpec(
@@ -395,7 +396,7 @@ REGISTRY: dict[str, QuerySpec] = {
                CAST(month(o_orderdate) AS INTEGER) AS mth,
                CAST(day(o_orderdate) AS INTEGER) AS dom,
                CAST(dayofweek(o_orderdate) AS INTEGER) AS dow_sun0,
-               date_trunc('month', o_orderdate) AS month_start,
+               CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
                CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01')
                     AS INTEGER) AS days_to_2002,
                CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
@@ -705,12 +706,59 @@ REGISTRY: dict[str, QuerySpec] = {
 }
 
 
+def _fix_rounds(sql: str) -> str:
+    """Rewrite every ``round(expr, n)`` into
+    ``CAST(CAST(expr AS DECIMAL(38,n)) AS DOUBLE)``.
+
+    DuckDB's ``round(DOUBLE, n)`` computes ``round(x·10ⁿ)/10ⁿ`` whose
+    float multiply can flip values that sit within one ulp of a .5
+    boundary (e.g. 97432.57949999999 → .58), while Spark's F.round is
+    exact BigDecimal HALF_UP (→ .579). DuckDB's double→DECIMAL cast
+    *is* exact half-away-from-zero — identical to Spark — so oracle
+    SQL is written with plain round() for readability and rewritten
+    here before execution."""
+    out = []
+    i = 0
+    low = sql.lower()
+    while True:
+        j = low.find("round(", i)
+        if j < 0:
+            out.append(sql[i:])
+            break
+        # must be a standalone identifier (not e.g. "xround(")
+        if j > 0 and (sql[j - 1].isalnum() or sql[j - 1] == "_"):
+            out.append(sql[i:j + 6])
+            i = j + 6
+            continue
+        out.append(sql[i:j])
+        depth = 0
+        k = j + 5          # at '('
+        last_comma = -1
+        while True:
+            ch = sql[k]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            elif ch == "," and depth == 1:
+                last_comma = k
+            k += 1
+        inner = sql[j + 6:last_comma]
+        digits = sql[last_comma + 1:k].strip()
+        out.append(
+            f"CAST(CAST({_fix_rounds(inner)} AS DECIMAL(38,{digits})) AS DOUBLE)")
+        i = k + 1
+    return "".join(out)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: spec.oracle for name, spec in REGISTRY.items()
+    return {name: _fix_rounds(spec.oracle) for name, spec in REGISTRY.items()
             if spec.oracle is not None}
 
 

@@ -47,8 +47,12 @@ def flagship_weather_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_linenumber").alias("linenumber"),
             F.col("p_name").alias("part_name"),
             F.col("p_brand").alias("brand"),
-            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount"))
-                    * (1 + F.col("l_tax")), 3).alias("charge"),
+            # raw product (no rounding): decimal-tie values like x.0565
+            # round differently under Spark's shortest-repr HALF_UP vs
+            # any exact-binary rounding, while the raw IEEE product is
+            # bit-identical across engines for the same op order.
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+             * (1 + F.col("l_tax"))).alias("charge"),
             # F2 shape: naive local wall-clock = instant + utc offset
             F.timestamp_seconds(F.unix_timestamp("l_shipdate") - 18000)
              .alias("local_ship_time"),
@@ -186,9 +190,13 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (engine surface §2.5)."""
     (orders,) = _t(spark, sf_dir, "orders")
+    # round at 4dp, not 2: the interpolated median of 2-decimal inputs
+    # is exact at 3 decimals, so a 2dp cut lands on true ties that
+    # Spark (shortest-repr HALF_UP) and exact-binary rounding resolve
+    # differently; 4dp puts every true value on a grid point.
     return orders.groupBy("o_orderpriority").agg(
-        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("p50"),
-        F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90"),
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
     )
 
 
@@ -356,14 +364,18 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running totals per supplier. Accumulates l_quantity (integral
+    doubles → exact in IEEE754) so the 60k-row cumulative output is
+    bit-identical across engines regardless of their window-sum
+    association (DuckDB uses segment trees, Spark sequential)."""
     (lineitem,) = _t(spark, sf_dir, "lineitem")
     w = (Window.partitionBy("l_suppkey")
          .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return lineitem.select(
         "l_suppkey", "l_orderkey", "l_linenumber",
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-                .over(w), 2).alias("running_rev"),
+        F.sum("l_quantity").over(w).alias("running_qty"),
+        F.count(F.lit(1)).over(w).alias("running_cnt"),
     )
 
 
@@ -391,13 +403,16 @@ def window_rank_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    (orders,) = _t(spark, sf_dir, "orders")
-    w = (Window.partitionBy("o_custkey").orderBy("o_totalprice")
-         .rangeBetween(-1000.0, 1000.0))
-    return orders.select(
-        "o_orderkey", "o_custkey", "o_totalprice",
-        F.count(F.lit(1)).over(w).alias("n_similar"),
-    )
+    """RANGE frame over a double ordering key (typed literal bounds —
+    the SQL form, since the PySpark rangeBetween API is long-only)."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql("""
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                              RANGE BETWEEN 1000.0 PRECEDING
+                                        AND 1000.0 FOLLOWING) AS n_similar
+        FROM orders
+    """)
 
 
 # --------------------------------------------------------- sorts & set ops —

@@ -36,6 +36,11 @@ DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.autoBroadcastJoinThreshold": "64m",
     "spark.ui.enabled": "false",
     "spark.sql.files.maxPartitionBytes": "128m",
+    # The lake's events table stores TIMESTAMP(NANOS) parquet, which
+    # Spark's vectorized reader rejects; read as long and convert in
+    # sources.tables._normalize_types (truncate to micros, matching
+    # DuckDB's nanos→micros truncation).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 

@@ -15,6 +15,8 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TPCH_TABLES = (
     "region",
@@ -41,8 +43,20 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _normalize_types(df: DataFrame) -> DataFrame:
+    """Undo reader workarounds: the events table's TIMESTAMP(NANOS)
+    column arrives as long nanos (spark.sql.legacy.parquet.nanosAsLong);
+    convert to a real timestamp truncated to micros — the same
+    truncation DuckDB applies reading the file, so both engines see
+    identical instants."""
+    for f in df.schema.fields:
+        if f.name == "ts" and isinstance(f.dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
 def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(table_path(sf_dir, name))
+    return _normalize_types(spark.read.parquet(table_path(sf_dir, name)))
 
 
 def load_tables(spark: SparkSession, sf_dir: str,

@@ -32,12 +32,16 @@ def run_tumbling_count_stream(
     sink in *complete* mode (so every window is emitted even at the
     head of the stream), and returns the settled result as a batch
     DataFrame with deterministic columns."""
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
-        spark.readStream.schema(schema)
+        spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        # TIMESTAMP(NANOS) parquet read as long (see sources.tables)
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
     agg = (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window_duration).alias("w"), "event_type")
