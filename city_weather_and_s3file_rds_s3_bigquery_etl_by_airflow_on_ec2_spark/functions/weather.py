@@ -38,8 +38,8 @@ def local_timestamp(epoch_s: Column | str, tz_offset_s: Column | str) -> Column:
 def to_timestamp_coerce(col: Column | str) -> Column:
     """F3 — timestamp parse with NULL on failure, the semantics of the
     reference's ``pd.to_datetime(errors="coerce")``
-    (codes/weather_etl_pipeline.py:241-243). Spark's ``to_timestamp``
-    already yields NULL on unparseable input under the default
-    (non-ANSI) mode, so this is a direct mapping."""
+    (codes/weather_etl_pipeline.py:241-243). Under Spark 4's default
+    ANSI mode ``to_timestamp`` raises on malformed input, so the
+    coercing variant is ``try_to_timestamp``."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.to_timestamp(c)
+    return F.try_to_timestamp(c)

@@ -55,6 +55,7 @@ def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
     id_col: str,
+    shingle_size: int = 3,
     num_hash_tables: int = 8,
     num_features: int = 1 << 18,
     jaccard_distance_threshold: float = 0.6,
@@ -64,19 +65,23 @@ def minhash_lsh_pairs(
     (shingle→minhash→band→bucket-join), returning
     (id_a, id_b, jaccard_distance) with id_a < id_b.
 
-    Uses pyspark.ml MinHashLSH: ``approxSimilarityJoin`` self-join —
-    the banded bucket join runs as an equi-join on hash buckets, so
-    cost tracks the number of colliding pairs, not n². Deterministic
-    given ``seed``, but hash-dependent — correctness-checked by
+    Shingling is load-bearing for scale: single-token features over a
+    small vocabulary make every document collide in every minhash
+    bucket (candidates → n²); ``shingle_size``-word shingles blow the
+    feature universe up so buckets stay sparse and the
+    ``approxSimilarityJoin`` bucket equi-join cost tracks true
+    near-duplicates. Deterministic given ``seed``, but hash-dependent —
     rows-only gate + the exact Jaccard verifier in tests.
     """
-    from pyspark.ml.feature import HashingTF, MinHashLSH
+    from pyspark.ml.feature import HashingTF, MinHashLSH, NGram
 
     toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("toks")) \
-             .where(F.size("toks") > 0)
-    tf = HashingTF(inputCol="toks", outputCol="features",
+             .where(F.size("toks") >= shingle_size)
+    shingled = NGram(n=shingle_size, inputCol="toks",
+                     outputCol="shingles").transform(toks)
+    tf = HashingTF(inputCol="shingles", outputCol="features",
                    numFeatures=num_features, binary=True)
-    feats = tf.transform(toks)
+    feats = tf.transform(shingled)
     lsh = MinHashLSH(inputCol="features", outputCol="hashes",
                      numHashTables=num_hash_tables, seed=seed)
     model = lsh.fit(feats)

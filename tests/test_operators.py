@@ -1,0 +1,146 @@
+"""Operator-level unit tests: as-of join semantics, range-join binning,
+dedup ground truth vs probabilistic dedupers, ANN recall vs brute
+force, multimodal plumbing, streaming parity with batch."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.operators.dedup import (
+    hash_dedup,
+    minhash_lsh_pairs,
+    simhash_near_pairs,
+    token_jaccard_pairs,
+)
+from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.operators.joins import (
+    asof_join,
+    range_join_binned,
+)
+from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.operators.multimodal import (
+    attach_media_columns,
+    decode_and_extract,
+)
+from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+)
+from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.sources.tables import (
+    read_parquet_table,
+)
+from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.streaming.windows import (
+    run_tumbling_count_stream,
+)
+
+from .conftest import SF_SMALL
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, 10), (1, 20), (1, 5), (2, 10)], ["k", "t"])
+    right = spark.createDataFrame(
+        [(1, 10, "a"), (1, 15, "b"), (2, 50, "z")], ["k", "rt", "payload"])
+    out = {(r.k, r.t): r.payload
+           for r in asof_join(left, right, on="k", left_time="t",
+                              right_time="rt", payload_cols=["payload"])
+                    .collect()}
+    assert out[(1, 10)] == "a"      # equality inclusive
+    assert out[(1, 20)] == "b"      # latest ≤ 20
+    assert out[(1, 5)] is None      # nothing before
+    assert out[(2, 10)] is None     # right row is in the future
+
+
+def test_range_join_binned(spark):
+    points = spark.createDataFrame([(5,), (15,), (25,), (99,)], ["p"])
+    intervals = spark.createDataFrame(
+        [(0, 10, "lo"), (10, 30, "mid")], ["lo", "hi", "tag"])
+    out = {(r.p, r.tag) for r in
+           range_join_binned(points, intervals, "p", "lo", "hi", "7").collect()}
+    assert out == {(5, "lo"), (15, "mid"), (25, "mid")}
+
+
+def test_hash_dedup_collapses_duplicates(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], ["doc_id", "text"])
+    rows = {r.doc_id: r.dup_count for r in hash_dedup(df, "text", "doc_id").collect()}
+    assert rows == {1: 2, 3: 1}
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark):
+    """Plant near-duplicate pairs; LSH candidates must include them
+    (recall check vs exact token Jaccard)."""
+    docs = read_parquet_table(spark, SF_SMALL, "documents")
+    # plant: copy of doc with one token changed
+    base = docs.limit(20).select("doc_id", "text")
+    mutated = base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extraword")).alias("text"))
+    corpus = base.unionByName(mutated)
+    pairs = {(r.id_a, r.id_b)
+             for r in minhash_lsh_pairs(corpus, "text", "doc_id",
+                                        jaccard_distance_threshold=0.4).collect()}
+    planted = {(i, i + 100000) for i in
+               [r.doc_id for r in base.collect()]}
+    found = planted & pairs
+    assert len(found) >= len(planted) * 0.8  # probabilistic, high recall
+
+
+def test_simhash_near_pairs_on_planted(spark):
+    docs = read_parquet_table(spark, SF_SMALL, "documents")
+    base = docs.limit(10).select("doc_id", "text")
+    mutated = base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" x")).alias("text"))
+    corpus = base.unionByName(mutated)
+    pairs = simhash_near_pairs(corpus, "text", "doc_id")
+    close = {(r.id_a, r.id_b) for r in pairs.where(F.col("hamming") <= 16).collect()}
+    planted = {(i, i + 100000) for i in [r.doc_id for r in base.collect()]}
+    assert len(planted & close) >= len(planted) * 0.8
+
+
+def test_token_jaccard_exact(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d", "en", 7), (2, "a b c e", "en", 7), (3, "x y", "en", 3)],
+        ["doc_id", "text", "lang", "n_chars"])
+    pairs = {(r.id_a, r.id_b): r.jaccard
+             for r in token_jaccard_pairs(df, "text", "doc_id",
+                                          block_cols=["lang"],
+                                          min_jaccard=0.1).collect()}
+    assert pairs[(1, 2)] == 0.6     # |{a,b,c}| / |{a,b,c,d,e}|
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_lsh_topk_recall_vs_brute_force(spark):
+    emb = read_parquet_table(spark, SF_SMALL, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10) \
+                 .select(F.col("vec_id").alias("q_id"), "embedding")
+    exact = {(r.q_id, r.vec_id)
+             for r in brute_force_topk(queries, emb, k=5).collect()}
+    approx = {(r.q_id, r.vec_id)
+              for r in lsh_topk(queries, emb, k=5).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6  # candidate union over 4 tables; tuned loose
+
+
+def test_multimodal_plumbing(spark):
+    docs = read_parquet_table(spark, SF_SMALL, "documents").limit(10)
+    m = attach_media_columns(docs, "text")
+    feats = decode_and_extract(m).collect()
+    assert len(feats) == 10
+    for r in feats:
+        assert 16 <= r.width < 256 and 16 <= r.height < 256
+        assert r.n_bytes > 0
+    with pytest.raises(Exception, match="codec|NotImplemented"):
+        decode_and_extract(m, strict=True).collect()
+
+
+def test_streaming_matches_batch(spark):
+    stream_rows = {(r.window_start, r.event_type): (r.n_events, r.sum_value)
+                   for r in run_tumbling_count_stream(spark, SF_SMALL).collect()}
+    ev = read_parquet_table(spark, SF_SMALL, "events")
+    batch = (ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.round(F.sum("value"), 2).alias("s")))
+    batch_rows = {(r["w"].start, r.event_type): (r.n, r.s)
+                  for r in batch.collect()}
+    assert stream_rows == batch_rows

@@ -1,0 +1,62 @@
+"""Every oracle-backed queries() entry hash-matches DuckDB at sf0.001
+(the driver runs the same comparison at sf0.01 — this is the fast
+in-repo replica of that gate, SURVEY.md §5.2)."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.registry import (
+    REGISTRY,
+)
+from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.sources.tables import (
+    TPCH_TABLES,
+)
+
+from .conftest import SF_SMALL
+
+ORACLE_NAMES = sorted(n for n, s in REGISTRY.items() if s.oracle is not None)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TPCH_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_SMALL}/{t}.parquet'")
+    return con
+
+
+def _normalize(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in order:
+            v = row[i]
+            if isinstance(v, float):
+                v = "NaN" if math.isnan(v) else (0.0 if round(v, 9) == 0
+                                                 else round(v, 9))
+            if isinstance(v, bytes):
+                v = v.hex()
+            vals.append((v is None, type(v).__name__, repr(v)))
+        out.append(tuple(vals))
+    out.sort()
+    return out
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_oracle_parity(spark, duck, name):
+    sdf = entrymod.queries()[name](spark, SF_SMALL)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    res = duck.execute(entrymod.oracle_sql()[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    assert sorted(spark_cols) == sorted(duck_cols)
+    assert len(spark_rows) == len(duck_rows)
+    assert _normalize(spark_rows, spark_cols) == _normalize(duck_rows, duck_cols)

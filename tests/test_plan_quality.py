@@ -1,0 +1,69 @@
+"""Plan-shape assertions — the 100 TB design gates (SURVEY.md §4):
+filters and projections must reach the parquet scan, small dims must
+broadcast, top-k must compile to TakeOrderedAndProject, and the ANN
+brute-force path must not shuffle the corpus."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans import (
+    extensions as X,
+)
+from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans import (
+    relational as R,
+)
+
+from .conftest import SF_SMALL
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _explain(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+def test_filter_and_projection_pushdown(spark):
+    df = R.filter_project_pushdown(spark, SF_SMALL)
+    plan = _explain(df)
+    assert "PushedFilters" in plan
+    assert "GreaterThan(o_totalprice,350000.0)" in plan
+    # column pruning: only the 4 projected columns are read
+    assert "o_orderpriority" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_flagship_broadcasts_dim(spark):
+    df = R.flagship_weather_join(spark, SF_SMALL)
+    plan = _explain(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_is_take_ordered(spark):
+    df = R.topk_orders(spark, SF_SMALL)
+    assert "TakeOrderedAndProject" in _explain(df)
+
+
+def test_star_join_all_broadcast(spark):
+    df = R.join_5way_star(spark, SF_SMALL)
+    plan = _explain(df)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_ann_brute_force_no_corpus_shuffle(spark):
+    df = X.ann_cosine_topk(spark, SF_SMALL)
+    plan = _explain(df)
+    # query side broadcast; corpus side must not appear under an
+    # Exchange before the join
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_q1_partial_aggregation(spark):
+    df = R.q1_pricing_summary(spark, SF_SMALL)
+    plan = _explain(df)
+    # partial (map-side) + final hash aggregate around one exchange
+    assert plan.count("HashAggregate") >= 2
