@@ -194,3 +194,39 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = _t(spark, sf_dir, "documents")
     m = attach_media_columns(documents, "text")
     return decode_and_extract(m, "doc_id")
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by label (the ANN
+    analog of Jaccard blocking): same-label pairs with cosine ≥ 0.3.
+    The label block keeps the pair join an equi-join at scale; an
+    unblocked variant would route through LSH candidates first."""
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    e = embeddings.select("vec_id", "label",
+                          as_double(F.col("embedding")).alias("v"))
+    a, b = e.alias("a"), e.alias("b")
+    cos = dot(F.col("a.v"), F.col("b.v")) / (
+        F.sqrt(dot(F.col("a.v"), F.col("a.v")))
+        * F.sqrt(dot(F.col("b.v"), F.col("b.v"))))
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("a.vec_id").alias("id_a"),
+                F.col("b.vec_id").alias("id_b"),
+                F.round(cos, 6).alias("cos_sim"))
+        .where(F.col("cos_sim") >= 0.3)
+    )
+
+
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish subword-boundary token count: letter runs, digit runs,
+    and single punctuation marks each count as one token (the regex
+    approximation of a byte-pair tokenizer's pre-tokenization)."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    pat = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    return documents.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(pat), 0))
+         .cast("long").alias("n_bpeish"),
+        TX.token_count("text").alias("n_ws_tokens"),
+    )

@@ -674,6 +674,121 @@ REGISTRY: dict[str, QuerySpec] = {
         GROUP BY tok ORDER BY freq DESC, tok LIMIT 50
         """,
     ),
+    # ------------------------- round-1 widening batch ---------------------
+    "agg_collect_sorted": QuerySpec(
+        R.agg_collect_sorted,
+        """
+        SELECT l_returnflag, list_sort(list(DISTINCT l_linestatus)) AS statuses,
+               count(*) AS n
+        FROM lineitem GROUP BY l_returnflag
+        """,
+    ),
+    "agg_rollup_grouping": QuerySpec(
+        R.agg_rollup_grouping,
+        """
+        SELECT n_regionkey, n_name, count(*) AS n_cust,
+               CAST(GROUPING(n_regionkey) AS INTEGER) AS g_region,
+               CAST(GROUPING(n_name) AS INTEGER) AS g_name
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY ROLLUP (n_regionkey, n_name)
+        """,
+    ),
+    "scalar_regexp_funcs": QuerySpec(
+        R.scalar_regexp_funcs,
+        r"""
+        SELECT p_partkey,
+               regexp_extract(p_brand, '#(\d+)', 1) AS brand_num,
+               regexp_replace(p_name, '[aeiou]', '_', 'g') AS name_devoweled,
+               regexp_matches(p_name, '^[a-z]+ [a-z]+$') AS two_words,
+               CAST(len(regexp_extract_all(p_name, '[a-z]+')) AS BIGINT)
+                   AS n_words
+        FROM part
+        """,
+    ),
+    "unpivot_lineitem": QuerySpec(
+        R.unpivot_lineitem,
+        """
+        SELECT l_orderkey, l_linenumber, metric, val
+        FROM (SELECT l_orderkey, l_linenumber, l_quantity AS qty,
+                     l_extendedprice AS price, l_discount AS discount
+              FROM lineitem)
+        UNPIVOT (val FOR metric IN (qty, price, discount))
+        """,
+    ),
+    "scalar_try_cast": QuerySpec(
+        R.scalar_try_cast,
+        """
+        SELECT o_orderkey,
+               TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS prio_num,
+               TRY_CAST(o_orderpriority AS INTEGER) AS prio_bad,
+               TRY_CAST(CAST(o_totalprice AS VARCHAR) AS DOUBLE) AS price_rt
+        FROM orders
+        """,
+    ),
+    "session_window_bounds": QuerySpec(
+        R.session_window_bounds,
+        """
+        WITH flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), sess AS (
+            SELECT user_id, ts,
+                   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM flagged
+        )
+        SELECT user_id, min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               count(*) AS n_events
+        FROM sess GROUP BY user_id, session_id
+        """,
+    ),
+    "window_analytics": QuerySpec(
+        R.window_analytics,
+        """
+        SELECT o_orderkey, o_orderpriority,
+               percent_rank() OVER w AS pct_rank,
+               cume_dist() OVER w AS cume,
+               first_value(o_orderkey) OVER wf AS cheapest_key,
+               last_value(o_orderkey) OVER wf AS priciest_key
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice, o_orderkey),
+               wf AS (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND UNBOUNDED FOLLOWING)
+        """,
+    ),
+    "dedup_embedding_cosine": QuerySpec(
+        X.dedup_embedding_cosine,
+        """
+        WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings)
+        SELECT id_a, id_b, cos_sim FROM (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+            FROM e a JOIN e b
+              ON a.label = b.label AND a.vec_id < b.vec_id)
+        WHERE cos_sim >= 0.3
+        """,
+    ),
+    "text_bpe_token_count": QuerySpec(
+        X.text_bpe_token_count,
+        r"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                    AS BIGINT) AS n_bpeish,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                   AS n_ws_tokens
+        FROM documents
+        """,
+    ),
     # ------------------------------ multimodal ----------------------------
     "multimodal_meta": QuerySpec(
         X.multimodal_meta,

@@ -618,3 +618,92 @@ def streaming_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     memory sink) — the oracle SQL is identical, so the streaming
     engine itself is hash-checked against DuckDB."""
     return run_tumbling_count_stream(spark, sf_dir)
+
+
+# ------------------------------------------------- round-1 widening batch —
+
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation with deterministic ordering (collect_set is
+    unordered by contract → sort_array pins it for comparison)."""
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    return (lineitem.groupBy("l_returnflag")
+            .agg(F.sort_array(F.collect_set("l_linestatus")).alias("statuses"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+def agg_rollup_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with grouping indicator columns (distinguishes a real
+    NULL group key from a super-aggregate row)."""
+    customer, nation = _t(spark, sf_dir, "customer", "nation")
+    return (
+        customer.join(F.broadcast(nation),
+                      F.col("c_nationkey") == F.col("n_nationkey"))
+        .rollup("n_regionkey", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_cust"),
+             F.grouping("n_regionkey").cast("int").alias("g_region"),
+             F.grouping("n_name").cast("int").alias("g_name"))
+    )
+
+
+def scalar_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (part,) = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.regexp_extract("p_brand", r"#(\d+)", 1).alias("brand_num"),
+        F.regexp_replace("p_name", r"[aeiou]", "_").alias("name_devoweled"),
+        F.col("p_name").rlike(r"^[a-z]+ [a-z]+$").alias("two_words"),
+        F.size(F.regexp_extract_all("p_name", F.lit(r"[a-z]+"), 0))
+         .cast("long").alias("n_words"),
+    )
+
+
+def unpivot_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long) via stack — the standard melt shape."""
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    return lineitem.selectExpr(
+        "l_orderkey", "l_linenumber",
+        "stack(3, 'qty', l_quantity, 'price', l_extendedprice, "
+        "'discount', l_discount) AS (metric, val)",
+    )
+
+
+def scalar_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe casts: try_cast → NULL on malformed input."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.substring("o_orderpriority", 1, 1).try_cast("int").alias("prio_num"),
+        F.col("o_orderpriority").try_cast("int").alias("prio_bad"),
+        F.col("o_totalprice").cast("string").try_cast("double").alias("price_rt"),
+    )
+
+
+def session_window_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) via the native F.session_window
+    aggregation — start = first event, end = last event + gap."""
+    (events,) = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id",
+                F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "n_events")
+    )
+
+
+def window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist / first_value / last_value with an
+    explicit full frame (last_value's default frame stops at the
+    current row — a classic cross-engine trap pinned here)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_orderkey", "o_orderpriority",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.first_value("o_orderkey").over(wf).alias("cheapest_key"),
+        F.last_value("o_orderkey").over(wf).alias("priciest_key"),
+    )
