@@ -23,6 +23,7 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..streaming.stateful import running_user_totals_stream
 from . import extensions as X
 from . import relational as R
 
@@ -520,6 +521,16 @@ REGISTRY: dict[str, QuerySpec] = {
         SELECT date_trunc('hour', ts) AS window_start, event_type,
                count(*) AS n_events, round(sum(value), 2) AS sum_value
         FROM events GROUP BY 1, 2
+        """,
+    ),
+    "streaming_stateful_totals": QuerySpec(
+        # custom stateful operator (applyInPandasWithState) — final
+        # per-user state must equal the plain batch aggregate
+        running_user_totals_stream,
+        """
+        SELECT user_id, count(*) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM events GROUP BY user_id
         """,
     ),
     # -------------------------------- dedup -------------------------------

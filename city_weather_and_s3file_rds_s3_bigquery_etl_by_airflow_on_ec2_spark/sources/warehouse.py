@@ -1,0 +1,82 @@
+"""Warehouse sink (SURVEY.md §2.2 K4) and idempotent writes (§2.12 O7).
+
+The reference appends to BigQuery via a blocking load job with
+name-based schema matching. The engine's canonical offline stand-in is
+a partitioned-parquet warehouse table; when the spark-bigquery
+connector jar is present, ``bigquery_append_writer`` produces the real
+thing (import-gated — the jar is not in this container).
+
+O7 (idempotency): the reference's re-runs duplicate rows. The engine
+default is ``merge_append`` — an anti-join on the business key before
+appending, so replays are no-ops. The reference-faithful blind append
+remains available as ``append``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def append(df: DataFrame, path: str, align_to_existing: bool = True,
+           partition_by: list[str] | None = None) -> None:
+    """K4 append semantics with *name-based* column matching: if the
+    warehouse table exists, reorder/select columns by name (the
+    BigQuery load-job behavior the reference relies on — its DDL order
+    differs from its DataFrame order)."""
+    spark = df.sparkSession
+    if align_to_existing and os.path.exists(path):
+        existing = spark.read.parquet(path).schema
+        df = df.select(*[F.col(f.name) for f in existing.fields])
+    w = df.write.mode("append")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def merge_append(df: DataFrame, path: str, key_cols: list[str],
+                 partition_by: list[str] | None = None) -> int:
+    """Idempotent append: drop incoming rows whose key already exists
+    (left-anti join against the current table), then append. Returns
+    the number of rows actually written.
+
+    Scale note: the anti-join shuffles only the key columns of the
+    existing table; with a partitioned warehouse the read prunes to
+    the touched partitions. (With Delta/Iceberg on the classpath this
+    becomes a real MERGE INTO; parquet posture keeps the same API.)"""
+    spark = df.sparkSession
+    incoming = df.dropDuplicates(key_cols)
+    if os.path.exists(path):
+        existing_keys = spark.read.parquet(path).select(*key_cols)
+        incoming = incoming.join(existing_keys, on=key_cols, how="left_anti")
+    n = incoming.count()
+    if n:
+        append(incoming, path, partition_by=partition_by)
+    return n
+
+
+def overwrite(df: DataFrame, path: str,
+              partition_by: list[str] | None = None) -> None:
+    """K5 — truncate-and-reload."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def bigquery_append_writer(df: DataFrame, table: str):
+    """Real K4 when the public spark-bigquery-connector is on the
+    classpath; raises a clear error otherwise."""
+    try:
+        return (df.write.format("bigquery")
+                .option("table", table)
+                .option("writeMethod", "direct")
+                .mode("append"))
+    except Exception as e:  # pragma: no cover - jar-dependent
+        raise RuntimeError(
+            "spark-bigquery-connector not on the classpath; add "
+            "spark.jars.packages=com.google.cloud.spark:spark-bigquery-"
+            "with-dependencies_2.13:<version> or use warehouse.append()"
+        ) from e

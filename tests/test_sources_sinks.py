@@ -1,0 +1,114 @@
+"""Sources & sinks: HTTP source (injected fetcher, no network), probe
+retry semantics, single-object CSV sink (K3), warehouse append /
+idempotent merge (K4/O7), JDBC option assembly (S5/S6/K1/K5)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.reference_pipeline import (
+    GOLDEN_OWM_PAYLOAD,
+    OWM_SCHEMA,
+    flatten_weather,
+)
+from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.sources import (
+    warehouse,
+)
+from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.sources.files import (
+    write_single_csv,
+)
+from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.sources.http import (
+    fetch_json,
+    http_json_source,
+    probe,
+)
+from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.sources.jdbc import (
+    JdbcEndpoint,
+    jdbc_append_writer,
+    jdbc_table_reader,
+)
+
+
+def fake_fetcher(url: str) -> dict:
+    if "fail" in url:
+        raise ConnectionError("boom")
+    return GOLDEN_OWM_PAYLOAD
+
+
+def test_http_source_driver_path(spark):
+    df = http_json_source(spark, ["http://x/weather?q=houston"],
+                          OWM_SCHEMA, fetcher=fake_fetcher)
+    flat = flatten_weather(df).collect()
+    assert flat[0].city == "Houston"
+    assert flat[0].temperature_fahrenheit == 55.148
+
+
+def test_http_source_distributed_path(spark):
+    urls = [f"http://x/weather?i={i}" for i in range(100)]
+    df = http_json_source(spark, urls, OWM_SCHEMA, fetcher=fake_fetcher,
+                          distributed_threshold=10)
+    assert df.count() == 100
+    assert df.select("name").distinct().collect()[0].name == "Houston"
+
+
+def test_probe_retry_and_failure():
+    calls = []
+
+    def flaky(url):
+        calls.append(url)
+        if len(calls) < 3:
+            raise ConnectionError("not yet")
+        return {}
+
+    assert probe("http://x", retries=3, delay_s=0.0, fetcher=flaky)
+    assert len(calls) == 3
+    assert not probe("http://fail", retries=1, delay_s=0.0,
+                     fetcher=fake_fetcher)
+    assert fetch_json("http://ok", fetcher=fake_fetcher)["name"] == "Houston"
+
+
+def test_write_single_csv(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    out = write_single_csv(df, str(tmp_path / "out.csv"))
+    assert os.path.isfile(out)
+    lines = open(out).read().strip().splitlines()
+    assert lines[0] == "id,v"
+    assert sorted(lines[1:]) == ["1,a", "2,b"]
+
+
+def test_warehouse_append_name_matching(spark, tmp_path):
+    path = str(tmp_path / "wh")
+    a = spark.createDataFrame([(1, "x")], ["id", "v"])
+    warehouse.append(a, path)
+    # later writer with different column ORDER — must align by name (K4)
+    b = spark.createDataFrame([("y", 2)], ["v", "id"])
+    warehouse.append(b, path)
+    rows = {(r.id, r.v) for r in spark.read.parquet(path).collect()}
+    assert rows == {(1, "x"), (2, "y")}
+
+
+def test_warehouse_merge_append_idempotent(spark, tmp_path):
+    path = str(tmp_path / "wh2")
+    df = spark.createDataFrame([(1, "x"), (2, "y")], ["id", "v"])
+    assert warehouse.merge_append(df, path, ["id"]) == 2
+    # replay (O7): the reference would duplicate; merge_append no-ops
+    assert warehouse.merge_append(df, path, ["id"]) == 0
+    more = spark.createDataFrame([(2, "y"), (3, "z")], ["id", "v"])
+    assert warehouse.merge_append(more, path, ["id"]) == 1
+    assert spark.read.parquet(path).count() == 3
+
+
+def test_jdbc_option_assembly(spark):
+    ep = JdbcEndpoint(url="jdbc:postgresql://h:5432/db", user="u",
+                      password="p", driver="org.postgresql.Driver")
+    r = jdbc_table_reader(spark, ep, "city_look_up",
+                          partition_column="id", lower_bound=0,
+                          upper_bound=1000, num_partitions=8)
+    # reader builds without a jar; executing would need the driver
+    assert r is not None
+    df = spark.createDataFrame([(1,)], ["id"])
+    w = jdbc_append_writer(df, ep, "houston_weather_data", batchsize=500)
+    assert w is not None
