@@ -1,0 +1,95 @@
+"""Property-based checks (hypothesis): the as-of join matches
+pandas.merge_asof on arbitrary inputs, and the expression-layer
+fingerprints match independent Python reimplementations."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.functions.text import (
+    rolling_hash,
+)
+from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.operators.joins import (
+    asof_join,
+)
+
+left_rows = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 100)),
+    min_size=1, max_size=12)
+right_rows = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 100)),
+    min_size=1, max_size=12,
+    unique_by=lambda r: (r[0], r[1]))  # unique (key, time): asof precondition
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(lrows=left_rows, rrows=right_rows)
+def test_asof_matches_pandas_merge_asof(spark, lrows, rrows):
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lrows)], ["k", "t", "lid"])
+    right = spark.createDataFrame(
+        [(k, t, k * 1000 + t) for (k, t) in rrows], ["k", "rt", "payload"])
+    got = {r.lid: r.payload
+           for r in asof_join(left, right, on="k", left_time="t",
+                              right_time="rt",
+                              payload_cols=["payload"]).collect()}
+
+    lp = pd.DataFrame([(k, t, i) for i, (k, t) in enumerate(lrows)],
+                      columns=["k", "t", "lid"]).sort_values("t", kind="stable")
+    rp = pd.DataFrame([(k, t, k * 1000 + t) for (k, t) in rrows],
+                      columns=["k", "rt", "payload"]).sort_values("rt",
+                                                                  kind="stable")
+    want_df = pd.merge_asof(lp, rp, left_on="t", right_on="rt", by="k",
+                            direction="backward", allow_exact_matches=True)
+    want = {int(r.lid): (None if pd.isna(r.payload) else int(r.payload))
+            for r in want_df.itertuples()}
+    assert got == want
+
+
+texts = st.lists(
+    st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            min_size=1, max_size=40),
+    min_size=1, max_size=8)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(ts=texts)
+def test_rolling_hash_matches_python(spark, ts):
+    import re
+
+    def py_roll(text: str) -> int:
+        norm = re.sub(r"\s+", " ", text.strip())
+        h = 0
+        for ch in norm:
+            h = (h * 31 + ord(ch)) % 1_000_000_007
+        return h
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(ts)],
+                               ["i", "text"])
+    got = {r.i: r.h for r in
+           df.select("i", rolling_hash("text").alias("h")).collect()}
+    assert got == {i: py_roll(t) for i, t in enumerate(ts)}
+
+
+def test_sha_fingerprint_matches_hashlib(spark):
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.functions.text import (
+        fingerprint_sha,
+    )
+    import re
+
+    samples = ["Hello  World", "  spark    sql  ", "a\tb\nc"]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(samples)],
+                               ["i", "text"])
+    got = {r.i: r.fp for r in
+           df.select("i", fingerprint_sha("text").alias("fp")).collect()}
+    for i, s in enumerate(samples):
+        norm = re.sub(r"\s+", " ", s.strip()).lower()
+        assert got[i] == hashlib.sha256(norm.encode()).hexdigest()[:16]
