@@ -100,3 +100,64 @@ def lsh_topk(
         .where(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    query_id: str = "q_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_stride: int = 50,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF-style ANN: deterministic coarse quantizer + cluster-pruned
+    exact search.
+
+    "Training" picks every ``centroid_stride``-th corpus vector as a
+    centroid (deterministic — no kmeans iterations, which keeps the
+    operator oracle-reproducible and cheap; swap in real kmeans
+    centroids at production scale without changing the plan shape).
+    Corpus vectors are assigned to their nearest centroid once
+    (broadcast centroids → argmin, no shuffle of the corpus), queries
+    probe their ``nprobe`` nearest centroids, and exact cosine runs
+    only inside probed clusters via an equi-join on centroid id —
+    the inverted-file pruning that makes 100 TB ANN tractable.
+    """
+    from pyspark.sql import Window
+
+    cents = (corpus.where(F.col(corpus_id) % centroid_stride == 0)
+             .select(F.col(corpus_id).alias("cent_id"),
+                     as_double(vec_col).alias("cv")))
+
+    def assign(df: DataFrame, id_out: str, n: int) -> DataFrame:
+        """nearest-n centroids per row by cosine (broadcast centroids)."""
+        scored = (df.crossJoin(F.broadcast(cents))
+                  .select(id_out, "cent_id",
+                          cosine(F.col("__v"), F.col("cv")).alias("__cs")))
+        w = Window.partitionBy(id_out).orderBy(
+            F.col("__cs").desc(), F.col("cent_id"))
+        return (scored.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") <= n).select(id_out, "cent_id"))
+
+    c_assign = assign(
+        corpus.select(F.col(corpus_id), as_double(vec_col).alias("__v")),
+        corpus_id, 1)
+    q_assign = assign(
+        queries.select(F.col(query_id), as_double(vec_col).alias("__v")),
+        query_id, nprobe)
+
+    qv = queries.select(F.col(query_id), as_double(vec_col).alias("__qv"))
+    cv2 = corpus.select(F.col(corpus_id), as_double(vec_col).alias("__cv2"))
+    cands = (q_assign.join(c_assign, on="cent_id")
+             .where(F.col(query_id) != F.col(corpus_id))
+             .select(query_id, corpus_id).dropDuplicates())
+    scored = (cands.join(F.broadcast(qv), query_id).join(cv2, corpus_id)
+              .select(query_id, corpus_id,
+                      F.round(cosine(F.col("__qv"), F.col("__cv2")), 6)
+                       .alias("cos_sim")))
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cos_sim").desc(), F.col(corpus_id).asc())
+    return (scored.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= k).drop("__rn"))

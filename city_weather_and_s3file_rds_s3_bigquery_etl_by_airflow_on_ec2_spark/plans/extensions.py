@@ -230,3 +230,12 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
          .cast("long").alias("n_bpeish"),
         TX.token_count("text").alias("n_ws_tokens"),
     )
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cluster-pruned ANN (deterministic coarse quantizer) —
+    rows-only for the driver; recall vs brute force in tests."""
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    queries = embeddings.where(F.col("vec_id") < 20) \
+                        .select(F.col("vec_id").alias("q_id"), "embedding")
+    return S.ivf_topk(queries, embeddings, k=5)

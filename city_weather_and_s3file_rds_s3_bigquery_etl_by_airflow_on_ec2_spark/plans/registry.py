@@ -523,6 +523,17 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM events GROUP BY 1, 2
         """,
     ),
+    "events_sliding_window": QuerySpec(
+        R.events_sliding_window,
+        """
+        SELECT TIMESTAMP '1970-01-01'
+                   + (CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 - i.i * 900)
+                     * INTERVAL 1 SECOND AS window_start,
+               count(*) AS n_events
+        FROM events CROSS JOIN (SELECT unnest(range(4)) AS i) i
+        GROUP BY 1
+        """,
+    ),
     "streaming_stateful_totals": QuerySpec(
         # custom stateful operator (applyInPandasWithState) — final
         # per-user state must equal the plain batch aggregate
@@ -594,6 +605,7 @@ REGISTRY: dict[str, QuerySpec] = {
         bench=True,
     ),
     "ann_lsh_topk": QuerySpec(X.ann_lsh_topk, None),
+    "ann_ivf_topk": QuerySpec(X.ann_ivf_topk, None),
     "embedding_norm_stats": QuerySpec(
         X.embedding_norm_stats,
         """

@@ -707,3 +707,15 @@ def window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first_value("o_orderkey").over(wf).alias("cheapest_key"),
         F.last_value("o_orderkey").over(wf).alias("priciest_key"),
     )
+
+
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (1 h length, 15 min slide): each
+    event lands in 4 overlapping windows. F.window's starts align to
+    the epoch, so the oracle can reconstruct them arithmetically."""
+    (events,) = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
