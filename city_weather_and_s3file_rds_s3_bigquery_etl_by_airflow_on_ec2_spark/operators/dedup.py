@@ -97,6 +97,88 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_pairs_native(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_size: int = 3,
+    num_bands: int = 8,
+    rows_per_band: int = 2,
+    max_exact_jaccard_distance: float | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash-LSH candidates as pure Catalyst expressions — the
+    Spark-first fast path (no ML pipeline, no sparse vectors):
+
+    1. shingle: sliding ``shingle_size``-token windows via
+       ``transform(sequence(...))`` over the token array;
+    2. minhash: per hash function i, ``array_min(transform(shingles,
+       s -> xxhash64(s, i)))`` — one whole-stage-codegen pass for all
+       ``num_bands × rows_per_band`` functions;
+    3. band with AND-amplification: each band's key combines
+       ``rows_per_band`` minhashes (collision prob s^r per band —
+       without this, one globally-popular shingle hashing small makes
+       a hot band key and the self-join degenerates toward n²);
+    4. exact verify on candidates only: *shingle*-set Jaccard — the
+       same metric minhash approximates (token-set Jaccard is far
+       looser on small vocabularies and must not be mixed in here).
+
+    Everything stays JVM-side; the only shuffles are the band-hash
+    equi-join and the candidate dedup. Collision probability for
+    shingle-jaccard s: 1-(1-s^r)^b.
+    """
+    num_hashes = num_bands * rows_per_band
+    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("toks")) \
+             .where(F.size("toks") >= shingle_size)
+    shingle_expr = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - shingle_size),
+        lambda i: F.concat_ws(" ", F.slice("toks", i + 1, shingle_size)),
+    )
+    sig = (toks.withColumn("shingles", shingle_expr)
+           .select(
+               id_col,
+               F.array(*[
+                   F.array_min(F.transform(
+                       F.col("shingles"),
+                       lambda s: F.xxhash64(s, F.lit(seed + i))))
+                   for i in range(num_hashes)
+               ]).alias("sig"),
+               F.array_distinct("shingles").alias("shingle_set")))
+
+    banded = sig.select(
+        id_col, "shingle_set",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(bi).alias("band_idx"),
+                F.xxhash64(*[
+                    F.col("sig")[bi * rows_per_band + r]
+                    for r in range(rows_per_band)
+                ]).alias("band_hash"))
+            for bi in range(num_bands)
+        ])).alias("band"),
+    ).select(id_col, "shingle_set", "band.band_idx", "band.band_hash")
+
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(b, on=["band_idx", "band_hash"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.col("a.shingle_set").alias("ss_a"),
+                F.col("b.shingle_set").alias("ss_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("ss_a", "ss_b")).cast("double")
+    uni = F.size(F.array_union("ss_a", "ss_b")).cast("double")
+    out = cands.select(
+        "id_a", "id_b",
+        F.round(F.lit(1.0) - inter / uni, 4).alias("jaccard_distance"))
+    if max_exact_jaccard_distance is not None:
+        out = out.where(
+            F.col("jaccard_distance") <= max_exact_jaccard_distance)
+    return out
+
+
 _SIMHASH_BITS = 64
 
 

@@ -42,10 +42,13 @@ def dedup_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup candidates (rows-only: hash-dependent)."""
+    """MinHash-LSH near-dup candidates + exact verify (rows-only:
+    candidate set is hash-dependent). Uses the native expression-only
+    implementation; the pyspark.ml variant remains in operators.dedup
+    and is cross-checked in tests."""
     (documents,) = _t(spark, sf_dir, "documents")
-    return D.minhash_lsh_pairs(documents, "text", "doc_id",
-                               jaccard_distance_threshold=0.5)
+    return D.minhash_lsh_pairs_native(documents, "text", "doc_id",
+                                      max_exact_jaccard_distance=0.5)
 
 
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -164,3 +164,24 @@ def test_ivf_topk_recall_vs_brute_force(spark):
     # query and beats random-candidate recall
     assert len(approx) == len(exact)
     assert len(exact & approx) / len(exact) >= 0.2
+
+
+def test_minhash_native_matches_ml_semantics(spark):
+    """Native expression MinHash-LSH finds the same planted near-dups
+    as the pyspark.ml variant, with exact shingle-Jaccard verification."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.operators.dedup import (
+        minhash_lsh_pairs_native,
+    )
+
+    docs = read_parquet_table(spark, SF_SMALL, "documents")
+    base = docs.limit(20).select("doc_id", "text")
+    mutated = base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extraword")).alias("text"))
+    corpus = base.unionByName(mutated)
+    pairs = {(r.id_a, r.id_b)
+             for r in minhash_lsh_pairs_native(
+                 corpus, "text", "doc_id",
+                 max_exact_jaccard_distance=0.4).collect()}
+    planted = {(i, i + 100000) for i in [r.doc_id for r in base.collect()]}
+    assert len(planted & pairs) >= len(planted) * 0.8
