@@ -166,6 +166,47 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM orders GROUP BY o_orderpriority
         """,
     ),
+    "agg_salted_twophase": QuerySpec(
+        R.agg_salted_twophase,
+        """
+        SELECT l_returnflag, sum(l_quantity) AS sum_l_quantity,
+               count(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag
+        """,
+    ),
+    "agg_corr_covar": QuerySpec(
+        R.agg_corr_covar,
+        """
+        SELECT l_returnflag,
+               round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+               round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+               round(var_samp(l_quantity), 6) AS var_qty
+        FROM lineitem GROUP BY l_returnflag
+        """,
+    ),
+    "agg_bool": QuerySpec(
+        R.agg_bool,
+        """
+        SELECT o_orderpriority,
+               bool_and(o_totalprice > 1000.0) AS all_above_1k,
+               bool_or(o_totalprice > 490000.0) AS any_huge,
+               max(o_orderstatus = 'F') AS has_f
+        FROM orders GROUP BY o_orderpriority
+        """,
+    ),
+    "scalar_date_arith": QuerySpec(
+        R.scalar_date_arith,
+        """
+        SELECT o_orderkey,
+               CAST(o_orderdate AS DATE) + 30 AS plus_30d,
+               CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE)
+                   AS plus_2mo,
+               last_day(CAST(o_orderdate AS DATE)) AS month_end,
+               o_orderdate + INTERVAL 36 HOUR AS plus_36h
+        FROM orders
+        """,
+    ),
+    "agg_approx_quantile": QuerySpec(R.agg_approx_quantile, None),
     # ---------------------------------- joins -----------------------------
     "join_inner_3way_topk": QuerySpec(
         R.join_inner_3way_topk,

@@ -719,3 +719,56 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(F.col("w.start").alias("window_start"), "n_events")
     )
+
+
+def agg_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted two-phase aggregation — result must equal
+    the direct GROUP BY (the oracle states the direct form). Uses the
+    integral quantity column so two-phase double summation stays
+    exact."""
+    from ..operators.skew import salted_sum_count
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    return salted_sum_count(lineitem, ["l_returnflag"], "l_quantity",
+                            salt_buckets=32)
+
+
+def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate aggregates (corr / sample covariance)."""
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qty_price"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+    )
+
+
+def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (every/any)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.bool_and(F.col("o_totalprice") > 1000.0).alias("all_above_1k"),
+        F.bool_or(F.col("o_totalprice") > 490000.0).alias("any_huge"),
+        F.max(F.col("o_orderstatus") == "F").alias("has_f"),
+    )
+
+
+def scalar_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic: interval add, month add, month boundary."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_orderkey",
+        F.date_add(d, 30).alias("plus_30d"),
+        F.add_months(d, 2).alias("plus_2mo"),
+        F.last_day(d).alias("month_end"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 36 HOURS")).alias("plus_36h"),
+    )
+
+
+def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (t-digest-style sketch) — engine surface;
+    sketch internals differ per engine → rows-only, bounded vs the
+    exact percentile in tests."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", 0.5, 1000).alias("p50_approx"))
