@@ -36,6 +36,9 @@ DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.autoBroadcastJoinThreshold": "64m",
     "spark.ui.enabled": "false",
     "spark.sql.files.maxPartitionBytes": "128m",
+    # catalog home for bucketed tables (static conf — must be set at
+    # session build; production points this at the real warehouse)
+    "spark.sql.warehouse.dir": "/tmp/cw_spark_warehouse",
     # The lake's events table stores TIMESTAMP(NANOS) parquet, which
     # Spark's vectorized reader rejects; read as long and convert in
     # sources.tables._normalize_types (truncate to micros, matching
