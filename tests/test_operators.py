@@ -185,3 +185,25 @@ def test_minhash_native_matches_ml_semantics(spark):
                  max_exact_jaccard_distance=0.4).collect()}
     planted = {(i, i + 100000) for i in [r.doc_id for r in base.collect()]}
     assert len(planted & pairs) >= len(planted) * 0.8
+
+
+def test_continuous_rollup_idempotent(spark, tmp_path):
+    """foreachBatch-maintained hourly rollup equals the direct batch
+    aggregate and converges (not duplicates) on re-run."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.streaming.rollup import (
+        continuous_hourly_rollup,
+    )
+
+    out = str(tmp_path / "rollup")
+    first = continuous_hourly_rollup(spark, SF_SMALL, out)
+    key = lambda rows: sorted(  # noqa: E731
+        (r.window_start, r.event_type, r.n_events, r.sum_value) for r in rows)
+    ev = read_parquet_table(spark, SF_SMALL, "events")
+    batch = (ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  F.round(F.sum("value"), 2).alias("sum_value"))
+             .select(F.col("w.start").alias("window_start"), "event_type",
+                     "n_events", "sum_value"))
+    assert key(first.collect()) == key(batch.collect())
+    second = continuous_hourly_rollup(spark, SF_SMALL, out)
+    assert key(second.collect()) == key(batch.collect())
