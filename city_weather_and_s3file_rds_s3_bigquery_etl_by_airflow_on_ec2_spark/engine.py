@@ -1,0 +1,40 @@
+"""User-facing engine facade (SURVEY.md §3.3).
+
+The reference's ad-hoc entry point is `pd.read_sql_query` against
+Postgres; the engine's is Spark SQL over the lake catalog. Both the
+DataFrame DSL and SQL text resolve through the same Catalyst pipeline,
+so `Engine.sql(...)` and the registry builders produce identical plans
+for identical queries — asserted in tests.
+
+    eng = Engine(sf_dir="/root/testdata/sf0.1")
+    eng.sql("SELECT o_orderstatus, count(*) FROM orders GROUP BY 1").show()
+    eng.table("lineitem").groupBy("l_returnflag").count().show()
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .session import get_spark
+from .sources.tables import DEFAULT_SF_DIR, TPCH_TABLES, register_views
+
+
+class Engine:
+    def __init__(self, sf_dir: str = DEFAULT_SF_DIR,
+                 spark: SparkSession | None = None,
+                 tables: tuple[str, ...] = TPCH_TABLES):
+        self.spark = spark or get_spark("cw_spark_engine")
+        self.sf_dir = sf_dir
+        self._tables = register_views(self.spark, sf_dir, tables)
+
+    def sql(self, query: str) -> DataFrame:
+        """Full Spark SQL lifecycle over the registered lake views."""
+        return self.spark.sql(query)
+
+    def table(self, name: str) -> DataFrame:
+        return self._tables[name]
+
+    def explain(self, query: str) -> str:
+        df = self.sql(query)
+        return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            df._jdf.queryExecution(), "formatted")

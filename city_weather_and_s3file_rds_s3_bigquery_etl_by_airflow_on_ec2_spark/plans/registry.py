@@ -207,6 +207,25 @@ REGISTRY: dict[str, QuerySpec] = {
         """,
     ),
     "agg_approx_quantile": QuerySpec(R.agg_approx_quantile, None),
+    "agg_having": QuerySpec(
+        R.agg_having,
+        """
+        SELECT o_custkey, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS spend
+        FROM orders GROUP BY o_custkey HAVING count(*) >= 15
+        """,
+    ),
+    "scalar_null_safe_eq": QuerySpec(
+        R.scalar_null_safe_eq,
+        """
+        SELECT c_custkey,
+               nullif(c_mktsegment, 'MACHINERY') IS NOT DISTINCT FROM 'BUILDING'
+                   AS is_building,
+               nullif(c_mktsegment, 'MACHINERY') IS NOT DISTINCT FROM NULL
+                   AS was_machinery
+        FROM customer
+        """,
+    ),
     # ---------------------------------- joins -----------------------------
     "join_inner_3way_topk": QuerySpec(
         R.join_inner_3way_topk,

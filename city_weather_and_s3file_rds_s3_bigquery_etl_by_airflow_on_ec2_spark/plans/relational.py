@@ -772,3 +772,26 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     (orders,) = _t(spark, sf_dir, "orders")
     return orders.groupBy("o_orderpriority").agg(
         F.percentile_approx("o_totalprice", 0.5, 1000).alias("p50_approx"))
+
+
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING over the SQL entry point."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql("""
+        SELECT o_custkey, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS spend
+        FROM orders
+        GROUP BY o_custkey
+        HAVING count(*) >= 15
+    """)
+
+
+def scalar_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality (<=> / IS NOT DISTINCT FROM)."""
+    (customer,) = _t(spark, sf_dir, "customer")
+    seg_or_null = F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY"))
+    return customer.select(
+        "c_custkey",
+        seg_or_null.eqNullSafe(F.lit("BUILDING")).alias("is_building"),
+        seg_or_null.eqNullSafe(F.lit(None).cast("string")).alias("was_machinery"),
+    )

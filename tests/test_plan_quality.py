@@ -67,3 +67,24 @@ def test_q1_partial_aggregation(spark):
     plan = _explain(df)
     # partial (map-side) + final hash aggregate around one exchange
     assert plan.count("HashAggregate") >= 2
+
+
+def test_sql_and_dsl_same_result(spark):
+    """§3.3: SQL text and the DataFrame DSL resolve through the same
+    Catalyst pipeline — identical results for the same query."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.engine import (
+        Engine,
+    )
+
+    eng = Engine(sf_dir=SF_SMALL, spark=spark)
+    via_sql = eng.sql("""
+        SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS q
+        FROM lineitem GROUP BY l_returnflag
+    """)
+    via_dsl = (eng.table("lineitem").groupBy("l_returnflag")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.round(F.sum("l_quantity"), 2).alias("q")))
+    assert sorted(map(tuple, via_sql.collect())) == \
+        sorted(map(tuple, via_dsl.collect()))
+    assert "HashAggregate" in eng.explain(
+        "SELECT count(*) FROM lineitem GROUP BY l_returnflag")
