@@ -207,3 +207,37 @@ def test_continuous_rollup_idempotent(spark, tmp_path):
     assert key(first.collect()) == key(batch.collect())
     second = continuous_hourly_rollup(spark, SF_SMALL, out)
     assert key(second.collect()) == key(batch.collect())
+
+
+def test_incremental_ingest_idempotent(spark, tmp_path):
+    """Landing-dir streaming ingest: drains new files, skips seen ones
+    (checkpoint), and converges under replays (merge key)."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.reference_pipeline import (
+        GOLDEN_OWM_PAYLOAD,
+    )
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.streaming.ingest import (
+        ingest_available,
+        land_payloads,
+    )
+
+    landing = str(tmp_path / "landing")
+    wh = str(tmp_path / "wh")
+    ckpt = str(tmp_path / "ckpt")
+
+    p1 = dict(GOLDEN_OWM_PAYLOAD)
+    p2 = dict(GOLDEN_OWM_PAYLOAD, name="Chicago", id=123, dt=1742203868 + 3600)
+    land_payloads(landing, [p1])
+    out1 = ingest_available(spark, landing, wh, ckpt)
+    assert out1.count() == 1
+
+    # second arrival: only the new document is processed and merged
+    land_payloads(landing, [p2])
+    out2 = ingest_available(spark, landing, wh, ckpt)
+    assert out2.count() == 2
+    assert {r.city for r in out2.collect()} == {"Houston", "Chicago"}
+
+    # wiped checkpoint replays everything; merge key keeps it converged
+    import shutil
+    shutil.rmtree(ckpt)
+    out3 = ingest_available(spark, landing, wh, str(tmp_path / "ckpt2"))
+    assert out3.count() == 2
