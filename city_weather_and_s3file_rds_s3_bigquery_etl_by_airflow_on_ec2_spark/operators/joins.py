@@ -29,16 +29,21 @@ def asof_join(
     left_time: str,
     right_time: str,
     payload_cols: list[str],
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: each left row gets the payload of the
-    latest right row with ``right_time <= left_time`` for the same key
-    (equality inclusive — a right row at exactly left_time matches).
+    """As-of join: each left row gets the payload of the nearest right
+    row for the same key — the latest with ``right_time <= left_time``
+    (``direction="backward"``, default) or the earliest with
+    ``right_time >= left_time`` (``direction="forward"``). Equality
+    inclusive in both directions.
 
     ``right`` must be unique per (on, right_time); pre-aggregate it
     otherwise, or the carried payload is ambiguous in *any* engine.
     Payload columns are emitted with their original names; left columns
     pass through unchanged.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction}")
     left_cols = left.columns
     l = left.select(
         *left_cols,
@@ -57,17 +62,22 @@ def asof_join(
     ).select(*l.columns)  # align column order for unionByName-free union
 
     combined = l.unionByName(r)
-    w = (
-        Window.partitionBy(on)
-        .orderBy(F.col(_TIME), F.col(_MARKER))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = combined.select(
-        *left_cols,
-        F.col(_MARKER),
-        *[F.last(f"__p_{c}", ignorenulls=True).over(w).alias(c)
-          for c in payload_cols],
-    )
+    if direction == "backward":
+        # right rows sort before left rows at equal time (inclusive <=)
+        w = (Window.partitionBy(on)
+             .orderBy(F.col(_TIME), F.col(_MARKER))
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        carry = [F.last(f"__p_{c}", ignorenulls=True).over(w).alias(c)
+                 for c in payload_cols]
+    else:
+        # forward: right rows sort after left rows at equal time, and
+        # the first following non-null payload is carried backward
+        w = (Window.partitionBy(on)
+             .orderBy(F.col(_TIME), (1 - F.col(_MARKER)))
+             .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+        carry = [F.first(f"__p_{c}", ignorenulls=True).over(w).alias(c)
+                 for c in payload_cols]
+    carried = combined.select(*left_cols, F.col(_MARKER), *carry)
     return carried.where(F.col(_MARKER) == 1).drop(_MARKER)
 
 

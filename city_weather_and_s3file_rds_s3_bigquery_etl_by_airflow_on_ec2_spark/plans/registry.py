@@ -325,6 +325,16 @@ REGISTRY: dict[str, QuerySpec] = {
         """,
         bench=True,
     ),
+    "join_composite_adjacent": QuerySpec(
+        R.join_composite_adjacent,
+        """
+        SELECT a.l_orderkey, a.l_linenumber, a.l_quantity AS qty,
+               b.l_quantity AS next_qty
+        FROM lineitem a LEFT JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey
+         AND b.l_linenumber = a.l_linenumber + 1
+        """,
+    ),
     "join_range_events": QuerySpec(
         R.join_range_events,
         """

@@ -795,3 +795,20 @@ def scalar_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         seg_or_null.eqNullSafe(F.lit("BUILDING")).alias("is_building"),
         seg_or_null.eqNullSafe(F.lit(None).cast("string")).alias("was_machinery"),
     )
+
+
+def join_composite_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-key equi-join: each lineitem matched to the next line
+    of the same order ((orderkey, linenumber+1) — the adjacency-join
+    shape)."""
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    a = lineitem.select(F.col("l_orderkey").alias("ok"),
+                        F.col("l_linenumber").alias("ln"),
+                        F.col("l_quantity").alias("qty"))
+    b = lineitem.select(F.col("l_orderkey").alias("ok"),
+                        (F.col("l_linenumber") - 1).alias("ln"),
+                        F.col("l_quantity").alias("next_qty"))
+    return (a.join(b, on=["ok", "ln"], how="left")
+            .select(F.col("ok").alias("l_orderkey"),
+                    F.col("ln").alias("l_linenumber"),
+                    "qty", "next_qty"))

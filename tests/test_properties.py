@@ -93,3 +93,27 @@ def test_sha_fingerprint_matches_hashlib(spark):
     for i, s in enumerate(samples):
         norm = re.sub(r"\s+", " ", s.strip()).lower()
         assert got[i] == hashlib.sha256(norm.encode()).hexdigest()[:16]
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(lrows=left_rows, rrows=right_rows)
+def test_asof_forward_matches_pandas(spark, lrows, rrows):
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lrows)], ["k", "t", "lid"])
+    right = spark.createDataFrame(
+        [(k, t, k * 1000 + t) for (k, t) in rrows], ["k", "rt", "payload"])
+    got = {r.lid: r.payload
+           for r in asof_join(left, right, on="k", left_time="t",
+                              right_time="rt", payload_cols=["payload"],
+                              direction="forward").collect()}
+    lp = pd.DataFrame([(k, t, i) for i, (k, t) in enumerate(lrows)],
+                      columns=["k", "t", "lid"]).sort_values("t", kind="stable")
+    rp = pd.DataFrame([(k, t, k * 1000 + t) for (k, t) in rrows],
+                      columns=["k", "rt", "payload"]).sort_values("rt",
+                                                                  kind="stable")
+    want_df = pd.merge_asof(lp, rp, left_on="t", right_on="rt", by="k",
+                            direction="forward", allow_exact_matches=True)
+    want = {int(r.lid): (None if pd.isna(r.payload) else int(r.payload))
+            for r in want_df.itertuples()}
+    assert got == want
