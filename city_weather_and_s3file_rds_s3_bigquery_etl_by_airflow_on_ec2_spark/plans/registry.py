@@ -511,6 +511,29 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM customer
         """,
     ),
+    "scalar_array_funcs": QuerySpec(
+        R.scalar_array_funcs,
+        r"""
+        WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                   FROM documents)
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n,
+               toks[1:3] AS first3,
+               list_contains(toks, 'spark') AS mentions_spark,
+               list_sort(list_distinct(toks)) AS vocab,
+               list_reverse(toks) AS rev
+        FROM t
+        """,
+    ),
+    "generator_range": QuerySpec(
+        R.generator_range,
+        """
+        SELECT range AS id, range * 7 % 13 AS mod13,
+               pow(CAST(range AS DOUBLE), 2) AS sq
+        FROM range(0, 1000)
+        """,
+    ),
+    "sample_bernoulli": QuerySpec(R.sample_bernoulli, None),
     # -------------------------------- subqueries --------------------------
     "subquery_scalar": QuerySpec(
         R.subquery_scalar,

@@ -812,3 +812,34 @@ def join_composite_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("ok").alias("l_orderkey"),
                     F.col("ln").alias("l_linenumber"),
                     "qty", "next_qty"))
+
+
+def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function surface over a token column."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return documents.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n"),
+        F.slice(toks, 1, 3).alias("first3"),
+        F.array_contains(toks, "spark").alias("mentions_spark"),
+        F.sort_array(F.array_distinct(toks)).alias("vocab"),
+        F.reverse(toks).alias("rev"),
+    )
+
+
+def generator_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table generator (spark.range) with computed columns — the
+    synthetic-data surface."""
+    return spark.range(0, 1000).select(
+        F.col("id"),
+        (F.col("id") * 7 % 13).alias("mod13"),
+        F.pow(F.col("id").cast("double"), 2).alias("sq"),
+    )
+
+
+def sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sampling — engine surface; sampler internals
+    are engine-specific → rows-only gate."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return orders.sample(fraction=0.1, seed=42).select("o_orderkey")
