@@ -107,3 +107,16 @@ def rolling_hash(text: Column | str, mod: int = 1_000_000_007,
         F.lit(0).cast("long"),
         lambda acc, c: (acc * base + c) % F.lit(mod),
     )
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Regex-based PII scrubbing (corpus-cleaning staple): masks
+    email-shaped tokens, long digit runs (phone/ids), and 16-digit
+    card-shaped sequences. Pure regexp_replace chain — JVM-side, order
+    matters (most specific first) and is part of the operator contract."""
+    t = _c(text)
+    t = F.regexp_replace(t, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+                         "<EMAIL>")
+    t = F.regexp_replace(t, r"\b\d{13,19}\b", "<CARD>")
+    t = F.regexp_replace(t, r"\b\d{7,12}\b", "<NUM>")
+    return t

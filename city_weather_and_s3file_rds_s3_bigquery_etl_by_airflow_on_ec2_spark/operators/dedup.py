@@ -280,3 +280,53 @@ def token_jaccard_pairs(
         )
         .where(F.col("jaccard") >= min_jaccard)
     )
+
+
+def dedup_clusters(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs: every document gets
+    the minimum id of its duplicate cluster (the canonical-survivor
+    assignment used to collapse near-dup groups in corpus cleaning).
+
+    Iterative min-label propagation on DataFrames: each round joins
+    current labels across (symmetrized) edges and keeps the per-node
+    minimum; converges in O(component diameter) rounds — near-dup
+    clusters are shallow, so a handful of shuffles. The loop's only
+    driver-side action is the convergence check (a count, no data
+    collect). For billion-edge graphs swap in the large-star/small-star
+    algorithm; the operator contract stays the same.
+    """
+    # materialize edges once and truncate label lineage per round —
+    # without this every convergence check re-derives the whole edge
+    # computation and the plan grows exponentially with iterations
+    sym = (edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+           .unionByName(
+               edges.select(F.col("id_b").alias("src"),
+                            F.col("id_a").alias("dst")))
+           .localCheckpoint())
+    labels = nodes.select(F.col(id_col).alias("node"),
+                          F.col(id_col).alias("label")).localCheckpoint()
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src").agg(F.min("label").alias("nlabel")))
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(F.col("node"),
+                    F.least(F.col("label"),
+                            F.coalesce(F.col("nlabel"), F.col("label")))
+                     .alias("label"))
+            .localCheckpoint())
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), on="node")
+                   .where(F.col("n.label") != F.col("o.label"))
+                   .limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col),
+                         F.col("label").alias("cluster_id"))

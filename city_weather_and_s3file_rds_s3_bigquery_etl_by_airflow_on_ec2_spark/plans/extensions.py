@@ -242,3 +242,27 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = embeddings.where(F.col("vec_id") < 20) \
                         .select(F.col("vec_id").alias("q_id"), "embedding")
     return S.ivf_topk(queries, embeddings, k=5)
+
+
+def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster assignment: connected components over the
+    deterministic blocked-Jaccard pairs (≥0.4), canonical min-id label
+    per document. Oracle: recursive CTE reachability in DuckDB."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    edges = D.token_jaccard_pairs(
+        documents, "text", "doc_id",
+        block_cols=["lang"], length_col="n_chars", length_band=16,
+        min_jaccard=0.4)
+    return D.dedup_clusters(documents.select("doc_id"), edges)
+
+
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over the corpus + a changed-flag so the oracle
+    exercises both the rewrite and the comparison."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    red = TX.redact_pii("text")
+    return documents.select(
+        "doc_id",
+        red.alias("clean_text"),
+        (red != F.col("text")).alias("was_redacted"),
+    )

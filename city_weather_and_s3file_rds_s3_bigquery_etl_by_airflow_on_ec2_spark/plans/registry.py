@@ -675,6 +675,35 @@ REGISTRY: dict[str, QuerySpec] = {
         """,
         bench=True,
     ),
+    "dedup_cluster_assign": QuerySpec(
+        X.dedup_cluster_assign,
+        f"""
+        WITH RECURSIVE t AS (
+            SELECT doc_id, lang, n_chars // 16 AS len_band,
+                   list_distinct({_TOKS}) AS tokset
+            FROM documents
+        ), pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM t a JOIN t b
+              ON a.lang = b.lang AND a.len_band = b.len_band
+             AND a.doc_id < b.doc_id
+            WHERE round(CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
+                        / len(list_distinct(list_concat(a.tokset, b.tokset))),
+                        4) >= 0.4
+        ), edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION ALL
+            SELECT id_b AS src, id_a AS dst FROM pairs
+        ), reach AS (
+            SELECT doc_id AS id, doc_id AS root FROM documents
+            UNION
+            SELECT e.dst AS id, r.root
+            FROM reach r JOIN edges e ON e.src = r.id
+        )
+        SELECT id AS doc_id, min(root) AS cluster_id
+        FROM reach GROUP BY id
+        """,
+    ),
     # ------------------------------ similarity ----------------------------
     "ann_cosine_topk": QuerySpec(
         X.ann_cosine_topk,
@@ -779,6 +808,24 @@ REGISTRY: dict[str, QuerySpec] = {
                                       i -> CAST(ascii(substr(norm, i, 1)) AS BIGINT))),
                    (acc, c) -> (acc * 31 + c) % 1000000007) AS roll_fp
         FROM n
+        """,
+    ),
+    "text_redact_pii": QuerySpec(
+        X.text_redact_pii,
+        r"""
+        WITH r AS (
+            SELECT doc_id, text,
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(text,
+                               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                               '<EMAIL>', 'g'),
+                           '\b\d{13,19}\b', '<CARD>', 'g'),
+                       '\b\d{7,12}\b', '<NUM>', 'g') AS clean_text
+            FROM documents
+        )
+        SELECT doc_id, clean_text, clean_text <> text AS was_redacted
+        FROM r
         """,
     ),
     "text_ngram_profile": QuerySpec(

@@ -241,3 +241,32 @@ def test_incremental_ingest_idempotent(spark, tmp_path):
     shutil.rmtree(ckpt)
     out3 = ingest_available(spark, landing, wh, str(tmp_path / "ckpt2"))
     assert out3.count() == 2
+
+
+def test_dedup_clusters_transitive(spark):
+    """a~b and b~c (but not a~c directly) must land in one cluster."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.operators.dedup import (
+        dedup_clusters,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(6)], ["doc_id"])
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4)], ["id_a", "id_b"])
+    got = {r.doc_id: r.cluster_id
+           for r in dedup_clusters(nodes, edges).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 5}
+
+
+def test_redact_pii_masks(spark):
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.functions.text import (
+        redact_pii,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "mail me at a.b@example.com or call 5551234567"),
+         (2, "card 4111111111111111 ok"),
+         (3, "clean text")], ["i", "t"])
+    got = {r.i: r.c for r in df.select("i", redact_pii("t").alias("c")).collect()}
+    assert got[1] == "mail me at <EMAIL> or call <NUM>"
+    assert got[2] == "card <CARD> ok"
+    assert got[3] == "clean text"
