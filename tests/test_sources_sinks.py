@@ -112,3 +112,24 @@ def test_jdbc_option_assembly(spark):
     df = spark.createDataFrame([(1,)], ["id"])
     w = jdbc_append_writer(df, ep, "houston_weather_data", batchsize=500)
     assert w is not None
+
+
+def test_custom_http_datasource(spark):
+    """Spark 4 Python Data Source: one executor-side fetch per URL
+    partition (offline via fake_payload)."""
+    import json
+
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.sources.http_datasource import (
+        OwmHttpDataSource,
+    )
+
+    spark.dataSource.register(OwmHttpDataSource)
+    urls = ",".join(f"http://api/weather?i={i}" for i in range(5))
+    df = (spark.read.format("owm_http")
+          .option("urls", urls)
+          .option("fake_payload", json.dumps(GOLDEN_OWM_PAYLOAD))
+          .load())
+    assert df.rdd.getNumPartitions() == 5
+    rows = df.collect()
+    assert len(rows) == 5
+    assert all(r.city == "Houston" and r.pressure == 1024 for r in rows)
