@@ -270,3 +270,25 @@ def test_redact_pii_masks(spark):
     assert got[1] == "mail me at <EMAIL> or call <NUM>"
     assert got[2] == "card <CARD> ok"
     assert got[3] == "clean text"
+
+
+def test_udtf_tokenize_with_offsets(spark):
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.functions.udtfs import (
+        TokenizeWithOffsets,
+    )
+
+    spark.udtf.register("tokenize_offsets", TokenizeWithOffsets)
+    rows = spark.sql(
+        "SELECT t.* FROM tokenize_offsets('hello  spark world') AS t"
+    ).collect()
+    assert [(r.token, r.pos, r.char_offset) for r in rows] == [
+        ("hello", 0, 0), ("spark", 1, 7), ("world", 2, 13)]
+
+    # lateral join over a table
+    spark.createDataFrame([(1, "a bb"), (2, None)], ["i", "txt"]) \
+         .createOrReplaceTempView("docs_tiny")
+    out = spark.sql("""
+        SELECT i, t.token, t.pos FROM docs_tiny,
+        LATERAL tokenize_offsets(txt) AS t
+    """).collect()
+    assert {(r.i, r.token, r.pos) for r in out} == {(1, "a", 0), (1, "bb", 1)}
