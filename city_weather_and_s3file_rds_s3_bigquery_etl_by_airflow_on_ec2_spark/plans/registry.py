@@ -559,6 +559,35 @@ REGISTRY: dict[str, QuerySpec] = {
                         AND o.o_orderstatus = 'F' AND o.o_totalprice > 470000.0)
         """,
     ),
+    "subquery_correlated_min": QuerySpec(
+        R.subquery_correlated_min,
+        """
+        SELECT o_custkey, o_orderkey, o_totalprice
+        FROM orders o
+        WHERE o_totalprice = (
+            SELECT min(o2.o_totalprice) FROM orders o2
+            WHERE o2.o_custkey = o.o_custkey)
+        """,
+    ),
+    "subquery_in_grouped": QuerySpec(
+        R.subquery_in_grouped,
+        """
+        SELECT o_orderkey, o_orderdate, o_totalprice
+        FROM orders
+        WHERE o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey HAVING sum(l_quantity) > 180)
+        """,
+    ),
+    "subquery_not_in": QuerySpec(
+        R.subquery_not_in,
+        """
+        SELECT c_custkey, c_mktsegment FROM customer
+        WHERE c_custkey NOT IN (
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+              AND o_totalprice > 400000.0)
+        """,
+    ),
     "cte_multi_step": QuerySpec(
         R.cte_multi_step,
         """

@@ -843,3 +843,41 @@ def sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
     are engine-specific → rows-only gate."""
     (orders,) = _t(spark, sf_dir, "orders")
     return orders.sample(fraction=0.1, seed=42).select("o_orderkey")
+
+
+def subquery_correlated_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-style correlated scalar MIN subquery — exercises
+    Catalyst's subquery decorrelation (rewritten to an aggregate +
+    join, not a per-row loop)."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql("""
+        SELECT o_custkey, o_orderkey, o_totalprice
+        FROM orders o
+        WHERE o_totalprice = (
+            SELECT min(o2.o_totalprice) FROM orders o2
+            WHERE o2.o_custkey = o.o_custkey)
+    """)
+
+
+def subquery_in_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style: IN over a grouped HAVING subquery."""
+    register_views(spark, sf_dir, ("orders", "lineitem"))
+    return spark.sql("""
+        SELECT o_orderkey, o_orderdate, o_totalprice
+        FROM orders
+        WHERE o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey HAVING sum(l_quantity) > 180)
+    """)
+
+
+def subquery_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN anti-pattern over a filtered subquery (null-safe: the
+    subquery column is non-null here, so NOT IN == anti join)."""
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql("""
+        SELECT c_custkey, c_mktsegment FROM customer
+        WHERE c_custkey NOT IN (
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+              AND o_totalprice > 400000.0)
+    """)

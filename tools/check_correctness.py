@@ -27,8 +27,12 @@ from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.sources
 )
 
 
-def normalize(rows, cols):
-    """Sort columns by name, canonicalize cell values, sort rows."""
+def normalize(rows, cols, exact=False):
+    """Sort columns by name, canonicalize cell values, sort rows.
+
+    ``exact=True`` compares float bits verbatim (modulo -0.0/NaN) —
+    the strictest possible stand-in for the driver's value hash; as of
+    round 1 every oracle-checked query passes this mode too."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for row in rows:
@@ -38,9 +42,10 @@ def normalize(rows, cols):
             if isinstance(v, float):
                 if math.isnan(v):
                     v = "NaN"
-                else:
+                elif v == 0:
+                    v = 0.0
+                elif not exact:
                     v = round(v, 9)
-                    v = 0.0 if v == 0 else v
             if isinstance(v, bytes):
                 v = v.hex()
             vals.append((v is None, str(type(v).__name__), repr(v)))
@@ -52,6 +57,8 @@ def normalize(rows, cols):
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--exact", action="store_true",
+                    help="bit-exact float comparison (no rounding)")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -97,8 +104,8 @@ def main() -> int:
         if len(spark_rows) != len(duck_rows):
             problems.append(f"rowcount spark={len(spark_rows)} duck={len(duck_rows)}")
         if not problems:
-            a = normalize(spark_rows, spark_cols)
-            b = normalize(duck_rows, duck_cols)
+            a = normalize(spark_rows, spark_cols, args.exact)
+            b = normalize(duck_rows, duck_cols, args.exact)
             if a != b:
                 diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
                 problems.append(f"values differ, e.g. {diff}")
