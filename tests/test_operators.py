@@ -292,3 +292,37 @@ def test_udtf_tokenize_with_offsets(spark):
         LATERAL tokenize_offsets(txt) AS t
     """).collect()
     assert {(r.i, r.token, r.pos) for r in out} == {(1, "a", 0), (1, "bb", 1)}
+
+
+def test_scd2_merge_fold(spark):
+    import datetime
+
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.operators.scd import (
+        scd2_apply,
+        scd2_init,
+    )
+
+    t0, t1 = datetime.datetime(2026, 1, 1), datetime.datetime(2026, 2, 1)
+    snap = spark.createDataFrame(
+        [(1, "Houston", "TX"), (2, "Chicago", "IL")],
+        ["city_id", "name", "state"])
+    hist = scd2_init(snap, t0)
+
+    updates = spark.createDataFrame(
+        [(1, "Houston", "Texas"),     # changed tracked attribute
+         (2, "Chicago", "IL"),        # unchanged → no-op
+         (3, "Seattle", "WA")],       # brand-new key
+        ["city_id", "name", "state"])
+    hist2 = scd2_apply(hist, updates, ["city_id"], ["name", "state"], t1)
+
+    rows = {(r.city_id, r.state, r.is_current, r.valid_to)
+            for r in hist2.collect()}
+    assert (1, "TX", False, t1) in rows          # closed old version
+    assert (1, "Texas", True, None) in rows      # new open version
+    assert (2, "IL", True, None) in rows         # untouched
+    assert (3, "WA", True, None) in rows         # inserted
+    assert hist2.count() == 4
+
+    # idempotent replay of the same batch
+    hist3 = scd2_apply(hist2, updates, ["city_id"], ["name", "state"], t1)
+    assert hist3.count() == 4
