@@ -534,6 +534,45 @@ REGISTRY: dict[str, QuerySpec] = {
         """,
     ),
     "sample_bernoulli": QuerySpec(R.sample_bernoulli, None),
+    "agg_string_concat": QuerySpec(
+        R.agg_string_concat,
+        """
+        SELECT o_orderpriority,
+               array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',')
+                   AS statuses,
+               count(*) AS n
+        FROM orders GROUP BY o_orderpriority
+        """,
+    ),
+    "scalar_bitwise": QuerySpec(
+        R.scalar_bitwise,
+        """
+        WITH m AS (
+            SELECT l_returnflag,
+                   l_partkey & 255 AS low8,
+                   l_partkey | 7 AS or7,
+                   xor(l_partkey, l_suppkey) AS xored,
+                   CAST(l_linenumber << 2 AS BIGINT) AS shl2,
+                   l_partkey >> 3 AS shr3
+            FROM lineitem
+        )
+        SELECT l_returnflag,
+               bit_and(low8) AS band, bit_or(low8) AS bor,
+               bit_xor(xored) AS bxor,
+               CAST(sum(shl2) AS BIGINT) AS sum_shl2,
+               max(shr3) AS max_shr3, max(or7) AS max_or7
+        FROM m GROUP BY l_returnflag
+        """,
+    ),
+    "scalar_format": QuerySpec(
+        R.scalar_format,
+        """
+        SELECT c_custkey,
+               printf('%06d-%s', c_custkey, c_mktsegment) AS tag,
+               repeat(substr(c_mktsegment, 1, 2), 3) AS rep
+        FROM customer
+        """,
+    ),
     # -------------------------------- subqueries --------------------------
     "subquery_scalar": QuerySpec(
         R.subquery_scalar,

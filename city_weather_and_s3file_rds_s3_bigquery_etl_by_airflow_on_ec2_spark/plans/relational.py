@@ -881,3 +881,46 @@ def subquery_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
               AND o_totalprice > 400000.0)
     """)
+
+
+def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (listagg shape — deterministic via
+    sort before concat)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.concat_ws(",", F.sort_array(F.collect_set("o_orderstatus")))
+         .alias("statuses"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar + aggregate surface."""
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    masked = lineitem.select(
+        "l_returnflag",
+        (F.col("l_partkey").bitwiseAND(F.lit(255))).alias("low8"),
+        (F.col("l_partkey").bitwiseOR(F.lit(7))).alias("or7"),
+        (F.col("l_partkey").bitwiseXOR(F.col("l_suppkey"))).alias("xored"),
+        F.shiftleft(F.col("l_linenumber"), 2).cast("long").alias("shl2"),
+        F.shiftright(F.col("l_partkey"), 3).alias("shr3"),
+    )
+    return masked.groupBy("l_returnflag").agg(
+        F.bit_and("low8").alias("band"),
+        F.bit_or("low8").alias("bor"),
+        F.bit_xor("xored").alias("bxor"),
+        F.sum("shl2").alias("sum_shl2"),
+        F.max("shr3").alias("max_shr3"),
+        F.max("or7").alias("max_or7"),
+    )
+
+
+def scalar_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """printf-style formatting + repeat."""
+    (customer,) = _t(spark, sf_dir, "customer")
+    return customer.select(
+        "c_custkey",
+        F.format_string("%06d-%s", F.col("c_custkey"),
+                        F.col("c_mktsegment")).alias("tag"),
+        F.repeat(F.substring("c_mktsegment", 1, 2), 3).alias("rep"),
+    )
