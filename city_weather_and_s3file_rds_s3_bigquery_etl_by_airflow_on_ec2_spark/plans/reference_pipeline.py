@@ -163,5 +163,8 @@ def run_reference_pipeline(spark: SparkSession,
                            payloads: list[dict] | None = None) -> DataFrame:
     """End-to-end: payload(s) → flatten/convert → broadcast join →
     final 15-column DataFrame (the reference's final_weather_data)."""
+    from ..session import ensure_session_confs
+
+    ensure_session_confs(spark)
     raw = owm_dataframe(spark, payloads or [GOLDEN_OWM_PAYLOAD])
     return join_weather_lookup(flatten_weather(raw), city_lookup(spark))

@@ -47,6 +47,27 @@ DEFAULT_CONFS: dict[str, str] = {
 }
 
 
+# Runtime-settable confs the engine's plans depend on — applied
+# defensively to ANY session that reaches the lake (the driver harness
+# builds its own SparkSession without our builder):
+# - UTC session tz: F2 wall-clock semantics + DuckDB-oracle parity for
+#   every TimestampType (non-NTZ) value the plans produce;
+# - nanosAsLong: the events table stores TIMESTAMP(NANOS) parquet that
+#   Spark's reader otherwise rejects (converted back in sources.tables).
+RUNTIME_REQUIRED_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def ensure_session_confs(spark: SparkSession) -> SparkSession:
+    """Idempotently pin the runtime confs above on an existing session."""
+    for k, v in RUNTIME_REQUIRED_CONFS.items():
+        if spark.conf.get(k, None) != v:
+            spark.conf.set(k, v)
+    return spark
+
+
 def get_spark(app_name: str = "cw_spark_engine", master: str | None = None,
               extra_confs: dict[str, str] | None = None) -> SparkSession:
     """Build (or reuse) the engine's SparkSession.

@@ -56,6 +56,9 @@ def _normalize_types(df: DataFrame) -> DataFrame:
 
 
 def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from ..session import ensure_session_confs
+
+    ensure_session_confs(spark)  # driver sessions lack engine confs
     return _normalize_types(spark.read.parquet(table_path(sf_dir, name)))
 
 

@@ -41,6 +41,9 @@ def ingest_available(spark: SparkSession, landing_dir: str,
                      warehouse_path: str, checkpoint_dir: str) -> DataFrame:
     """Drain the landing directory once (AvailableNow), merge new rows
     into the warehouse, return the warehouse state."""
+    from ..session import ensure_session_confs
+
+    ensure_session_confs(spark)
     stream = (spark.readStream.schema(OWM_SCHEMA)
               .option("multiLine", "true")
               .json(landing_dir))

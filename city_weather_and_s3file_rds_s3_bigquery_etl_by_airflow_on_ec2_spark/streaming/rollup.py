@@ -23,6 +23,9 @@ def continuous_hourly_rollup(spark: SparkSession, sf_dir: str,
     """Maintain an hourly (window_start, event_type) rollup of the
     events stream in a parquet warehouse table; returns the settled
     rollup. Re-running converges to the same table (idempotent)."""
+    from ..session import ensure_session_confs
+
+    ensure_session_confs(spark)
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
         spark.readStream.schema(raw_schema)

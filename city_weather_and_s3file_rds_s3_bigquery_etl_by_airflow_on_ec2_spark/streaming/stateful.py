@@ -48,6 +48,9 @@ def _update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
 def running_user_totals_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drive the stateful operator over the events table as a bounded
     stream; returns the final per-user totals as a batch DataFrame."""
+    from ..session import ensure_session_confs
+
+    ensure_session_confs(spark)
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
         spark.readStream.schema(raw_schema)

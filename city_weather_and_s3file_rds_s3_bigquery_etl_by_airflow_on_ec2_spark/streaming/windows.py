@@ -32,6 +32,9 @@ def run_tumbling_count_stream(
     sink in *complete* mode (so every window is emitted even at the
     head of the stream), and returns the settled result as a batch
     DataFrame with deterministic columns."""
+    from ..session import ensure_session_confs
+
+    ensure_session_confs(spark)
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
         spark.readStream.schema(raw_schema)
