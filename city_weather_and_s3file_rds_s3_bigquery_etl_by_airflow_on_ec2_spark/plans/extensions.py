@@ -266,3 +266,59 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         red.alias("clean_text"),
         (red != F.col("text")).alias("was_redacted"),
     )
+
+
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (32-token chunks, stride 24) —
+    the tokenize→chunk shape that feeds LM training; expression-only
+    (sequence → transform → posexplode), no Python per row."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    chunk_starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.lit(0),
+                   F.floor((F.size(toks) - 1) / F.lit(24)).cast("int") * 24),
+        F.lit(24))
+    chunks = F.transform(
+        chunk_starts,
+        lambda s: F.concat_ws(" ", F.slice(toks, s + 1, 32)))
+    return (documents
+            .select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk_text"))
+            .withColumn("n_chunk_tokens",
+                        F.size(F.split(F.col("chunk_text"), r"\s+")).cast("long")))
+
+
+def text_stratified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified quality sampling: top-10 documents per language by
+    the deterministic quality score (doc_id tiebreak) — the
+    keep-the-best corpus downsampling shape."""
+    from pyspark.sql import Window
+    (documents,) = _t(spark, sf_dir, "documents")
+    scored = documents.select(
+        "doc_id", "lang", TX.quality_score("text").alias("quality"))
+    w = Window.partitionBy("lang").orderBy(
+        F.col("quality").desc(), F.col("doc_id"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= 10)
+            .select("lang", "doc_id", "quality", "rk"))
+
+
+def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: which documents share ≥1 3-token
+    shingle with a probe document (doc_id 0 stands in for a benchmark
+    probe set). Exploded shingles join on equality — the scalable
+    contamination plan (probe side broadcast at real scale)."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 3),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)))
+    sh = documents.where(F.size(toks) >= 3).select(
+        "doc_id", F.explode(F.array_distinct(shingles)).alias("shingle"))
+    probe = (sh.where(F.col("doc_id") == 0)
+             .select(F.col("shingle").alias("probe_shingle")).distinct())
+    return (sh.where(F.col("doc_id") != 0)
+            .join(F.broadcast(probe),
+                  sh.shingle == probe.probe_shingle)
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_shared_shingles")))

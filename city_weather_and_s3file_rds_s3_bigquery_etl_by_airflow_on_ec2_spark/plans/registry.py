@@ -896,6 +896,65 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM r
         """,
     ),
+    "text_chunking": QuerySpec(
+        X.text_chunking,
+        r"""
+        WITH t AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+            FROM documents
+        ), s AS (
+            SELECT doc_id, toks,
+                   unnest(range(0,
+                                greatest(0, (len(toks) - 1) // 24) * 24 + 1,
+                                24)) AS st
+            FROM t
+        )
+        SELECT doc_id, CAST(st // 24 AS INTEGER) AS chunk_idx,
+               array_to_string(toks[st + 1: st + 32], ' ') AS chunk_text,
+               CAST(len(toks[st + 1: st + 32]) AS BIGINT) AS n_chunk_tokens
+        FROM s
+        """,
+    ),
+    "text_stratified_topk": QuerySpec(
+        X.text_stratified_topk,
+        f"""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   round(0.5 * least({_STOP_RATIO} * 4.0, 1.0)
+                         + 0.3 * least(CAST(len({_TOKS}) AS DOUBLE) / 50.0, 1.0)
+                         + 0.2 * (1.0 - least({_PUNCT_RATIO} * 10.0, 1.0)),
+                         4) AS quality
+            FROM documents
+        )
+        SELECT lang, doc_id, quality, CAST(rk AS INTEGER) AS rk FROM (
+            SELECT *, row_number() OVER (PARTITION BY lang
+                                         ORDER BY quality DESC, doc_id) AS rk
+            FROM scored)
+        WHERE rk <= 10
+        """,
+    ),
+    "text_contamination_check": QuerySpec(
+        X.text_contamination_check,
+        r"""
+        WITH t AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+            FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       range(0, len(toks) - 2),
+                       i -> toks[i + 1] || ' ' || toks[i + 2] || ' '
+                            || toks[i + 3]))) AS shingle
+            FROM t WHERE len(toks) >= 3
+        ), probe AS (
+            SELECT DISTINCT shingle FROM sh WHERE doc_id = 0
+        )
+        SELECT s.doc_id, count(*) AS n_shared_shingles
+        FROM sh s JOIN probe p ON s.shingle = p.shingle
+        WHERE s.doc_id <> 0
+        GROUP BY s.doc_id
+        """,
+    ),
     "text_ngram_profile": QuerySpec(
         X.text_ngram_profile,
         f"""
