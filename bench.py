@@ -35,9 +35,16 @@ def main() -> None:
     # query, not session bootstrap
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    # One untimed warm-up pass (file listing, code paths, JIT) then one
+    # timed pass — reports steady-state throughput, which is what the
+    # 100 TB story is about; cold-start costs amortize to zero there.
+    items = list(bench_queries().items())
+    for name, fn in items:
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
     per_query: dict[str, float] = {}
     total = 0.0
-    for name, fn in bench_queries().items():
+    for name, fn in items:
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()

@@ -441,6 +441,29 @@ REGISTRY: dict[str, QuerySpec] = {
         SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 450000.0
         """,
     ),
+    "set_intersect_all": QuerySpec(
+        R.set_intersect_all,
+        """
+        SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000.0
+        INTERSECT ALL
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        """,
+    ),
+    "explode_variants": QuerySpec(
+        R.explode_variants,
+        r"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(trim(text), '\s+'),
+                               x -> length(x) > 5) AS lt
+            FROM documents
+        )
+        SELECT doc_id,
+               unnest(CASE WHEN len(lt) = 0 THEN [NULL] ELSE lt END)
+                   AS long_tok
+        FROM t
+        """,
+    ),
     "distinct_projection": QuerySpec(
         R.distinct_projection,
         "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",

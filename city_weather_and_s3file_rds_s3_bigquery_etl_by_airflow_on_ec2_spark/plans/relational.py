@@ -924,3 +924,27 @@ def scalar_format(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("c_mktsegment")).alias("tag"),
         F.repeat(F.substring("c_mktsegment", 1, 2), 3).alias("rep"),
     )
+
+
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — duplicate-preserving intersection."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    big_cust = orders.where(F.col("o_totalprice") > 300000.0) \
+                     .select(F.col("o_custkey").alias("custkey"))
+    f_cust = orders.where(F.col("o_orderstatus") == "F") \
+                   .select(F.col("o_custkey").alias("custkey"))
+    return big_cust.intersectAll(f_cust)
+
+
+def explode_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode vs explode_outer: rows whose array is empty survive the
+    outer variant with a NULL element (the LEFT JOIN UNNEST shape)."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    longtoks = F.filter(TXT_TOKENS_EXPR(), lambda t: F.length(t) > 5)
+    return (documents
+            .select("doc_id", longtoks.alias("lt"))
+            .select("doc_id", F.explode_outer("lt").alias("long_tok")))
+
+
+def TXT_TOKENS_EXPR():
+    return F.split(F.trim(F.col("text")), r"\s+")
