@@ -1133,6 +1133,50 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
 }
 
+# The driver's per-round correctness snapshot covers only the FIRST 50
+# registry entries in insertion order (round 1's CORRECTNESS_r01.json
+# stopped at index 49, so every dedup/ANN/text/embedding/multimodal/
+# streaming/subquery entry had no driver row).  Reorder so the flagship
+# plus all of those extension entries occupy the driver's window; the
+# remaining core relational entries — already driver-verified bit-exact
+# in round 1 — follow.  The list is explicit (not index arithmetic) so
+# future insertions anywhere in the literal above cannot silently push
+# an unchecked entry out of the window.
+_DRIVER_WINDOW_FIRST: tuple[str, ...] = (
+    "flagship_weather_join",
+    # §2.13 dedup / similarity / embeddings / text / multimodal
+    "dedup_exact", "dedup_content_hash", "dedup_minhash_lsh",
+    "dedup_simhash_pairs", "dedup_token_jaccard", "dedup_cluster_assign",
+    "dedup_embedding_cosine",
+    "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
+    "embedding_norm_stats", "embedding_centroid_sim",
+    "text_token_stats", "text_quality_score", "text_lang_id",
+    "text_fingerprint", "text_redact_pii", "text_chunking",
+    "text_stratified_topk", "text_contamination_check",
+    "text_ngram_profile", "text_bpe_token_count",
+    "multimodal_meta", "multimodal_decode_features",
+    # streaming + batch event windows
+    "events_tumbling_hour", "events_sessionize", "streaming_tumbling_hour",
+    "events_sliding_window", "streaming_stateful_totals",
+    "session_window_bounds",
+    # subqueries / CTE
+    "subquery_scalar", "subquery_in", "subquery_exists_correlated",
+    "subquery_correlated_min", "subquery_in_grouped", "subquery_not_in",
+    "cte_multi_step",
+    # remaining entries that had no driver row in round 1
+    "scalar_array_funcs", "generator_range", "sample_bernoulli",
+    "agg_string_concat", "scalar_bitwise", "scalar_format",
+    "agg_collect_sorted", "agg_rollup_grouping", "scalar_regexp_funcs",
+    "unpivot_lineitem", "scalar_try_cast", "window_analytics",
+)
+assert set(_DRIVER_WINDOW_FIRST) <= set(REGISTRY), sorted(
+    set(_DRIVER_WINDOW_FIRST) - set(REGISTRY))
+assert len(_DRIVER_WINDOW_FIRST) == 50
+REGISTRY = {
+    **{name: REGISTRY[name] for name in _DRIVER_WINDOW_FIRST},
+    **REGISTRY,
+}
+
 
 def _fix_rounds(sql: str) -> str:
     """Rewrite every ``round(expr, n)`` into
@@ -1144,7 +1188,12 @@ def _fix_rounds(sql: str) -> str:
     exact BigDecimal HALF_UP (→ .579). DuckDB's double→DECIMAL cast
     *is* exact half-away-from-zero — identical to Spark — so oracle
     SQL is written with plain round() for readability and rewritten
-    here before execution."""
+    here before execution.
+
+    Only the two-argument form ``round(expr, n)`` is supported: a
+    one-argument ``round(x)`` raises immediately rather than
+    mis-slicing the expression.  Matches inside single-quoted string
+    literals are left untouched."""
     out = []
     i = 0
     low = sql.lower()
@@ -1153,6 +1202,15 @@ def _fix_rounds(sql: str) -> str:
         if j < 0:
             out.append(sql[i:])
             break
+        # skip matches inside single-quoted string literals
+        if low.count("'", i, j) % 2 == 1:
+            end_quote = sql.find("'", j)
+            if end_quote < 0:
+                raise ValueError(
+                    f"unterminated string literal in oracle SQL: {sql!r}")
+            out.append(sql[i:end_quote + 1])
+            i = end_quote + 1
+            continue
         # must be a standalone identifier (not e.g. "xround(")
         if j > 0 and (sql[j - 1].isalnum() or sql[j - 1] == "_"):
             out.append(sql[i:j + 6])
@@ -1173,6 +1231,10 @@ def _fix_rounds(sql: str) -> str:
             elif ch == "," and depth == 1:
                 last_comma = k
             k += 1
+        if last_comma < 0:
+            raise ValueError(
+                "one-argument round() in oracle SQL is not supported — "
+                f"write round(expr, n): {sql[j:k + 1]!r}")
         inner = sql[j + 6:last_comma]
         digits = sql[last_comma + 1:k].strip()
         out.append(
