@@ -40,10 +40,17 @@ def asof_join(
     ``right`` must be unique per (on, right_time); pre-aggregate it
     otherwise, or the carried payload is ambiguous in *any* engine.
     Payload columns are emitted with their original names; left columns
-    pass through unchanged.
+    pass through unchanged — therefore a payload name colliding with a
+    left column would produce duplicate output columns, and the call
+    rejects it up front (rename on the right side first).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction}")
+    clash = set(payload_cols) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"payload_cols {sorted(clash)} already exist in the left side; "
+            "rename them on right (e.g. .withColumnRenamed) before asof_join")
     left_cols = left.columns
     l = left.select(
         *left_cols,

@@ -14,10 +14,20 @@ remains available as ``append``.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def table_exists(spark: SparkSession, path: str) -> bool:
+    """Existence check through the Hadoop FileSystem API so it holds
+    for every warehouse URI Spark can write (s3a://, hdfs://, dbfs:/,
+    file:/, bare local paths) — ``os.path.exists`` is local-FS-only
+    and would silently report False for object stores, degrading
+    ``merge_append`` into a blind append on replay."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
 
 
 def append(df: DataFrame, path: str, align_to_existing: bool = True,
@@ -27,7 +37,7 @@ def append(df: DataFrame, path: str, align_to_existing: bool = True,
     BigQuery load-job behavior the reference relies on — its DDL order
     differs from its DataFrame order)."""
     spark = df.sparkSession
-    if align_to_existing and os.path.exists(path):
+    if align_to_existing and table_exists(spark, path):
         existing = spark.read.parquet(path).schema
         df = df.select(*[F.col(f.name) for f in existing.fields])
     w = df.write.mode("append")
@@ -48,7 +58,7 @@ def merge_append(df: DataFrame, path: str, key_cols: list[str],
     becomes a real MERGE INTO; parquet posture keeps the same API.)"""
     spark = df.sparkSession
     incoming = df.dropDuplicates(key_cols)
-    if os.path.exists(path):
+    if table_exists(spark, path):
         existing_keys = spark.read.parquet(path).select(*key_cols)
         incoming = incoming.join(existing_keys, on=key_cols, how="left_anti")
     n = incoming.count()
@@ -68,15 +78,23 @@ def overwrite(df: DataFrame, path: str,
 
 def bigquery_append_writer(df: DataFrame, table: str):
     """Real K4 when the public spark-bigquery-connector is on the
-    classpath; raises a clear error otherwise."""
+    classpath; raises a clear error otherwise.
+
+    Returns an *un-executed* ``DataFrameWriter`` (laziness is
+    intentional — the caller decides when to ``.save()``), so the
+    missing-jar failure cannot be left to the writer builder (which
+    never raises).  The classpath is probed explicitly up front."""
+    jvm = df.sparkSession._jvm
     try:
-        return (df.write.format("bigquery")
-                .option("table", table)
-                .option("writeMethod", "direct")
-                .mode("append"))
-    except Exception as e:  # pragma: no cover - jar-dependent
+        jvm.java.lang.Class.forName(
+            "com.google.cloud.spark.bigquery.BigQueryRelationProvider")
+    except Exception as e:
         raise RuntimeError(
             "spark-bigquery-connector not on the classpath; add "
             "spark.jars.packages=com.google.cloud.spark:spark-bigquery-"
             "with-dependencies_2.13:<version> or use warehouse.append()"
         ) from e
+    return (df.write.format("bigquery")
+            .option("table", table)
+            .option("writeMethod", "direct")
+            .mode("append"))

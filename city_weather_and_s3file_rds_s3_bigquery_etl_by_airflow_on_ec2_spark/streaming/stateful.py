@@ -45,6 +45,19 @@ def _update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
                         "total_value": [round(total, 2)]})
 
 
+def final_user_state(updates: DataFrame) -> DataFrame:
+    """Reduce the per-batch update log to the final state per user.
+
+    n_events is monotonically increasing across a user's updates, so
+    the row with the max n_events IS the final state; taking
+    column-wise max instead would pair values from different updates
+    (and pick a non-final total when event values can be negative)."""
+    return (updates.groupBy("user_id")
+            .agg(F.max_by("total_value", "n_events").alias("total_value"),
+                 F.max("n_events").alias("n_events"))
+            .select("user_id", "n_events", "total_value"))
+
+
 def running_user_totals_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drive the stateful operator over the events table as a bounded
     stream; returns the final per-user totals as a batch DataFrame."""
@@ -76,7 +89,4 @@ def running_user_totals_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         if q.isActive:  # pragma: no cover
             q.stop()
     # keep the last update per user (a user may emit once per batch)
-    out = spark.table(qname)
-    return (out.groupBy("user_id")
-            .agg(F.max("n_events").alias("n_events"),
-                 F.max("total_value").alias("total_value")))
+    return final_user_state(spark.table(qname))

@@ -326,3 +326,29 @@ def test_scd2_merge_fold(spark):
     # idempotent replay of the same batch
     hist3 = scd2_apply(hist2, updates, ["city_id"], ["name", "state"], t1)
     assert hist3.count() == 4
+
+
+def test_asof_join_rejects_payload_collision(spark):
+    """A payload column sharing a name with a left column would emit
+    duplicate output columns — rejected up front (ADVICE r1)."""
+    left = spark.createDataFrame([(1, 10, "a")], ["k", "t", "p"])
+    right = spark.createDataFrame([(1, 5, "b")], ["k", "rt", "p"])
+    with pytest.raises(ValueError, match="payload_cols"):
+        asof_join(left, right, on="k", left_time="t",
+                  right_time="rt", payload_cols=["p"])
+
+
+def test_stateful_final_state_is_rowwise_not_columnwise(spark):
+    """final_user_state must pick the row of the last update (max
+    n_events), not independent column maxima — with negative event
+    values the max total is not the final total (ADVICE r1)."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.streaming.stateful import (
+        final_user_state,
+    )
+    updates = spark.createDataFrame(
+        [(7, 1, 10.0), (7, 2, 4.0), (7, 3, -6.0),   # totals shrink
+         (8, 1, 1.0)],
+        ["user_id", "n_events", "total_value"])
+    rows = {r.user_id: (r.n_events, r.total_value)
+            for r in final_user_state(updates).collect()}
+    assert rows == {7: (3, -6.0), 8: (1, 1.0)}

@@ -60,3 +60,17 @@ def test_oracle_parity(spark, duck, name):
     assert sorted(spark_cols) == sorted(duck_cols)
     assert len(spark_rows) == len(duck_rows)
     assert _normalize(spark_rows, spark_cols) == _normalize(duck_rows, duck_cols)
+
+
+def test_fix_rounds_guards():
+    """_fix_rounds: two-arg rewrite, quoted literals untouched,
+    one-arg form raises instead of mis-slicing (ADVICE r1)."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.registry import (
+        _fix_rounds,
+    )
+    assert _fix_rounds("round(x, 2)") == \
+        "CAST(CAST(x AS DECIMAL(38,2)) AS DOUBLE)"
+    assert _fix_rounds("SELECT 'a round(x) b' AS s FROM t") == \
+        "SELECT 'a round(x) b' AS s FROM t"
+    with pytest.raises(ValueError, match="one-argument"):
+        _fix_rounds("SELECT round(x) FROM t")

@@ -133,3 +133,33 @@ def test_custom_http_datasource(spark):
     rows = df.collect()
     assert len(rows) == 5
     assert all(r.city == "Houston" and r.pressure == 1024 for r in rows)
+
+
+def test_table_exists_hadoop_fs(spark, tmp_path):
+    """Existence goes through Hadoop FileSystem, so scheme-qualified
+    URIs (the production posture: s3a://, hdfs://) resolve — not just
+    local paths (ADVICE r1: os.path.exists was local-FS-only)."""
+    path = str(tmp_path / "wh3")
+    assert not warehouse.table_exists(spark, path)
+    warehouse.append(spark.createDataFrame([(1, "x")], ["id", "v"]), path)
+    assert warehouse.table_exists(spark, path)
+    assert warehouse.table_exists(spark, "file://" + path)
+    assert not warehouse.table_exists(spark, "file://" + path + "_nope")
+
+
+def test_merge_append_idempotent_on_uri_path(spark, tmp_path):
+    """O7 replay safety must hold for URI paths too — with the old
+    os.path.exists gate a file:// path blind-appended on replay."""
+    path = "file://" + str(tmp_path / "wh4")
+    df = spark.createDataFrame([(1, "x"), (2, "y")], ["id", "v"])
+    assert warehouse.merge_append(df, path, ["id"]) == 2
+    assert warehouse.merge_append(df, path, ["id"]) == 0
+    assert spark.read.parquet(path).count() == 2
+
+
+def test_bigquery_writer_probes_classpath(spark):
+    """The missing-jar error must fire from the call itself (the lazy
+    writer builder never raises) — ADVICE r1 dead-code fix."""
+    df = spark.createDataFrame([(1,)], ["id"])
+    with pytest.raises(RuntimeError, match="classpath"):
+        warehouse.bigquery_append_writer(df, "proj.ds.tbl")
