@@ -1,0 +1,86 @@
+"""Scalable sequential-id assignment (SURVEY.md §1.2 SERIAL semantics).
+
+The reference gets 1-based ids for free from Postgres SERIAL
+(README DDL, ``id SERIAL PRIMARY KEY``); the naive Spark translation —
+``row_number() OVER (ORDER BY key)`` — funnels every row through ONE
+task's sort (Exchange SinglePartition) and dies at 100 TB.
+
+``serial_id`` is the two-phase form (the zipWithIndex shape, kept in
+DataFrame land so Catalyst owns the plan):
+
+1. split the key domain into contiguous ranges at quantile-sketch
+   boundaries of the leading key, computed ONCE on the driver and
+   embedded as literals.  (``repartitionByRange`` is deliberately NOT
+   used here: its range sampler reseeds from the RDD id, so the
+   offset-counting job and the final job can execute the same plan
+   with *different* boundaries and silently corrupt the ids — observed
+   at sf0.01.)  Equal leading-key values always share a bucket.
+2. count rows per bucket — a metadata-sized aggregate (one row per
+   bucket) collected to the driver to compute cumulative offsets;
+3. per-bucket ``row_number`` (window partitioned by the bucket id —
+   N independent groups, no global funnel) plus the broadcast offset
+   of all preceding buckets.
+
+Result is identical to the global-window id whenever ``key_cols`` is a
+total order (ids depend only on each row's rank, not on where bucket
+boundaries land). Cost in the main job: ONE hash shuffle on the bucket
+id; plus a column-pruned quantile scan and a metadata-scale count job
+up front. Every stage parallel.
+
+Skew note: bucket sizes track the quantile sketch, so heavy duplicate
+mass on a single leading-key value concentrates in one bucket; pass a
+finer ``key_cols[0]`` (or pre-salt upstream) if one value dominates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_PID = "__serial_pid"
+_OFF = "__serial_off"
+
+
+def serial_id(df: DataFrame, key_cols: list[str], id_col: str = "id",
+              num_ranges: int | None = None) -> DataFrame:
+    """Assign a dense 1-based BIGINT ``id_col`` ordered by ``key_cols``
+    without a single-partition global sort.
+
+    ``key_cols`` must be a total order (unique tiebreak) for the ids
+    to be deterministic, and the leading key must be numeric (it feeds
+    the quantile sketch; values beyond 2^53 would lose double
+    precision). Triggers two eager metadata-sized jobs (boundary
+    sketch + per-bucket counts) when called.
+    """
+    spark = df.sparkSession
+    n = num_ranges or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    lead = key_cols[0]
+    keys = [F.col(c) for c in key_cols]
+
+    probs = [i / n for i in range(1, n)]
+    bounds = sorted(set(df.stat.approxQuantile(lead, probs, 1.0 / (100 * n))))
+    if bounds:
+        barr = F.array(*[F.lit(b).cast("double") for b in bounds])
+        pid_expr = F.size(
+            F.filter(barr, lambda b: b < F.col(lead).cast("double")))
+    else:  # empty input — single bucket
+        pid_expr = F.lit(0)
+    tagged = df.withColumn(_PID, pid_expr)
+
+    # one row per bucket — metadata scale, safe to collect
+    counts = {r[_PID]: r["cnt"]
+              for r in tagged.groupBy(_PID).agg(F.count("*").alias("cnt"))
+                             .collect()}
+    offsets, acc = [], 0
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    if not offsets:
+        offsets = [(0, 0)]
+    off_df = spark.createDataFrame(offsets, f"{_PID} int, {_OFF} long")
+
+    w = Window.partitionBy(_PID).orderBy(*keys)
+    return (tagged.join(F.broadcast(off_df), _PID)
+            .withColumn(id_col,
+                        (F.row_number().over(w).cast("long") + F.col(_OFF)))
+            .drop(_PID, _OFF))

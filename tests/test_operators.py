@@ -352,3 +352,21 @@ def test_stateful_final_state_is_rowwise_not_columnwise(spark):
     rows = {r.user_id: (r.n_events, r.total_value)
             for r in final_user_state(updates).collect()}
     assert rows == {7: (3, -6.0), 8: (1, 1.0)}
+
+
+def test_serial_id_two_phase_matches_global_window(spark):
+    """operators/ids.py must equal row_number() OVER (ORDER BY keys)
+    including duplicate leading keys resolved by the tiebreak column."""
+    from pyspark.sql import Window
+
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.operators.ids import (
+        serial_id,
+    )
+    data = [(i % 17, i) for i in range(1000)]      # dup lead keys
+    df = spark.createDataFrame(data, ["k", "tie"])
+    got = {(r.k, r.tie): r.id
+           for r in serial_id(df, ["k", "tie"], num_ranges=8).collect()}
+    w = Window.orderBy("k", "tie")
+    want = {(r.k, r.tie): r.id for r in df.withColumn(
+        "id", F.row_number().over(w).cast("long")).collect()}
+    assert got == want
