@@ -250,6 +250,7 @@ def token_jaccard_pairs(
     length_col: str | None = None,
     length_band: int = 8,
     min_jaccard: float = 0.5,
+    max_block_size: int | None = 100_000,
 ) -> DataFrame:
     """Exact token-set Jaccard over blocked candidate pairs.
 
@@ -259,13 +260,42 @@ def token_jaccard_pairs(
     verifier for the probabilistic dedupers. The join stays an
     equi-join on the block key (length banding joins on the coarse
     band id, then filters the exact band) so it never degenerates to a
-    cross product."""
+    cross product.
+
+    Contract (VERDICT r1 #5): pair count is quadratic *within* a
+    block, and (lang, len-band) blocks grow linearly with the corpus —
+    at web scale this operator is the small-SF verifier, NOT the
+    production dedup path (that is ``minhash_lsh_pairs_native``).
+    ``max_block_size`` enforces the contract at runtime: any block
+    larger than the cap fails the job with a clear error instead of
+    silently going n². Pass ``None`` only when the block profile is
+    known."""
     sel = [F.col(id_col), *[F.col(c) for c in block_cols],
            F.array_distinct(tokens(F.col(text_col))).alias("tokset")]
     if length_col:
         sel.append((F.col(length_col) / length_band).cast("long").alias("len_band"))
     t = df.select(*sel)
     join_keys = list(block_cols) + (["len_band"] if length_col else [])
+    if not join_keys:
+        raise ValueError("token_jaccard_pairs requires block_cols and/or "
+                         "length_col — an unblocked exact Jaccard is a "
+                         "cross product")
+    if max_block_size is not None:
+        wblk = Window.partitionBy(*[F.col(k) for k in join_keys])
+        blk_n = F.count(F.lit(1)).over(wblk)
+        # the guard lives inside the tokset expression so Catalyst
+        # cannot prune it; it costs no extra job (the window reuses
+        # the join's own partitioning on the block key)
+        t = t.withColumn(
+            "tokset",
+            F.when(blk_n <= max_block_size, F.col("tokset")).otherwise(
+                F.raise_error(F.concat(
+                    F.lit("token_jaccard_pairs: block of "),
+                    blk_n.cast("string"),
+                    F.lit(f" rows exceeds max_block_size={max_block_size}; "
+                          "exact Jaccard is quadratic per block - use "
+                          "minhash_lsh_pairs_native for production dedup "
+                          "or raise the cap")))))
     a, b = t.alias("a"), t.alias("b")
     inter = F.size(F.array_intersect(F.col("a.tokset"), F.col("b.tokset")))
     uni = F.size(F.array_union(F.col("a.tokset"), F.col("b.tokset")))

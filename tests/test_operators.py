@@ -393,3 +393,18 @@ def test_ivf_centroid_budget_independent_of_corpus(spark):
         out = ivf_topk(q, c, k=3, num_centroids=16, nprobe=2)
         # full k per query on both sizes, same budget
         assert out.groupBy("q_id").count().agg(F.min("count")).first()[0] == 3
+
+
+def test_token_jaccard_block_size_guard(spark):
+    """VERDICT r1 #5: oversized blocks must fail fast with the
+    contract error instead of silently going quadratic."""
+    df = spark.createDataFrame(
+        [(i, "a b c", "en") for i in range(10)], ["doc_id", "text", "lang"])
+    with pytest.raises(Exception, match="max_block_size"):
+        token_jaccard_pairs(df, "text", "doc_id", block_cols=["lang"],
+                            min_jaccard=0.0, max_block_size=5).collect()
+    ok = token_jaccard_pairs(df, "text", "doc_id", block_cols=["lang"],
+                             min_jaccard=0.0, max_block_size=10)
+    assert ok.count() == 45          # 10 choose 2, all identical texts
+    with pytest.raises(ValueError, match="block_cols"):
+        token_jaccard_pairs(df, "text", "doc_id", block_cols=[])
