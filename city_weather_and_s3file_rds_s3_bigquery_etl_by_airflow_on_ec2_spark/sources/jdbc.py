@@ -7,10 +7,12 @@ Spark-native equivalents are thin option bundles around
 pushdown into the remote DB, and partitioned parallel reads are all
 Spark built-ins.
 
-No JDBC driver jar ships in this container, so everything here only
-*builds* readers/writers; tests cover option assembly, and execution
-is exercised when a driver jar + endpoint exist (production posture:
-``spark.jars.packages=org.postgresql:postgresql:...``).
+No *Postgres* driver jar ships in this container, but Spark's own
+distribution bundles Apache Derby (for the Hive metastore), whose
+embedded driver backs ``jdbc:derby:`` URLs — ``derby_endpoint`` turns
+that into a real, executed JDBC write→read round-trip gate for
+K1/K2/S5/K5 (tests/test_sources_sinks.py). Production posture swaps
+the endpoint: ``spark.jars.packages=org.postgresql:postgresql:...``.
 """
 
 from __future__ import annotations
@@ -18,6 +20,16 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, DataFrameReader, SparkSession
+
+DERBY_EMBEDDED_DRIVER = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+
+
+def derby_endpoint(db_dir: str) -> "JdbcEndpoint":
+    """Endpoint for the embedded Derby database shipped inside Spark's
+    jars (no network, file-backed at ``db_dir``) — the offline
+    stand-in for the reference's RDS Postgres (W:37-43)."""
+    return JdbcEndpoint(url=f"jdbc:derby:{db_dir};create=true",
+                        driver=DERBY_EMBEDDED_DRIVER)
 
 
 @dataclass(frozen=True)

@@ -163,3 +163,46 @@ def test_bigquery_writer_probes_classpath(spark):
     df = spark.createDataFrame([(1,)], ["id"])
     with pytest.raises(RuntimeError, match="classpath"):
         warehouse.bigquery_append_writer(df, "proj.ds.tbl")
+
+
+def test_jdbc_real_roundtrip_derby(spark, tmp_path):
+    """S5/S6/K1/K2/K5 EXECUTED (not just assembled) against the
+    embedded Derby driver that ships inside Spark's own jars — the
+    offline stand-in for the reference's real Postgres inserts/selects
+    (codes/weather_etl_pipeline.py:98-141,182-183). Covers: batch
+    append, partitioned parallel read, query pushdown, filter
+    pushdown, truncate-overwrite reset."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.sources.jdbc import (
+        derby_endpoint,
+        jdbc_query_reader,
+        jdbc_truncate_overwrite_writer,
+    )
+
+    ep = derby_endpoint(str(tmp_path / "derbydb"))
+    df = spark.createDataFrame(
+        [(i, f"city{i}", 270.0 + i) for i in range(50)],
+        "id int, city string, temp double")
+    # K1/K2: executed batch append (batchsize generalizes execute_values)
+    jdbc_append_writer(df, ep, "houston_weather_data", batchsize=20).save()
+    # S5: partitioned parallel scan — 4 real range queries
+    back = jdbc_table_reader(spark, ep, "houston_weather_data",
+                             partition_column="id", lower_bound=0,
+                             upper_bound=50, num_partitions=4).load()
+    assert back.count() == 50
+    assert back.rdd.getNumPartitions() == 4
+    # S6: whole-query pushdown (Derby folds quoted identifiers)
+    q = jdbc_query_reader(
+        spark, ep,
+        'SELECT "city", "temp" FROM houston_weather_data WHERE "id" < 10'
+    ).load()
+    assert q.count() == 10 and q.columns == ["city", "temp"]
+    # replay append duplicates (reference behavior), then K5 truncate reset
+    jdbc_append_writer(df, ep, "houston_weather_data").save()
+    assert jdbc_table_reader(spark, ep, "houston_weather_data").load().count() == 100
+    jdbc_truncate_overwrite_writer(df.limit(7), ep, "houston_weather_data").save()
+    assert jdbc_table_reader(spark, ep, "houston_weather_data").load().count() == 7
+    # predicate pushdown reaches the remote DB
+    filt = jdbc_table_reader(spark, ep, "houston_weather_data").load() \
+        .where(F.col("id") < 3)
+    plan = filt._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [*IsNotNull(id), *LessThan(id,3)]" in plan
