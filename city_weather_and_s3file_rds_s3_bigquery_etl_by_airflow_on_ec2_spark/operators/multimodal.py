@@ -55,18 +55,56 @@ def attach_media_columns(df: DataFrame, payload_text_col: str,
     )
 
 
+def _pil_codec(raw: bytes) -> tuple[int, int]:
+    """Real image decode via PIL (executor-side import)."""
+    from io import BytesIO
+
+    from PIL import Image
+
+    with Image.open(BytesIO(raw)) as im:
+        return im.width, im.height
+
+
+def resolve_codec():
+    """Return the real image codec when PIL is importable, else None.
+    Probed at call time (driver side) so environments that do ship
+    PIL get real decode without code changes."""
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        return None
+    return _pil_codec
+
+
+_AUTO = object()
+
+
 def decode_and_extract(df: DataFrame, id_col: str = "doc_id",
-                       strict: bool = False) -> DataFrame:
+                       strict: bool = False, codec=_AUTO) -> DataFrame:
     """Decode + feature-extract over media payloads via mapInPandas.
 
-    ``strict=True`` raises NotImplementedError per batch — the marker
-    that a real codec (PIL/ffmpeg/...) belongs here. Default mode
-    derives deterministic fake width/height from the payload sha so the
+    ``codec`` is a ``bytes -> (width, height)`` callable; by default it
+    resolves to the real PIL decoder when PIL is installed and to None
+    otherwise. With no codec, ``strict=True`` raises
+    NotImplementedError per batch — the marker that a real codec
+    (PIL/ffmpeg/...) belongs here — and default mode derives
+    deterministic fake width/height from the payload sha so the
     distributed plumbing (Arrow batches, schema, partition-parallel
-    execution) is fully exercised and testable."""
+    execution) is fully exercised and testable either way."""
+    if codec is _AUTO:
+        codec = resolve_codec()
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if codec is not None:
+                dims = pdf["media_bytes"].map(lambda b: codec(bytes(b)))
+                yield pd.DataFrame({
+                    "doc_id": pdf[id_col],
+                    "width": dims.map(lambda d: d[0]).astype("int32"),
+                    "height": dims.map(lambda d: d[1]).astype("int32"),
+                    "n_bytes": pdf["media_bytes"].map(len).astype("int64"),
+                })
+                continue
             if strict:
                 raise NotImplementedError(
                     "real media decode requires an image/audio codec; "

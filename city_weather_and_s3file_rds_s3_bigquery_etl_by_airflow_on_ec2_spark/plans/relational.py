@@ -571,21 +571,31 @@ def subquery_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def cte_multi_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-step CTE with a global-rank top-k.
+
+    The naive form — ``row_number() OVER (ORDER BY …)`` over the whole
+    aggregated frame, then ``WHERE rank <= 50`` — funnels every
+    per-customer row through one task's sort (VERDICT r1 #4/#8). The
+    rewrite pushes ``ORDER BY … LIMIT 50`` first (compiles to
+    TakeOrderedAndProject — per-partition top-50 + driver merge) and
+    re-ranks only the surviving 50 rows, so the unpartitioned Window
+    runs at width k, not input width."""
     register_views(spark, sf_dir, ("customer", "orders"))
     return spark.sql("""
         WITH spend AS (
             SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spend,
                    count(*) AS n_orders
             FROM orders GROUP BY o_custkey
+        ), top AS (
+            SELECT * FROM spend ORDER BY total_spend DESC, o_custkey LIMIT 50
         ), ranked AS (
             SELECT *, row_number() OVER (ORDER BY total_spend DESC, o_custkey)
                       AS spend_rank
-            FROM spend
+            FROM top
         )
         SELECT r.o_custkey AS custkey, c.c_mktsegment, r.total_spend,
                r.n_orders, r.spend_rank
         FROM ranked r JOIN customer c ON r.o_custkey = c.c_custkey
-        WHERE r.spend_rank <= 50
     """)
 
 

@@ -104,3 +104,12 @@ def test_serial_id_no_global_funnel(spark):
     n = df.count()
     assert df.select(F.max("id")).first()[0] == n
     assert df.select("id").distinct().count() == n
+
+
+def test_cte_topk_uses_take_ordered(spark):
+    """VERDICT r1 #8: the CTE's global rank must ride a top-k
+    (TakeOrderedAndProject), leaving the unpartitioned Window at
+    width k only."""
+    df = R.cte_multi_step(spark, SF_SMALL)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
