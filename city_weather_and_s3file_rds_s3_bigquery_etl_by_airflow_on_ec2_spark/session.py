@@ -30,10 +30,14 @@ DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # 10 MB default is conservative; dims like part/customer stay well
-    # under this at bench scale, and explicit F.broadcast() hints are
-    # used where we *know* the side is small (SURVEY.md §2.4 J1).
-    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    # Keep Spark's conservative 10 MB default: the static estimate for a
+    # parquet scan is the *compressed file size*, which understates the
+    # in-memory row size 5-20x — at 10x bench scale a 64m threshold
+    # auto-broadcast a 30 MB orders.parquet that decompressed to ~590 MiB
+    # and OOM'd the driver. Known-small dims get explicit F.broadcast()
+    # hints instead (SURVEY.md §2.4 J1); AQE's runtime stats upgrade
+    # joins whose *actual* build side is small.
+    "spark.sql.autoBroadcastJoinThreshold": "10m",
     "spark.ui.enabled": "false",
     "spark.sql.files.maxPartitionBytes": "128m",
     # catalog home for bucketed tables (static conf — must be set at
@@ -79,6 +83,12 @@ def get_spark(app_name: str = "cw_spark_engine", master: str | None = None,
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = SparkSession.builder.appName(app_name)
     builder = builder.master(master or f"local[{cpus}]")
+    # local mode runs driver+executors in ONE JVM whose default heap is
+    # 1g — far too small for 32 concurrent tasks. Size it to the box
+    # (only effective before the JVM starts; harmless afterwards). On a
+    # real cluster spark-submit's --driver-memory/--executor-memory win.
+    builder = builder.config(
+        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     for k, v in {**DEFAULT_CONFS, **(extra_confs or {})}.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
