@@ -36,9 +36,24 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.storagelevel import StorageLevel
 
 _PID = "__serial_pid"
 _OFF = "__serial_off"
+
+_NUMERIC_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                  T.FloatType, T.DoubleType, T.DecimalType)
+
+
+def _default_ranges(spark) -> int:
+    """shuffle.partitions when it parses as an int; on platforms where
+    it resolves to 'auto' (ADVICE r2) fall back to defaultParallelism."""
+    raw = spark.conf.get("spark.sql.shuffle.partitions", "")
+    try:
+        return int(raw)
+    except ValueError:
+        return spark.sparkContext.defaultParallelism
 
 
 def serial_id(df: DataFrame, key_cols: list[str], id_col: str = "id",
@@ -51,10 +66,25 @@ def serial_id(df: DataFrame, key_cols: list[str], id_col: str = "id",
     the quantile sketch; values beyond 2^53 would lose double
     precision). Triggers two eager metadata-sized jobs (boundary
     sketch + per-bucket counts) when called.
+
+    The bucket-tagged input is ``persist(MEMORY_AND_DISK)``-ed before
+    the counts job (ADVICE r2): the offsets and the final rows must
+    come from the SAME materialization — a nondeterministic upstream
+    (sample, unordered limit, recomputed shuffle) would otherwise yield
+    offsets that disagree with the final job and silently corrupt ids.
+    MEMORY_AND_DISK spills rather than evicts, so the block cannot be
+    silently recomputed; callers may ``unpersist()`` the returned
+    DataFrame's lineage once materialized.
     """
     spark = df.sparkSession
-    n = num_ranges or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n = num_ranges or _default_ranges(spark)
     lead = key_cols[0]
+    lead_type = df.schema[lead].dataType
+    if not isinstance(lead_type, _NUMERIC_TYPES):
+        raise TypeError(
+            f"serial_id leading key {lead!r} must be numeric/temporal for "
+            f"the quantile sketch; got {lead_type.simpleString()} — reorder "
+            f"key_cols or pre-derive a numeric sort key")
     keys = [F.col(c) for c in key_cols]
 
     probs = [i / n for i in range(1, n)]
@@ -65,7 +95,10 @@ def serial_id(df: DataFrame, key_cols: list[str], id_col: str = "id",
             F.filter(barr, lambda b: b < F.col(lead).cast("double")))
     else:  # empty input — single bucket
         pid_expr = F.lit(0)
-    tagged = df.withColumn(_PID, pid_expr)
+    # pin ONE materialization for both the counts job and the final job
+    # (see docstring); spill-not-evict so it can't silently recompute
+    tagged = df.withColumn(_PID, pid_expr).persist(
+        StorageLevel.MEMORY_AND_DISK)
 
     # one row per bucket — metadata scale, safe to collect
     counts = {r[_PID]: r["cnt"]

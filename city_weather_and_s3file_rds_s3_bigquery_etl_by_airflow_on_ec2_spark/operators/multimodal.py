@@ -55,14 +55,59 @@ def attach_media_columns(df: DataFrame, payload_text_col: str,
     )
 
 
+def _stub_dims(raw: bytes) -> tuple[int, int]:
+    """Deterministic fake width/height derived from the payload sha —
+    the documented stand-in when no codec applies to the bytes."""
+    d = hashlib.sha256(raw).digest()
+    return 16 + d[0] % 240, 16 + d[1] % 240
+
+
 def _pil_codec(raw: bytes) -> tuple[int, int]:
-    """Real image decode via PIL (executor-side import)."""
+    """Real image decode via PIL (executor-side import).
+
+    Falls back to the deterministic stub dims on bytes PIL cannot
+    identify (ADVICE r2): auto-resolved decode must never crash on
+    non-image payloads (the testdata wraps UTF-8 text as the binary
+    column), and must stay deterministic either way."""
     from io import BytesIO
 
     from PIL import Image
 
-    with Image.open(BytesIO(raw)) as im:
-        return im.width, im.height
+    try:
+        with Image.open(BytesIO(raw)) as im:
+            return im.width, im.height
+    except Exception:
+        return _stub_dims(raw)
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def png_header_codec(raw: bytes) -> tuple[int, int]:
+    """Real (if minimal) image decode: parse a PNG's IHDR chunk.
+
+    Pure-Python reading of the actual byte layout — 8-byte signature,
+    then the mandatory first chunk ``IHDR`` whose 13-byte payload
+    starts with width/height as big-endian uint32 (PNG spec §11.2.2).
+    The chunk CRC is verified (zlib.crc32 over type+data) so truncated
+    or corrupted headers are rejected, not misread. Raises ValueError
+    on non-PNG bytes — callers that want tolerance compose it with
+    ``_stub_dims`` the way ``_pil_codec`` does."""
+    import struct
+    import zlib
+
+    if len(raw) < 33 or raw[:8] != _PNG_SIG:
+        raise ValueError("not a PNG byte stream")
+    (length,) = struct.unpack(">I", raw[8:12])
+    if length != 13 or raw[12:16] != b"IHDR":
+        raise ValueError("PNG missing IHDR first chunk")
+    (crc,) = struct.unpack(">I", raw[29:33])
+    if zlib.crc32(raw[12:29]) & 0xFFFFFFFF != crc:
+        raise ValueError("PNG IHDR CRC mismatch")
+    width, height = struct.unpack(">II", raw[16:24])
+    if width == 0 or height == 0:
+        raise ValueError("PNG dimensions must be positive")
+    return width, height
 
 
 def resolve_codec():
@@ -109,12 +154,11 @@ def decode_and_extract(df: DataFrame, id_col: str = "doc_id",
                 raise NotImplementedError(
                     "real media decode requires an image/audio codec; "
                     "not available in this environment")
-            digests = pdf["media_bytes"].map(
-                lambda b: hashlib.sha256(bytes(b)).digest())
+            dims = pdf["media_bytes"].map(lambda b: _stub_dims(bytes(b)))
             yield pd.DataFrame({
                 "doc_id": pdf[id_col],
-                "width": digests.map(lambda d: 16 + d[0] % 240).astype("int32"),
-                "height": digests.map(lambda d: 16 + d[1] % 240).astype("int32"),
+                "width": dims.map(lambda d: d[0]).astype("int32"),
+                "height": dims.map(lambda d: d[1]).astype("int32"),
                 "n_bytes": pdf["media_bytes"].map(len).astype("int64"),
             })
 

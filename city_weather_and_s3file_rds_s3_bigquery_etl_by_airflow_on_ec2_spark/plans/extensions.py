@@ -192,11 +192,15 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas decode/feature-extract plumbing with the
-    deterministic stub codec (real codecs absent in this container)."""
+    """mapInPandas decode/feature-extract plumbing pinned to the
+    deterministic stub codec (``codec=None``): the DuckDB oracle
+    encodes the sha-derived dims, so this registry entry must stay
+    environment-independent even when PIL is installed (ADVICE r2).
+    Real-codec auto-resolution remains available via
+    ``decode_and_extract(df)`` default."""
     (documents,) = _t(spark, sf_dir, "documents")
     m = attach_media_columns(documents, "text")
-    return decode_and_extract(m, "doc_id")
+    return decode_and_extract(m, "doc_id", codec=None)
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:

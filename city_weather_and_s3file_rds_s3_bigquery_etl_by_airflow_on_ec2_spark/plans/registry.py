@@ -541,10 +541,10 @@ REGISTRY: dict[str, QuerySpec] = {
                    FROM documents)
         SELECT doc_id,
                CAST(len(toks) AS BIGINT) AS n,
-               toks[1:3] AS first3,
+               array_to_string(toks[1:3], ' ') AS first3,
                list_contains(toks, 'spark') AS mentions_spark,
-               list_sort(list_distinct(toks)) AS vocab,
-               list_reverse(toks) AS rev
+               array_to_string(list_sort(list_distinct(toks)), ' ') AS vocab,
+               array_to_string(list_reverse(toks), ' ') AS rev
         FROM t
         """,
     ),
@@ -991,7 +991,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "agg_collect_sorted": QuerySpec(
         R.agg_collect_sorted,
         """
-        SELECT l_returnflag, list_sort(list(DISTINCT l_linestatus)) AS statuses,
+        SELECT l_returnflag,
+               array_to_string(list_sort(list(DISTINCT l_linestatus)), ',')
+                   AS statuses,
                count(*) AS n
         FROM lineitem GROUP BY l_returnflag
         """,
@@ -1143,31 +1145,36 @@ REGISTRY: dict[str, QuerySpec] = {
 # future insertions anywhere in the literal above cannot silently push
 # an unchecked entry out of the window.
 _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
-    "flagship_weather_join",
-    # §2.13 dedup / similarity / embeddings / text / multimodal
-    "dedup_exact", "dedup_content_hash", "dedup_minhash_lsh",
-    "dedup_simhash_pairs", "dedup_token_jaccard", "dedup_cluster_assign",
-    "dedup_embedding_cosine",
-    "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
-    "embedding_norm_stats", "embedding_centroid_sim",
-    "text_token_stats", "text_quality_score", "text_lang_id",
-    "text_fingerprint", "text_redact_pii", "text_chunking",
-    "text_stratified_topk", "text_contamination_check",
-    "text_ngram_profile", "text_bpe_token_count",
-    "multimodal_meta", "multimodal_decode_features",
-    # streaming + batch event windows
-    "events_tumbling_hour", "events_sessionize", "streaming_tumbling_hour",
-    "events_sliding_window", "streaming_stateful_totals",
-    "session_window_bounds",
-    # subqueries / CTE
-    "subquery_scalar", "subquery_in", "subquery_exists_correlated",
-    "subquery_correlated_min", "subquery_in_grouped", "subquery_not_in",
-    "cte_multi_step",
-    # remaining entries that had no driver row in round 1
-    "scalar_array_funcs", "generator_range", "sample_bernoulli",
-    "agg_string_concat", "scalar_bitwise", "scalar_format",
-    "agg_collect_sorted", "agg_rollup_grouping", "scalar_regexp_funcs",
-    "unpivot_lineitem", "scalar_try_cast", "window_analytics",
+    # Round-3 rotation (VERDICT r2 item #2): round 2's window covered the
+    # extension half; rotate back so every core relational operator edited
+    # since round 1 gets a fresh driver row, and keep the two
+    # newly-stringified array queries (scalar_array_funcs,
+    # agg_collect_sorted) IN the window so their driver rows turn green
+    # this round.  Dropped to make room (both pass(d1)+pass(j2), untouched
+    # since): scalar_conditional_funcs, scalar_null_safe_eq.
+    "flagship_weather_join", "ref_pipeline_golden", "serial_id_assignment",
+    "filter_project_pushdown", "topk_orders", "q1_pricing_summary",
+    # aggregation family
+    "agg_stats_by_returnflag", "agg_count_distinct", "agg_approx_distinct",
+    "agg_rollup", "agg_cube", "agg_grouping_sets", "agg_pivot",
+    "agg_median_percentile", "agg_salted_twophase", "agg_corr_covar",
+    "agg_bool", "agg_approx_quantile", "agg_having", "agg_collect_sorted",
+    "scalar_array_funcs",
+    # join family
+    "join_inner_3way_topk", "join_5way_star", "join_left_outer_agg",
+    "join_semi", "join_anti", "join_full_outer", "join_cross",
+    "join_theta_pairs", "join_asof_events_orders",
+    "join_composite_adjacent", "join_range_events",
+    # window family
+    "window_topk_per_group", "window_running_sum", "window_lag_lead",
+    "window_rank_ntile", "window_range_frame",
+    # sort / set ops / generators
+    "sort_multi_key", "set_union_all", "set_union_distinct",
+    "set_intersect", "set_except", "set_intersect_all",
+    "explode_variants", "distinct_projection",
+    # scalar surface
+    "scalar_string_funcs", "scalar_date_funcs", "scalar_case_math",
+    "scalar_json_extract", "scalar_date_arith",
 )
 assert set(_DRIVER_WINDOW_FIRST) <= set(REGISTRY), sorted(
     set(_DRIVER_WINDOW_FIRST) - set(REGISTRY))

@@ -637,10 +637,13 @@ def streaming_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation with deterministic ordering (collect_set is
-    unordered by contract → sort_array pins it for comparison)."""
+    unordered by contract → sort_array pins it), serialized with
+    array_join at the final projection so the output is flat-hashable
+    (list cells break pandas-based canonicalizers downstream)."""
     (lineitem,) = _t(spark, sf_dir, "lineitem")
     return (lineitem.groupBy("l_returnflag")
-            .agg(F.sort_array(F.collect_set("l_linestatus")).alias("statuses"),
+            .agg(F.array_join(F.sort_array(F.collect_set("l_linestatus")), ",")
+                 .alias("statuses"),
                  F.count(F.lit(1)).alias("n")))
 
 
@@ -828,16 +831,24 @@ def join_composite_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array function surface over a token column."""
+    """Array function surface over a token column.
+
+    The array ops (slice / array_distinct / sort_array / reverse) all
+    stay inside the plan; only the FINAL projection serializes each
+    array with array_join so the result is flat-hashable by any
+    downstream comparator (pandas canonicalizers choke on list cells).
+    Tokens come from a \\s+ split, so a single-space delimiter is
+    collision-free by construction.
+    """
     (documents,) = _t(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.col("text")), r"\s+")
     return documents.select(
         "doc_id",
         F.size(toks).cast("long").alias("n"),
-        F.slice(toks, 1, 3).alias("first3"),
+        F.array_join(F.slice(toks, 1, 3), " ").alias("first3"),
         F.array_contains(toks, "spark").alias("mentions_spark"),
-        F.sort_array(F.array_distinct(toks)).alias("vocab"),
-        F.reverse(toks).alias("rev"),
+        F.array_join(F.sort_array(F.array_distinct(toks)), " ").alias("vocab"),
+        F.array_join(F.reverse(toks), " ").alias("rev"),
     )
 
 

@@ -372,6 +372,59 @@ def test_serial_id_two_phase_matches_global_window(spark):
     assert got == want
 
 
+def test_serial_id_skewed_leading_key(spark):
+    """VERDICT r2 #5: 90% of rows share one leading-key value. Ids must
+    stay correct (equal to the global-window ids) and the duplicate
+    mass must land in exactly ONE bucket (the documented contract:
+    equal leading-key values always share a bucket), with the rest of
+    the domain still spread over multiple buckets — skew degrades one
+    bucket, it does not collapse the plan to a single partition."""
+    from pyspark.sql import Window
+
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.operators.ids import (
+        _PID,
+        serial_id,
+    )
+    data = [(0 if i % 10 else i, i) for i in range(2000)]  # 90% k=0
+    df = spark.createDataFrame(data, ["k", "tie"])
+    got = {(r.k, r.tie): r.id
+           for r in serial_id(df, ["k", "tie"], num_ranges=16).collect()}
+    w = Window.orderBy("k", "tie")
+    want = {(r.k, r.tie): r.id for r in df.withColumn(
+        "id", F.row_number().over(w).cast("long")).collect()}
+    assert got == want
+
+    # bucket-shape contract: rebuild the tagging the operator uses
+    n = 16
+    probs = [i / n for i in range(1, n)]
+    bounds = sorted(set(df.stat.approxQuantile("k", probs, 1.0 / (100 * n))))
+    barr = F.array(*[F.lit(b).cast("double") for b in bounds])
+    tagged = df.withColumn(
+        _PID, F.size(F.filter(barr, lambda b: b < F.col("k").cast("double"))))
+    by_bucket = {r[_PID]: r["cnt"] for r in
+                 tagged.groupBy(_PID).agg(F.count("*").alias("cnt")).collect()}
+    dup_buckets = {r[_PID] for r in
+                   tagged.where(F.col("k") == 0).select(_PID).distinct()
+                   .collect()}
+    assert len(dup_buckets) == 1            # all dups share one bucket
+    (dup_bucket,) = dup_buckets
+    assert by_bucket[dup_bucket] >= 1800    # the skewed mass, intact
+    assert len(by_bucket) >= 3              # the tail still fans out
+
+
+def test_serial_id_rejects_non_numeric_leading_key(spark):
+    """ADVICE r2: a string leading key must fail fast with a clear
+    message, not an opaque approxQuantile error."""
+    import pytest as _pytest
+
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.operators.ids import (
+        serial_id,
+    )
+    df = spark.createDataFrame([("a", 1), ("b", 2)], ["k", "tie"])
+    with _pytest.raises(TypeError, match="must be numeric"):
+        serial_id(df, ["k", "tie"])
+
+
 def test_ivf_centroid_budget_independent_of_corpus(spark):
     """VERDICT r1 #3: the centroid count must not scale with the
     corpus — same fixed budget regardless of corpus size."""
@@ -434,3 +487,45 @@ def test_multimodal_codec_injection(spark):
     assert len(out) == 5
     if codec is None:
         assert all(16 <= r.width < 256 for r in out)   # stub dims
+
+
+def test_multimodal_real_png_decode(spark):
+    """VERDICT r2 #7: decode ACTUAL image bytes (a structurally valid
+    PNG file — signature, CRC-checked IHDR, zlib IDAT, IEND), not
+    sha-derived fakes, into width/height through the same mapInPandas
+    plumbing the registry entry uses."""
+    import struct
+    import zlib
+
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.operators.multimodal import (
+        png_header_codec,
+    )
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    def make_png(w: int, h: int) -> bytes:
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+        raw = b"".join(b"\x00" + bytes(3 * w) for _ in range(h))
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+    # direct codec call on real bytes
+    assert png_header_codec(make_png(8, 5)) == (8, 5)
+    assert png_header_codec(make_png(640, 480)) == (640, 480)
+    with pytest.raises(ValueError, match="not a PNG"):
+        png_header_codec(b"\x89PNGbut-not-really")
+    corrupted = bytearray(make_png(8, 5))
+    corrupted[16] ^= 0xFF  # flip a width byte -> IHDR CRC must catch it
+    with pytest.raises(ValueError, match="CRC"):
+        png_header_codec(bytes(corrupted))
+
+    # end-to-end through the distributed mapInPandas path
+    rows = [(1, make_png(8, 5)), (2, make_png(31, 17)), (3, make_png(2, 9))]
+    df = spark.createDataFrame(rows, "doc_id: long, media_bytes: binary")
+    got = {r.doc_id: (r.width, r.height, r.n_bytes)
+           for r in decode_and_extract(df, codec=png_header_codec).collect()}
+    assert got[1][:2] == (8, 5) and got[2][:2] == (31, 17)
+    assert got[3][:2] == (2, 9)
+    assert all(got[i][2] == len(rows[i - 1][1]) for i in (1, 2, 3))
