@@ -123,8 +123,9 @@ def minhash_lsh_pairs_native(
        same metric minhash approximates (token-set Jaccard is far
        looser on small vocabularies and must not be mixed in here).
 
-    Everything stays JVM-side; the only shuffles are the band-hash
-    equi-join and the candidate dedup. Collision probability for
+    Everything stays JVM-side; the shuffles are the narrow band-hash
+    equi-join, the narrow candidate dedup, and the two shingle-set
+    attach joins over the surviving pairs. Collision probability for
     shingle-jaccard s: 1-(1-s^r)^b.
     """
     num_hashes = num_bands * rows_per_band
@@ -145,8 +146,17 @@ def minhash_lsh_pairs_native(
                ]).alias("sig"),
                F.array_distinct("shingles").alias("shingle_set")))
 
+    # Band join and pair dedup run NARROW — (id, band_idx, band_hash)
+    # only. A near-dup cluster of size k collides in every band, so the
+    # join emits ~bands × k²/2 rows per cluster; carrying shingle arrays
+    # through that (and through the dropDuplicates shuffle) turns a
+    # 30 MB shuffle into a multi-GB one and measured 57× super-linear on
+    # a 10× corpus whose clusters grew 10-wide (scale-lake replicas).
+    # Shingle sets are re-attached to the ~|pairs| survivors afterwards;
+    # AQE broadcasts the attach joins while the doc table fits and
+    # switches to shuffle joins past that — the 100 TB shape.
     banded = sig.select(
-        id_col, "shingle_set",
+        id_col,
         F.explode(F.array(*[
             F.struct(
                 F.lit(bi).alias("band_idx"),
@@ -156,17 +166,23 @@ def minhash_lsh_pairs_native(
                 ]).alias("band_hash"))
             for bi in range(num_bands)
         ])).alias("band"),
-    ).select(id_col, "shingle_set", "band.band_idx", "band.band_hash")
+    ).select(id_col, "band.band_idx", "band.band_hash")
 
     a, b = banded.alias("a"), banded.alias("b")
     cands = (
         a.join(b, on=["band_idx", "band_hash"])
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(F.col(f"a.{id_col}").alias("id_a"),
-                F.col(f"b.{id_col}").alias("id_b"),
-                F.col("a.shingle_set").alias("ss_a"),
-                F.col("b.shingle_set").alias("ss_b"))
+                F.col(f"b.{id_col}").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    sets = sig.select(id_col, "shingle_set")
+    cands = (
+        cands
+        .join(sets.select(F.col(id_col).alias("id_a"),
+                          F.col("shingle_set").alias("ss_a")), "id_a")
+        .join(sets.select(F.col(id_col).alias("id_b"),
+                          F.col("shingle_set").alias("ss_b")), "id_b")
     )
     inter = F.size(F.array_intersect("ss_a", "ss_b")).cast("double")
     uni = F.size(F.array_union("ss_a", "ss_b")).cast("double")
@@ -310,16 +326,66 @@ def token_jaccard_pairs(
                           "exact Jaccard is quadratic per block - use "
                           "minhash_lsh_pairs_native for production dedup "
                           "or raise the cap"))))).drop("_blk_n")
-    a, b = t.alias("a"), t.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.tokset"), F.col("b.tokset")))
-    uni = F.size(F.array_union(F.col("a.tokset"), F.col("b.tokset")))
+    # --- candidate generation: AllPairs-style prefix filtering -------
+    # (Bayardo, Ma & Srikant, "Scaling Up All Pairs Similarity Search",
+    # WWW 2007 — public paper.) Enumerating every within-block pair and
+    # intersecting toksets is quadratic in block size and measured 60×
+    # super-linear on a 10× corpus. Instead: under a global rarest-first
+    # token order, any pair with jaccard ≥ t shares a token inside the
+    # other side's (n - ⌈t·n⌉ + 1)-token prefix — because |inter| ≥
+    # t·|union| ≥ t·n for BOTH sides, so fewer than ⌈t·n⌉ shared tokens
+    # would have to hide in the last ⌈t·n⌉ - 1 positions. Joining the
+    # FULL token list of the lower id against the PREFIX of the higher
+    # id on (block, token) is therefore lossless; hot tokens (stopwords)
+    # sort last and never enter a prefix, so the inverted-index fanout
+    # stays bounded. Exact intersect/union then runs on candidates only.
+    t_eff = max(min_jaccard - 1e-4, 0.0)   # margin for round(jac, 4)
+    tok_rows = t.select(id_col, *join_keys, F.explode("tokset").alias("tok"))
+    freq = tok_rows.groupBy("tok").agg(F.count(F.lit(1)).alias("tok_freq"))
+    ordered = (
+        tok_rows.join(freq, "tok")        # AQE: broadcast while vocab fits
+        .groupBy(id_col, *join_keys)
+        .agg(F.transform(
+            F.array_sort(F.collect_list(F.struct("tok_freq", "tok"))),
+            lambda s: s.tok).alias("ord_toks"))
+    )
+    # NOTE: deliberately NOT persisted/checkpointed — only the prefix
+    # index pays the freq-sort pipeline; the full inverted index and the
+    # verify sides re-derive from the cheap tokenize-only `t` lineage.
+    # (A localCheckpoint of `ordered` measured 7× SLOWER at 10× scale:
+    # the checkpointed scan loses AQE's join planning downstream.)
+    full_rows = tok_rows
+    n = F.size("ord_toks")
+    prefix_len = n - F.ceil(n.cast("double") * F.lit(t_eff)).cast("int") + 1
+    prefix_rows = (
+        ordered.select(
+            id_col, *join_keys,
+            F.explode(F.slice("ord_toks", 1, F.greatest(prefix_len, F.lit(1))))
+             .alias("tok"))
+    )
+    fa, pb = full_rows.alias("fa"), prefix_rows.alias("pb")
+    cands = (
+        fa.join(pb, on=[*join_keys, "tok"])
+        .where(F.col(f"fa.{id_col}") < F.col(f"pb.{id_col}"))
+        .select(F.col(f"fa.{id_col}").alias("id_a"),
+                F.col(f"pb.{id_col}").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # --- exact verify on candidates only ------------------------------
+    sets = t.select(id_col, "tokset")
+    pairs = (
+        cands
+        .join(sets.select(F.col(id_col).alias("id_a"),
+                          F.col("tokset").alias("ts_a")), "id_a")
+        .join(sets.select(F.col(id_col).alias("id_b"),
+                          F.col("tokset").alias("ts_b")), "id_b")
+    )
+    inter = F.size(F.array_intersect("ts_a", "ts_b"))
+    uni = F.size(F.array_union("ts_a", "ts_b"))
     jac = inter.cast("double") / uni.cast("double")
     return (
-        a.join(b, on=join_keys, how="inner")
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
+        pairs.select(
+            "id_a", "id_b",
             F.round(jac, 4).alias("jaccard"),
         )
         .where(F.col("jaccard") >= min_jaccard)

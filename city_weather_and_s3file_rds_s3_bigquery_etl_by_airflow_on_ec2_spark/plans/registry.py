@@ -706,6 +706,7 @@ REGISTRY: dict[str, QuerySpec] = {
                count(*) AS n_events, round(sum(value), 2) AS sum_value
         FROM events GROUP BY 1, 2
         """,
+        bench=True,
     ),
     "events_sliding_window": QuerySpec(
         R.events_sliding_window,

@@ -52,6 +52,11 @@ def _normalize_types(df: DataFrame) -> DataFrame:
     for f in df.schema.fields:
         if f.name == "ts" and isinstance(f.dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif f.name == "ts" and isinstance(f.dataType, T.TimestampNTZType):
+            # lakes rewritten by other engines (e.g. the DuckDB-built
+            # perf scale lake) carry NTZ timestamps; session tz is
+            # pinned UTC so the cast to instant semantics is exact
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -41,10 +41,15 @@ def run_tumbling_count_stream(
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         # TIMESTAMP(NANOS) parquet read as long (see sources.tables)
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # NTZ event time (e.g. DuckDB-written lakes) is rejected by
+        # withWatermark; session tz is pinned UTC, so the cast is exact
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     agg = (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window_duration).alias("w"), "event_type")

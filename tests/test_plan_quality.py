@@ -5,6 +5,8 @@ brute-force path must not shuffle the corpus."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans import (
@@ -113,3 +115,93 @@ def test_cte_topk_uses_take_ordered(spark):
     df = R.cte_multi_step(spark, SF_SMALL)
     plan = _plan(df)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_join_5way_star_broadcast_to_smj_transition(spark, tmp_path):
+    """VERDICT r2 #3: the docstring at plans/relational.py (join_5way_star)
+    promises that past broadcast scale the fact⋈orders join transitions
+    from BroadcastHashJoin to SortMergeJoin while the small dims stay
+    broadcast. The broadcast decision's only input is the ratio
+    build-side-size / autoBroadcastJoinThreshold, so CI models the 400×
+    data growth that would trip the default 10 MB threshold by shrinking
+    the threshold against a 40× lake instead — same comparator, same
+    code path, executed for real. (At real sf1 with the default
+    threshold AQE correctly *keeps* broadcast because the selective
+    o_orderdate filter shrinks orders below 10 MB at runtime — that
+    direction is captured in BASELINE.md.)"""
+    import subprocess
+    import sys
+
+    scale_dir = tmp_path / "scale"
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    subprocess.run(
+        [sys.executable, "tools/make_scale_lake.py",
+         "--src", "/root/testdata/sf0.01",
+         "--out", str(scale_dir), "--reps", "40"],
+        check=True, cwd=repo_root, capture_output=True)
+    # control: at the default threshold every join broadcasts statically
+    assert "SortMergeJoin" not in _plan(R.join_5way_star(spark, str(scale_dir)))
+
+    thr = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(thr)
+    try:
+        spark.conf.set(thr, str(1024 * 1024))
+        df = R.join_5way_star(spark, str(scale_dir))
+        # static plan: fact⋈orders past threshold → SortMergeJoin; the
+        # explicitly-hinted tiny dims stay broadcast regardless of scale
+        initial = _plan(df)
+        assert "SortMergeJoin" in initial
+        assert initial.count("BroadcastHashJoin") >= 3
+        # EXECUTE: runtime shuffle stats still exceed the threshold, so
+        # AQE keeps the SMJ — the transition survives adaptive re-planning
+        rows = df.collect()
+        assert len(rows) > 0
+        final = _plan(df)
+        assert "isFinalPlan=true" in final
+        assert "SortMergeJoin" in final
+        assert final.count("BroadcastHashJoin") >= 3
+    finally:
+        spark.conf.set(thr, prev)
+
+
+# Entries where an Exchange SinglePartition is acceptable for a reason
+# OTHER than feeding a keyless final aggregate (which the lint already
+# allows structurally). Add a name here only with a written justification.
+_SINGLE_PARTITION_WHITELIST: dict[str, str] = {}
+
+
+def test_no_unjustified_single_partition_suite_wide(spark):
+    """VERDICT r2 #8: suite-wide lint. No registry entry may funnel data
+    through an ``Exchange SinglePartition`` unless the exchange input is
+    already reduced to one row per upstream partition — i.e. its child is
+    a keyless partial HashAggregate/SortAggregate (the unavoidable and
+    harmless final step of a scalar aggregate, where the exchange moves
+    #partitions rows, not data). Global Sorts and unpartitioned Windows
+    over real data — the 100 TB killers — trip this for every current
+    and future entry."""
+    import re
+
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.registry import (
+        queries,
+    )
+
+    offenders: dict[str, str] = {}
+    for name, fn in queries().items():
+        df = fn(spark, SF_SMALL)
+        plan = _plan(df)
+        if "SinglePartition" not in plan or name in _SINGLE_PARTITION_WHITELIST:
+            continue
+        lines = plan.splitlines()
+        for i, line in enumerate(lines):
+            if "Exchange SinglePartition" not in line:
+                continue
+            # the exchange's child is the next line one tree-level deeper;
+            # allow only keyless partial aggregates below it
+            child = lines[i + 1] if i + 1 < len(lines) else ""
+            ok = re.search(
+                r"(Hash|Sort|ObjectHashAggregate|)Aggregate\(keys=\[\], "
+                r"functions=\[partial_", child)
+            if not ok:
+                offenders[name] = line.strip() + " || child: " + child.strip()
+                break
+    assert not offenders, f"unjustified SinglePartition exchanges: {offenders}"
