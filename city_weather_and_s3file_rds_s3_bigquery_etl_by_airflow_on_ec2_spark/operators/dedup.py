@@ -23,7 +23,7 @@ from __future__ import annotations
 import hashlib
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -285,61 +285,85 @@ def token_jaccard_pairs(
     ``max_block_size`` enforces the contract at runtime: any block
     larger than the cap fails the job with a clear error instead of
     silently going n². Pass ``None`` only when the block profile is
-    known."""
-    sel = [F.col(id_col), *[F.col(c) for c in block_cols],
-           F.array_distinct(tokens(F.col(text_col))).alias("tokset")]
-    if length_col:
-        sel.append((F.col(length_col) / length_band).cast("long").alias("len_band"))
-    t = df.select(*sel)
+    known (the raise becomes unreachable, but the guard subtree is
+    still built — it doubles as an optimizer barrier, see below)."""
+    if min_jaccard <= 0.0:
+        raise ValueError(
+            "token_jaccard_pairs requires min_jaccard > 0: prefix-filtered "
+            "candidate generation only reaches pairs that share a token, so "
+            "token-disjoint (jaccard 0.0) same-block pairs are unreachable "
+            "by construction")
     join_keys = list(block_cols) + (["len_band"] if length_col else [])
     if not join_keys:
         raise ValueError("token_jaccard_pairs requires block_cols and/or "
                          "length_col — an unblocked exact Jaccard is a "
                          "cross product")
-    if max_block_size is not None:
-        # Cheap guard: count block sizes from a column-pruned scan (no
-        # tokenization), keep ONLY the oversized blocks — normally an
-        # empty set — and broadcast-left-join them back. The guard then
-        # costs one partial-aggregated count of two narrow columns plus
-        # an empty-broadcast join, instead of the windowed count that
-        # forced a full shuffle+sort of both self-join inputs (measured
-        # 2.4x slowdown at bench scale). The raise lives inside the
-        # tokset expression so Catalyst cannot prune it.
-        blk_sel = [F.col(c) for c in block_cols]
-        if length_col:
-            blk_sel.append(
-                (F.col(length_col) / length_band).cast("long").alias("len_band"))
-        oversized = (
-            df.select(*blk_sel)
-            .groupBy(*join_keys)
-            .agg(F.count(F.lit(1)).alias("_blk_n"))
-            .where(F.col("_blk_n") > max_block_size)
-        )
-        t = t.join(F.broadcast(oversized), on=join_keys, how="left")
-        t = t.withColumn(
+    # Guard: count block sizes from a column-pruned scan (no
+    # tokenization), keep ONLY the oversized blocks — normally an empty
+    # set — broadcast-left-join them onto `t`, and put a raise_error
+    # branch inside the tokset expression so any oversized block fails
+    # the job before going quadratic.
+    #
+    # The guard when() is ALSO a load-bearing optimizer barrier, so it
+    # is built even for max_block_size=None (with an unreachable 2^62
+    # cap): without it, Catalyst infers `size(tokenize(text)) > 0` from
+    # the downstream explode (InferFiltersFromGenerate) and pushes it
+    # into the parquet scan; the filtered scan's *static* size estimate
+    # then collapses below autoBroadcastJoinThreshold and the planner
+    # statically picks BroadcastHashJoin for every join in the operator
+    # — including broadcasting the multi-million-row candidate side of
+    # the verify joins through the driver. Measured ≥9× slower at the
+    # 10× lake (≥600 s vs 66 s) and an OOM risk at 100 TB. raise_error
+    # is non-deterministic to Catalyst, so the barrier blocks the
+    # filter inference and the plan stays shuffle-join + AQE, which
+    # upgrades genuinely-small sides to broadcast from RUNTIME stats.
+    cap = max_block_size if max_block_size is not None else (1 << 62)
+    blk_sel = [F.col(c) for c in block_cols]
+    if length_col:
+        blk_sel.append(
+            (F.col(length_col) / length_band).cast("long").alias("len_band"))
+    oversized = (
+        df.select(*blk_sel)
+        .groupBy(*join_keys)
+        .agg(F.count(F.lit(1)).alias("_blk_n"))
+        .where(F.col("_blk_n") > cap)
+    )
+    sel = [F.col(id_col), *[F.col(c) for c in block_cols],
+           F.array_distinct(tokens(F.col(text_col))).alias("tokset")]
+    if length_col:
+        sel.append((F.col(length_col) / length_band).cast("long").alias("len_band"))
+    t = (
+        df.select(*sel)
+        .join(F.broadcast(oversized), on=join_keys, how="left")
+        .withColumn(
             "tokset",
             F.when(F.col("_blk_n").isNull(), F.col("tokset")).otherwise(
                 F.raise_error(F.concat(
                     F.lit("token_jaccard_pairs: block of "),
                     F.col("_blk_n").cast("string"),
-                    F.lit(f" rows exceeds max_block_size={max_block_size}; "
+                    F.lit(f" rows exceeds max_block_size={cap}; "
                           "exact Jaccard is quadratic per block - use "
                           "minhash_lsh_pairs_native for production dedup "
-                          "or raise the cap"))))).drop("_blk_n")
-    # --- candidate generation: AllPairs-style prefix filtering -------
+                          "or raise the cap")))))
+        .drop("_blk_n"))
+    # --- candidate generation: prefix-filtered self-join -------------
     # (Bayardo, Ma & Srikant, "Scaling Up All Pairs Similarity Search",
-    # WWW 2007 — public paper.) Enumerating every within-block pair and
-    # intersecting toksets is quadratic in block size and measured 60×
-    # super-linear on a 10× corpus. Instead: under a global rarest-first
-    # token order, any pair with jaccard ≥ t shares a token inside the
-    # other side's (n - ⌈t·n⌉ + 1)-token prefix — because |inter| ≥
-    # t·|union| ≥ t·n for BOTH sides, so fewer than ⌈t·n⌉ shared tokens
-    # would have to hide in the last ⌈t·n⌉ - 1 positions. Joining the
-    # FULL token list of the lower id against the PREFIX of the higher
-    # id on (block, token) is therefore lossless; hot tokens (stopwords)
-    # sort last and never enter a prefix, so the inverted-index fanout
-    # stays bounded. Exact intersect/union then runs on candidates only.
-    t_eff = max(min_jaccard - 1e-4, 0.0)   # margin for round(jac, 4)
+    # WWW 2007; Xiao, Wang, Lin & Yu, "Efficient Similarity Joins for
+    # Near Duplicate Detection", WWW 2008 (PPJoin) — public papers.)
+    # Enumerating every within-block pair and intersecting toksets is
+    # quadratic in block size and measured 60× super-linear on a 10×
+    # corpus. Instead: under a global rarest-first token order, any pair
+    # with jaccard ≥ t must share a token inside BOTH sides'
+    # (n - ⌈t·n⌉ + 1)-token prefixes — jac ≥ t gives |inter| ≥ t·|union|
+    # ≥ t·max(n_a, n_b), and the standard prefix-filter lemma then makes
+    # prefix(a) ∩ prefix(b) ≠ ∅ at those lengths (PPJoin's index/probe
+    # scheme). So the inverted-index self-join is PREFIX × PREFIX — the
+    # r3 full×prefix shape indexed every token occurrence; prefix-only
+    # joins ~40 % fewer rows per side and emits ~2× fewer raw pairs for
+    # the same candidate set. Hot tokens (stopwords) sort last and never
+    # enter a prefix, so index fanout stays bounded at scale. Exact
+    # intersect/union then runs on candidates only.
+    t_eff = min_jaccard - 1e-4             # margin for round(jac, 4)
     tok_rows = t.select(id_col, *join_keys, F.explode("tokset").alias("tok"))
     freq = tok_rows.groupBy("tok").agg(F.count(F.lit(1)).alias("tok_freq"))
     ordered = (
@@ -349,12 +373,6 @@ def token_jaccard_pairs(
             F.array_sort(F.collect_list(F.struct("tok_freq", "tok"))),
             lambda s: s.tok).alias("ord_toks"))
     )
-    # NOTE: deliberately NOT persisted/checkpointed — only the prefix
-    # index pays the freq-sort pipeline; the full inverted index and the
-    # verify sides re-derive from the cheap tokenize-only `t` lineage.
-    # (A localCheckpoint of `ordered` measured 7× SLOWER at 10× scale:
-    # the checkpointed scan loses AQE's join planning downstream.)
-    full_rows = tok_rows
     n = F.size("ord_toks")
     prefix_len = n - F.ceil(n.cast("double") * F.lit(t_eff)).cast("int") + 1
     prefix_rows = (
@@ -363,11 +381,11 @@ def token_jaccard_pairs(
             F.explode(F.slice("ord_toks", 1, F.greatest(prefix_len, F.lit(1))))
              .alias("tok"))
     )
-    fa, pb = full_rows.alias("fa"), prefix_rows.alias("pb")
+    pa, pb = prefix_rows.alias("pa"), prefix_rows.alias("pb")
     cands = (
-        fa.join(pb, on=[*join_keys, "tok"])
-        .where(F.col(f"fa.{id_col}") < F.col(f"pb.{id_col}"))
-        .select(F.col(f"fa.{id_col}").alias("id_a"),
+        pa.join(pb, on=[*join_keys, "tok"])
+        .where(F.col(f"pa.{id_col}") < F.col(f"pb.{id_col}"))
+        .select(F.col(f"pa.{id_col}").alias("id_a"),
                 F.col(f"pb.{id_col}").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )

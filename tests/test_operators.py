@@ -455,12 +455,17 @@ def test_token_jaccard_block_size_guard(spark):
         [(i, "a b c", "en") for i in range(10)], ["doc_id", "text", "lang"])
     with pytest.raises(Exception, match="max_block_size"):
         token_jaccard_pairs(df, "text", "doc_id", block_cols=["lang"],
-                            min_jaccard=0.0, max_block_size=5).collect()
+                            min_jaccard=0.5, max_block_size=5).collect()
     ok = token_jaccard_pairs(df, "text", "doc_id", block_cols=["lang"],
-                             min_jaccard=0.0, max_block_size=10)
+                             min_jaccard=0.5, max_block_size=10)
     assert ok.count() == 45          # 10 choose 2, all identical texts
     with pytest.raises(ValueError, match="block_cols"):
         token_jaccard_pairs(df, "text", "doc_id", block_cols=[])
+    # ADVICE r3: jaccard-0 (token-disjoint) pairs are unreachable under
+    # prefix filtering, so a non-positive threshold is rejected up front
+    with pytest.raises(ValueError, match="min_jaccard"):
+        token_jaccard_pairs(df, "text", "doc_id", block_cols=["lang"],
+                            min_jaccard=0.0)
 
 
 def test_multimodal_codec_injection(spark):
