@@ -57,24 +57,32 @@ def _default_ranges(spark) -> int:
 
 
 def serial_id(df: DataFrame, key_cols: list[str], id_col: str = "id",
-              num_ranges: int | None = None) -> DataFrame:
+              num_ranges: int | None = None, eager: bool = False) -> DataFrame:
     """Assign a dense 1-based BIGINT ``id_col`` ordered by ``key_cols``
     without a single-partition global sort.
 
     ``key_cols`` must be a total order (unique tiebreak) for the ids
     to be deterministic, and the leading key must be numeric (it feeds
     the quantile sketch; values beyond 2^53 would lose double
-    precision). Triggers two eager metadata-sized jobs (boundary
-    sketch + per-bucket counts) when called.
+    precision; for Date/Timestamp leads pre-derive an epoch column).
+    Triggers two eager metadata-sized jobs (boundary sketch +
+    per-bucket counts) when called.
 
     The bucket-tagged input is ``persist(MEMORY_AND_DISK)``-ed before
     the counts job (ADVICE r2): the offsets and the final rows must
     come from the SAME materialization — a nondeterministic upstream
     (sample, unordered limit, recomputed shuffle) would otherwise yield
     offsets that disagree with the final job and silently corrupt ids.
-    MEMORY_AND_DISK spills rather than evicts, so the block cannot be
-    silently recomputed; callers may ``unpersist()`` the returned
-    DataFrame's lineage once materialized.
+    MEMORY_AND_DISK spills rather than evicts under memory pressure,
+    which NARROWS the recompute window but does not eliminate it
+    (ADVICE r3): non-replicated cached blocks are still recomputed
+    from lineage on executor loss, so a caller whose upstream is
+    genuinely nondeterministic must checkpoint/write it out first —
+    only that guarantees id stability under failure. ``eager=True``
+    materializes the result via ``localCheckpoint`` and unpersists the
+    tagged input before returning (bounded-lifetime cache instead of
+    waiting on the ContextCleaner; the lazy default leaves the cache
+    pinned so the caller's first action reuses it).
     """
     spark = df.sparkSession
     n = num_ranges or _default_ranges(spark)
@@ -82,9 +90,10 @@ def serial_id(df: DataFrame, key_cols: list[str], id_col: str = "id",
     lead_type = df.schema[lead].dataType
     if not isinstance(lead_type, _NUMERIC_TYPES):
         raise TypeError(
-            f"serial_id leading key {lead!r} must be numeric/temporal for "
+            f"serial_id leading key {lead!r} must be numeric for "
             f"the quantile sketch; got {lead_type.simpleString()} — reorder "
-            f"key_cols or pre-derive a numeric sort key")
+            f"key_cols or pre-derive a numeric sort key (e.g. epoch "
+            f"seconds for Date/Timestamp)")
     keys = [F.col(c) for c in key_cols]
 
     probs = [i / n for i in range(1, n)]
@@ -113,7 +122,11 @@ def serial_id(df: DataFrame, key_cols: list[str], id_col: str = "id",
     off_df = spark.createDataFrame(offsets, f"{_PID} int, {_OFF} long")
 
     w = Window.partitionBy(_PID).orderBy(*keys)
-    return (tagged.join(F.broadcast(off_df), _PID)
-            .withColumn(id_col,
-                        (F.row_number().over(w).cast("long") + F.col(_OFF)))
-            .drop(_PID, _OFF))
+    out = (tagged.join(F.broadcast(off_df), _PID)
+           .withColumn(id_col,
+                       (F.row_number().over(w).cast("long") + F.col(_OFF)))
+           .drop(_PID, _OFF))
+    if eager:
+        out = out.localCheckpoint(eager=True)
+        tagged.unpersist()
+    return out

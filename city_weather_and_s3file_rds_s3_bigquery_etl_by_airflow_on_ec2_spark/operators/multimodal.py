@@ -65,10 +65,14 @@ def _stub_dims(raw: bytes) -> tuple[int, int]:
 def _pil_codec(raw: bytes) -> tuple[int, int]:
     """Real image decode via PIL (executor-side import).
 
-    Falls back to the deterministic stub dims on bytes PIL cannot
-    identify (ADVICE r2): auto-resolved decode must never crash on
-    non-image payloads (the testdata wraps UTF-8 text as the binary
-    column), and must stay deterministic either way."""
+    Falls back to the deterministic stub dims only on the
+    "not an image" family — UnidentifiedImageError is an OSError
+    subclass, and truncated/garbage headers surface as OSError or
+    ValueError (ADVICE r2/r3): auto-resolved decode must never crash
+    on non-image payloads (the testdata wraps UTF-8 text as the binary
+    column) but unexpected decode errors (e.g. decompression-bomb
+    guards, executor-side PIL bugs) must propagate rather than be
+    silently replaced with plausible-looking fake dims."""
     from io import BytesIO
 
     from PIL import Image
@@ -76,7 +80,7 @@ def _pil_codec(raw: bytes) -> tuple[int, int]:
     try:
         with Image.open(BytesIO(raw)) as im:
             return im.width, im.height
-    except Exception:
+    except (OSError, ValueError):
         return _stub_dims(raw)
 
 
@@ -110,14 +114,31 @@ def png_header_codec(raw: bytes) -> tuple[int, int]:
     return width, height
 
 
+def _png_or_stub_codec(raw: bytes) -> tuple[int, int]:
+    """Middle resolution tier: real dims for PNG payloads via the
+    pure-Python CRC-verified IHDR parser, deterministic stub dims for
+    everything else."""
+    try:
+        return png_header_codec(raw)
+    except ValueError:
+        return _stub_dims(raw)
+
+
 def resolve_codec():
-    """Return the real image codec when PIL is importable, else None.
+    """Three-tier codec resolution (VERDICT r3 #7):
+    PIL (all formats) → PNG-IHDR header parser (real dims for PNG
+    lakes even without PIL) → deterministic stub for non-image bytes.
     Probed at call time (driver side) so environments that do ship
-    PIL get real decode without code changes."""
+    PIL get full decode without code changes; environments without it
+    still read true dimensions out of real PNG payloads. The registry
+    entry stays pinned to ``codec=None`` (environment-independent
+    oracle); strict mode (`decode_and_extract(strict=True,
+    codec=None)`) still raises NotImplementedError as the marker for a
+    real ffmpeg/PIL deployment."""
     try:
         import PIL  # noqa: F401
     except ImportError:
-        return None
+        return _png_or_stub_codec
     return _pil_codec
 
 

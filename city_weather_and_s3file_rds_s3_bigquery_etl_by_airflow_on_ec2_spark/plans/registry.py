@@ -708,6 +708,29 @@ REGISTRY: dict[str, QuerySpec] = {
         """,
         bench=True,
     ),
+    "streaming_session_windows": QuerySpec(
+        R.streaming_session_windows,
+        """
+        WITH flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), sess AS (
+            SELECT user_id, ts,
+                   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM flagged
+        )
+        SELECT user_id, min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               count(*) AS n_events
+        FROM sess GROUP BY user_id, session_id
+        HAVING max(ts) + INTERVAL 30 MINUTE
+               <= (SELECT max(ts) FROM events) - INTERVAL 2 HOUR
+        """,
+    ),
     "events_sliding_window": QuerySpec(
         R.events_sliding_window,
         """
@@ -1146,36 +1169,41 @@ REGISTRY: dict[str, QuerySpec] = {
 # future insertions anywhere in the literal above cannot silently push
 # an unchecked entry out of the window.
 _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
-    # Round-3 rotation (VERDICT r2 item #2): round 2's window covered the
-    # extension half; rotate back so every core relational operator edited
-    # since round 1 gets a fresh driver row, and keep the two
-    # newly-stringified array queries (scalar_array_funcs,
-    # agg_collect_sorted) IN the window so their driver rows turn green
-    # this round.  Dropped to make room (both pass(d1)+pass(j2), untouched
-    # since): scalar_conditional_funcs, scalar_null_safe_eq.
-    "flagship_weather_join", "ref_pipeline_golden", "serial_id_assignment",
-    "filter_project_pushdown", "topk_orders", "q1_pricing_summary",
-    # aggregation family
-    "agg_stats_by_returnflag", "agg_count_distinct", "agg_approx_distinct",
-    "agg_rollup", "agg_cube", "agg_grouping_sets", "agg_pivot",
-    "agg_median_percentile", "agg_salted_twophase", "agg_corr_covar",
-    "agg_bool", "agg_approx_quantile", "agg_having", "agg_collect_sorted",
-    "scalar_array_funcs",
-    # join family
-    "join_inner_3way_topk", "join_5way_star", "join_left_outer_agg",
-    "join_semi", "join_anti", "join_full_outer", "join_cross",
-    "join_theta_pairs", "join_asof_events_orders",
-    "join_composite_adjacent", "join_range_events",
-    # window family
-    "window_topk_per_group", "window_running_sum", "window_lag_lead",
-    "window_rank_ntile", "window_range_frame",
-    # sort / set ops / generators
-    "sort_multi_key", "set_union_all", "set_union_distinct",
-    "set_intersect", "set_except", "set_intersect_all",
-    "explode_variants", "distinct_projection",
-    # scalar surface
-    "scalar_string_funcs", "scalar_date_funcs", "scalar_case_math",
-    "scalar_json_extract", "scalar_date_arith",
+    # Round-4 rotation (VERDICT r3 item #2): round 3's window covered the
+    # relational half (all driver-green there); rotate back over the
+    # extension half so this round's dedup_token_jaccard rewrite and the
+    # NEW streaming_session_windows entry get fresh driver rows.  The
+    # alternation contract is documented in README.md; the halves not in
+    # the window are covered by the committed CORRECTNESS_full_r{N}.json
+    # artifact every round.  Dropped vs the round-2 extension window to
+    # make room for streaming_session_windows: scalar_try_cast
+    # (pass(d2) + pass(j3), untouched since round 1).
+    "flagship_weather_join",
+    # §2.13 dedup / similarity / embeddings / text / multimodal
+    "dedup_exact", "dedup_content_hash", "dedup_minhash_lsh",
+    "dedup_simhash_pairs", "dedup_token_jaccard", "dedup_cluster_assign",
+    "dedup_embedding_cosine",
+    "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
+    "embedding_norm_stats", "embedding_centroid_sim",
+    "text_token_stats", "text_quality_score", "text_lang_id",
+    "text_fingerprint", "text_redact_pii", "text_chunking",
+    "text_stratified_topk", "text_contamination_check",
+    "text_ngram_profile", "text_bpe_token_count",
+    "multimodal_meta", "multimodal_decode_features",
+    # streaming + batch event windows (incl. the new native streaming
+    # session windows)
+    "events_tumbling_hour", "events_sessionize", "streaming_tumbling_hour",
+    "events_sliding_window", "streaming_stateful_totals",
+    "session_window_bounds", "streaming_session_windows",
+    # subqueries / CTE
+    "subquery_scalar", "subquery_in", "subquery_exists_correlated",
+    "subquery_correlated_min", "subquery_in_grouped", "subquery_not_in",
+    "cte_multi_step",
+    # remaining extension-half entries
+    "scalar_array_funcs", "generator_range", "sample_bernoulli",
+    "agg_string_concat", "scalar_bitwise", "scalar_format",
+    "agg_collect_sorted", "agg_rollup_grouping", "scalar_regexp_funcs",
+    "unpivot_lineitem", "window_analytics",
 )
 assert set(_DRIVER_WINDOW_FIRST) <= set(REGISTRY), sorted(
     set(_DRIVER_WINDOW_FIRST) - set(REGISTRY))

