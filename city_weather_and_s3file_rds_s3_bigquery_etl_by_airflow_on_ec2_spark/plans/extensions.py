@@ -326,3 +326,109 @@ def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
                   sh.shingle == probe.probe_shingle)
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_shared_shingles")))
+
+
+# -------------------------------------------------- corpus curation (r4) —
+
+def corpus_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance-balancing quota pass: cap every source at 25 kept
+    documents, preferring the highest deterministic quality score
+    (doc_id tiebreak), and report per-source volume / kept count /
+    kept-quality mean. The keep set is one row_number window per
+    source; the kept-quality sum goes through DECIMAL so the
+    cross-partition addition order cannot perturb double bits (the
+    registry-wide determinism rule). At 100 TB this is one shuffle on
+    source with AQE skew-splitting for mega-sources."""
+    from pyspark.sql import Window
+    (documents,) = _t(spark, sf_dir, "documents")
+    scored = documents.select(
+        "doc_id", "source", TX.quality_score("text").alias("quality"))
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality").desc(), F.col("doc_id"))
+    ranked = scored.withColumn("rk", F.row_number().over(w))
+    kept = F.col("rk") <= 25
+    return (
+        ranked.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum(kept.cast("long")).alias("n_kept"),
+             F.sum(F.when(kept, F.col("quality")).otherwise(F.lit(0.0))
+                    .cast("decimal(18,4)")).alias("_qsum"))
+        .select("source", "n_docs", "n_kept",
+                F.round(F.col("_qsum").cast("double") / F.col("n_kept"), 4)
+                 .alias("kept_avg_quality"))
+    )
+
+
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition / boilerplate detection: distinct-
+    token ratio and the share of the single most-repeated token. Pure
+    higher-order array expressions — zero shuffle, zero Python — the
+    cheap gate that drops template/spam pages before expensive dedup.
+    O(distinct·n) per document stays executor-local."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    n = F.size(toks)
+    uniq = F.array_distinct(toks)
+    top = F.array_max(
+        F.transform(uniq, lambda t: F.size(F.filter(toks, lambda x: x == t))))
+    return documents.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.round(F.size(uniq).cast("double") / n, 4).alias("distinct_ratio"),
+        F.round(top.cast("double") / n, 4).alias("top_token_ratio"),
+    )
+
+
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization (max-abs scaling): the
+    standard storage/bandwidth reduction before ANN indexing at corpus
+    scale. scale = max|x|/127; q_i = floor(x_i/scale + 0.5) — explicit
+    round-half-up-toward-+inf so Spark and the DuckDB oracle agree
+    bit-for-bit (both engines run the identical double ops; float→
+    double widening is exact). Quantized values serialize via
+    array_join (r3 rule: arrays stringify at the final projection
+    only). Expression-only; zero shuffle."""
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    xs = F.transform("embedding", lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(xs, F.abs))
+    scale = F.nullif(amax, F.lit(0.0)) / F.lit(127.0)
+    q = F.transform(
+        xs, lambda x: F.coalesce(
+            F.floor(x / scale + F.lit(0.5)), F.lit(0)).cast("int"))
+    return embeddings.select(
+        "vec_id",
+        scale.alias("scale"),
+        F.array_join(F.transform(q, lambda v: v.cast("string")), ",")
+         .alias("q_csv"),
+    )
+
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-survivor selection: for every near-dup cluster (the
+    deterministic blocked-Jaccard components of dedup_cluster_assign),
+    keep the member with the best quality score (doc_id tiebreak) and
+    report cluster size. This is the step that actually SHRINKS the
+    corpus after dedup finds the duplicates; plan = the cluster
+    propagation + one broadcast-friendly join + one window over
+    clusters."""
+    from pyspark.sql import Window
+    (documents,) = _t(spark, sf_dir, "documents")
+    edges = D.token_jaccard_pairs(
+        documents, "text", "doc_id",
+        block_cols=["lang"], length_col="n_chars", length_band=16,
+        min_jaccard=0.4)
+    clusters = D.dedup_clusters(documents.select("doc_id"), edges)
+    scored = documents.select(
+        "doc_id", TX.quality_score("text").alias("quality"))
+    members = clusters.join(scored, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id"))
+    return (
+        members.withColumn("rk", F.row_number().over(w))
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_members"),
+             F.max(F.when(F.col("rk") == 1, F.col("doc_id")))
+              .alias("keep_doc_id"),
+             F.max(F.when(F.col("rk") == 1, F.col("quality")))
+              .alias("best_quality"))
+    )

@@ -1128,6 +1128,116 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM documents
         """,
     ),
+    # ------------------------- corpus curation (r4) -----------------------
+    "corpus_source_quota": QuerySpec(
+        X.corpus_source_quota,
+        f"""
+        WITH ranked AS (
+            SELECT doc_id, source,
+                   round(0.5 * least({_STOP_RATIO} * 4.0, 1.0)
+                         + 0.3 * least(CAST(len({_TOKS}) AS DOUBLE) / 50.0, 1.0)
+                         + 0.2 * (1.0 - least({_PUNCT_RATIO} * 10.0, 1.0)),
+                         4) AS quality,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY round(0.5 * least({_STOP_RATIO} * 4.0, 1.0)
+                                          + 0.3 * least(CAST(len({_TOKS}) AS DOUBLE) / 50.0, 1.0)
+                                          + 0.2 * (1.0 - least({_PUNCT_RATIO} * 10.0, 1.0)),
+                                          4) DESC, doc_id) AS rk
+            FROM documents
+        )
+        SELECT source, count(*) AS n_docs,
+               sum(CASE WHEN rk <= 25 THEN 1 ELSE 0 END) AS n_kept,
+               round(CAST(sum(CASE WHEN rk <= 25
+                                   THEN CAST(quality AS DECIMAL(18,4))
+                                   ELSE CAST(0.0 AS DECIMAL(18,4)) END)
+                          AS DOUBLE)
+                     / sum(CASE WHEN rk <= 25 THEN 1 ELSE 0 END),
+                     4) AS kept_avg_quality
+        FROM ranked GROUP BY source
+        """,
+    ),
+    "text_repetition_score": QuerySpec(
+        X.text_repetition_score,
+        f"""
+        SELECT doc_id,
+               CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+               round(CAST(len(list_distinct({_TOKS})) AS DOUBLE)
+                     / len({_TOKS}), 4) AS distinct_ratio,
+               round(CAST(list_aggregate(
+                         list_transform(list_distinct({_TOKS}),
+                             t -> len(list_filter({_TOKS}, x -> x = t))),
+                         'max') AS DOUBLE)
+                     / len({_TOKS}), 4) AS top_token_ratio
+        FROM documents
+        """,
+    ),
+    "embedding_quantize_int8": QuerySpec(
+        X.embedding_quantize_int8,
+        """
+        WITH s AS (
+            SELECT vec_id, embedding,
+                   nullif(list_aggregate(
+                       list_transform(embedding,
+                                      x -> abs(CAST(x AS DOUBLE))),
+                       'max'), 0.0) / 127.0 AS scale
+            FROM embeddings
+        )
+        SELECT vec_id, scale,
+               array_to_string(
+                   list_transform(embedding,
+                       x -> CAST(coalesce(
+                               floor(CAST(x AS DOUBLE) / scale + 0.5),
+                               0) AS INTEGER)),
+                   ',') AS q_csv
+        FROM s
+        """,
+    ),
+    "dedup_keep_best": QuerySpec(
+        X.dedup_keep_best,
+        f"""
+        WITH RECURSIVE t AS (
+            SELECT doc_id, lang, n_chars // 16 AS len_band,
+                   list_distinct({_TOKS}) AS tokset
+            FROM documents
+        ), pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM t a JOIN t b
+              ON a.lang = b.lang AND a.len_band = b.len_band
+             AND a.doc_id < b.doc_id
+            WHERE round(CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
+                        / len(list_distinct(list_concat(a.tokset, b.tokset))),
+                        4) >= 0.4
+        ), edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION ALL
+            SELECT id_b AS src, id_a AS dst FROM pairs
+        ), reach AS (
+            SELECT doc_id AS id, doc_id AS root FROM documents
+            UNION
+            SELECT e.dst AS id, r.root
+            FROM reach r JOIN edges e ON e.src = r.id
+        ), clusters AS (
+            SELECT id AS doc_id, min(root) AS cluster_id
+            FROM reach GROUP BY id
+        ), scored AS (
+            SELECT doc_id,
+                   round(0.5 * least({_STOP_RATIO} * 4.0, 1.0)
+                         + 0.3 * least(CAST(len({_TOKS}) AS DOUBLE) / 50.0, 1.0)
+                         + 0.2 * (1.0 - least({_PUNCT_RATIO} * 10.0, 1.0)),
+                         4) AS quality
+            FROM documents
+        ), ranked AS (
+            SELECT c.cluster_id, c.doc_id, s.quality,
+                   row_number() OVER (PARTITION BY c.cluster_id
+                                      ORDER BY s.quality DESC, c.doc_id) AS rk
+            FROM clusters c JOIN scored s USING (doc_id)
+        )
+        SELECT cluster_id, count(*) AS n_members,
+               max(CASE WHEN rk = 1 THEN doc_id END) AS keep_doc_id,
+               max(CASE WHEN rk = 1 THEN quality END) AS best_quality
+        FROM ranked GROUP BY cluster_id
+        """,
+    ),
     # ------------------------------ multimodal ----------------------------
     "multimodal_meta": QuerySpec(
         X.multimodal_meta,
