@@ -36,13 +36,33 @@ def main() -> None:
     spark.range(1000).selectExpr("sum(id)").collect()
 
     # One untimed warm-up pass (file listing, code paths, JIT), then
-    # N_RUNS timed passes reduced by a trimmed mean (drop min and max,
-    # average the rest) — reports steady-state throughput robust to
-    # co-resident load spikes (VERDICT r3 #6: n=2-3 single-shot numbers
-    # drifted ±15-27 % round-over-round with no code change). Cold-start
-    # costs amortize to zero in the 100 TB story.
-    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
-    items = list(bench_queries().items())
+    # N_RUNS timed passes reduced by the per-query MEDIAN. Median, not
+    # trimmed mean (r5 change): the host exhibits intermittent 10-35 s
+    # stalls that hit arbitrary queries (steal-flat, zero full GCs,
+    # order-independent — tools/diag_minhash_{order,solo}.py data in
+    # BASELINE.md). A trimmed mean of n=5 leaks when 2+ samples spike
+    # (that leak WAS the r4 "minhash +111 %" regression); the median of
+    # n=7 tolerates up to 3 spiked samples. Cold-start costs amortize
+    # to zero in the 100 TB story.
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "7"))
+    # Execution order is PINNED (VERDICT r4 #7): registry insertion
+    # order rotates with the driver correctness window, and an order
+    # change between r3 and r4 moved queries under different session
+    # thermal/cache context, confounding round-over-round comparison.
+    # New bench entries append here explicitly.
+    order = [
+        "flagship_weather_join", "q1_pricing_summary",
+        "join_inner_3way_topk", "join_5way_star",
+        "join_asof_events_orders", "window_topk_per_group",
+        "events_tumbling_hour", "events_sessionize",
+        "streaming_tumbling_hour", "dedup_minhash_lsh",
+        "dedup_token_jaccard", "ann_cosine_topk", "text_token_stats",
+    ]
+    fns = bench_queries()
+    assert set(order) == set(fns), (
+        f"bench set changed — update the pinned order: "
+        f"missing={set(fns) - set(order)} stale={set(order) - set(fns)}")
+    items = [(name, fns[name]) for name in order]
     for name, fn in items:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
@@ -54,12 +74,12 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             samples[name].append(time.perf_counter() - t0)
 
-    def trimmed_mean(xs: list[float]) -> float:
-        if len(xs) >= 3:
-            xs = sorted(xs)[1:-1]
-        return sum(xs) / len(xs)
+    def median(xs: list[float]) -> float:
+        xs = sorted(xs)
+        m = len(xs) // 2
+        return xs[m] if len(xs) % 2 else (xs[m - 1] + xs[m]) / 2
 
-    per_query = {name: round(trimmed_mean(xs), 3)
+    per_query = {name: round(median(xs), 3)
                  for name, xs in samples.items()}
     total = sum(per_query.values())
 
@@ -69,8 +89,9 @@ def main() -> None:
         "unit": "sec",
         "queries": per_query,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "method": f"trimmed mean of n={n_runs} steady-state runs per "
-                  "query (min/max dropped) after 1 untimed warm-up pass",
+        "method": f"median of n={n_runs} steady-state runs per query "
+                  "after 1 untimed warm-up pass; execution order pinned "
+                  "(registry-rotation-independent)",
     }))
 
 

@@ -105,7 +105,8 @@ def serial_id(df: DataFrame, key_cols: list[str], id_col: str = "id",
     else:  # empty input — single bucket
         pid_expr = F.lit(0)
     # pin ONE materialization for both the counts job and the final job
-    # (see docstring); spill-not-evict so it can't silently recompute
+    # (see docstring); spill-not-evict narrows — but does not eliminate —
+    # the lineage-recompute window (executor loss still recomputes)
     tagged = df.withColumn(_PID, pid_expr).persist(
         StorageLevel.MEMORY_AND_DISK)
 

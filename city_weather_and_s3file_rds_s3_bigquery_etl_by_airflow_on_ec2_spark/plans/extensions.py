@@ -359,23 +359,33 @@ def corpus_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_repetition_score(spark: SparkSession, sf_dir: str,
+                          scan_tokens: int = 512) -> DataFrame:
     """Within-document repetition / boilerplate detection: distinct-
     token ratio and the share of the single most-repeated token. Pure
     higher-order array expressions — zero shuffle, zero Python — the
     cheap gate that drops template/spam pages before expensive dedup.
-    O(distinct·n) per document stays executor-local."""
+
+    The repetition scan is CAPPED at the first ``scan_tokens`` tokens
+    (512 — the standard boilerplate-gate window; VERDICT r4 #4): the
+    distinct-vs-rescan form is O(distinct·scan) per document, so
+    uncapped it turns a diverse 100 k-token web page into a ~10¹⁰-
+    comparison straggler row. Capped, per-document cost is bounded by
+    scan_tokens² regardless of document length; ``n_tokens`` still
+    reports the FULL length so downstream gates can combine both."""
     (documents,) = _t(spark, sf_dir, "documents")
-    toks = TX.tokens("text")
-    n = F.size(toks)
+    toks_full = TX.tokens("text")
+    n = F.size(toks_full)
+    toks = F.slice(toks_full, 1, scan_tokens)
+    m = F.size(toks)
     uniq = F.array_distinct(toks)
     top = F.array_max(
         F.transform(uniq, lambda t: F.size(F.filter(toks, lambda x: x == t))))
     return documents.select(
         "doc_id",
         n.cast("long").alias("n_tokens"),
-        F.round(F.size(uniq).cast("double") / n, 4).alias("distinct_ratio"),
-        F.round(top.cast("double") / n, 4).alias("top_token_ratio"),
+        F.round(F.size(uniq).cast("double") / m, 4).alias("distinct_ratio"),
+        F.round(top.cast("double") / m, 4).alias("top_token_ratio"),
     )
 
 
@@ -403,21 +413,47 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Canonical-survivor selection: for every near-dup cluster (the
-    deterministic blocked-Jaccard components of dedup_cluster_assign),
-    keep the member with the best quality score (doc_id tiebreak) and
-    report cluster size. This is the step that actually SHRINKS the
-    corpus after dedup finds the duplicates; plan = the cluster
-    propagation + one broadcast-friendly join + one window over
-    clusters."""
-    from pyspark.sql import Window
-    (documents,) = _t(spark, sf_dir, "documents")
-    edges = D.token_jaccard_pairs(
+def deterministic_jaccard_edges(documents: DataFrame) -> DataFrame:
+    """Deterministic near-dup edge set: the quadratic-capped
+    token-Jaccard verifier over (lang, 16-char length band) blocks.
+    Exact and reproducible — what the DuckDB recursive-CTE oracle can
+    mirror — but bounded by the runtime n² block guard, so it is the
+    ORACLE edge source, not the scale path."""
+    return D.token_jaccard_pairs(
         documents, "text", "doc_id",
         block_cols=["lang"], length_col="n_chars", length_band=16,
         min_jaccard=0.4)
-    clusters = D.dedup_clusters(documents.select("doc_id"), edges)
+
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str,
+                    edges_fn=None) -> DataFrame:
+    """Canonical-survivor selection: for every near-dup cluster, keep
+    the member with the best quality score (doc_id tiebreak) and report
+    cluster size. This is the step that actually SHRINKS the corpus
+    after dedup finds the duplicates; plan = the cluster propagation +
+    one broadcast-friendly join + one window over clusters.
+
+    ``edges_fn`` maps the documents DataFrame to an (id_a, id_b) edge
+    set and selects the candidate generator (VERDICT r4 #3):
+
+    * default ``None`` — the PRODUCTION path: ``minhash_lsh_pairs_native``
+      at the same jaccard >= 0.4 threshold. Banded LSH never goes
+      all-pairs, so this is the composition that survives 100 TB.
+    * the registry's oracle entry passes
+      ``deterministic_jaccard_edges`` explicitly: LSH recall is
+      probabilistic (1-(1-s^r)^b), so a SQL oracle can only mirror the
+      exact verifier's graph.
+    """
+    from pyspark.sql import Window
+    (documents,) = _t(spark, sf_dir, "documents")
+    if edges_fn is None:
+        edges = D.minhash_lsh_pairs_native(
+            documents, "text", "doc_id",
+            max_exact_jaccard_distance=0.6)
+    else:
+        edges = edges_fn(documents)
+    clusters = D.dedup_clusters(documents.select("doc_id"),
+                                edges.select("id_a", "id_b"))
     scored = documents.select(
         "doc_id", TX.quality_score("text").alias("quality"))
     members = clusters.join(scored, "doc_id")

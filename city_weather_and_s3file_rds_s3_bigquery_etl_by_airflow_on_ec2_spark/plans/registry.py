@@ -1156,19 +1156,26 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM ranked GROUP BY source
         """,
     ),
+    # scan capped at the first 512 tokens, mirroring the operator's
+    # scan_tokens bound (VERDICT r4 #4); n_tokens stays full-length
     "text_repetition_score": QuerySpec(
         X.text_repetition_score,
         f"""
+        WITH capped AS (
+            SELECT doc_id, {_TOKS} AS toks_full,
+                   list_slice({_TOKS}, 1, 512) AS toks
+            FROM documents
+        )
         SELECT doc_id,
-               CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
-               round(CAST(len(list_distinct({_TOKS})) AS DOUBLE)
-                     / len({_TOKS}), 4) AS distinct_ratio,
+               CAST(len(toks_full) AS BIGINT) AS n_tokens,
+               round(CAST(len(list_distinct(toks)) AS DOUBLE)
+                     / len(toks), 4) AS distinct_ratio,
                round(CAST(list_aggregate(
-                         list_transform(list_distinct({_TOKS}),
-                             t -> len(list_filter({_TOKS}, x -> x = t))),
+                         list_transform(list_distinct(toks),
+                             t -> len(list_filter(toks, x -> x = t))),
                          'max') AS DOUBLE)
-                     / len({_TOKS}), 4) AS top_token_ratio
-        FROM documents
+                     / len(toks), 4) AS top_token_ratio
+        FROM capped
         """,
     ),
     "embedding_quantize_int8": QuerySpec(
@@ -1192,8 +1199,14 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM s
         """,
     ),
+    # Oracle entry pins the DETERMINISTIC edge source (the exact
+    # blocked-Jaccard verifier the recursive CTE below mirrors); the
+    # operator's default edges_fn=None is the production LSH path,
+    # whose probabilistic recall no SQL oracle can reproduce
+    # (VERDICT r4 #3).
     "dedup_keep_best": QuerySpec(
-        X.dedup_keep_best,
+        lambda spark, sf_dir: X.dedup_keep_best(
+            spark, sf_dir, edges_fn=X.deterministic_jaccard_edges),
         f"""
         WITH RECURSIVE t AS (
             SELECT doc_id, lang, n_chars // 16 AS len_band,
@@ -1279,41 +1292,41 @@ REGISTRY: dict[str, QuerySpec] = {
 # future insertions anywhere in the literal above cannot silently push
 # an unchecked entry out of the window.
 _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
-    # Round-4 rotation (VERDICT r3 item #2): round 3's window covered the
-    # relational half (all driver-green there); rotate back over the
-    # extension half so this round's dedup_token_jaccard rewrite and the
-    # NEW streaming_session_windows entry get fresh driver rows.  The
-    # alternation contract is documented in README.md; the halves not in
-    # the window are covered by the committed CORRECTNESS_full_r{N}.json
-    # artifact every round.  Dropped vs the round-2 extension window to
-    # make room for streaming_session_windows: scalar_try_cast
-    # (pass(d2) + pass(j3), untouched since round 1).
-    "flagship_weather_join",
-    # §2.13 dedup / similarity / embeddings / text / multimodal
-    "dedup_exact", "dedup_content_hash", "dedup_minhash_lsh",
-    "dedup_simhash_pairs", "dedup_token_jaccard", "dedup_cluster_assign",
-    "dedup_embedding_cosine",
-    "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
-    "embedding_norm_stats", "embedding_centroid_sim",
-    "text_token_stats", "text_quality_score", "text_lang_id",
-    "text_fingerprint", "text_redact_pii", "text_chunking",
-    "text_stratified_topk", "text_contamination_check",
-    "text_ngram_profile", "text_bpe_token_count",
-    "multimodal_meta", "multimodal_decode_features",
-    # streaming + batch event windows (incl. the new native streaming
-    # session windows)
-    "events_tumbling_hour", "events_sessionize", "streaming_tumbling_hour",
-    "events_sliding_window", "streaming_stateful_totals",
-    "session_window_bounds", "streaming_session_windows",
-    # subqueries / CTE
-    "subquery_scalar", "subquery_in", "subquery_exists_correlated",
-    "subquery_correlated_min", "subquery_in_grouped", "subquery_not_in",
-    "cte_multi_step",
-    # remaining extension-half entries
-    "scalar_array_funcs", "generator_range", "sample_bernoulli",
-    "agg_string_concat", "scalar_bitwise", "scalar_format",
-    "agg_collect_sorted", "agg_rollup_grouping", "scalar_regexp_funcs",
-    "unpivot_lineitem", "window_analytics",
+    # Round-5 rotation (VERDICT r4 item #5): round 4's window covered
+    # the extension half; rotate back over the relational half (the r3
+    # list — all driver-green there in r3) per the alternation contract
+    # in README.md.  The half not in the window is covered by the
+    # committed CORRECTNESS_full_r{N}.json artifact every round.
+    # Two swaps vs the r3 relational window so the entries whose code
+    # CHANGED this round get fresh driver rows: text_repetition_score
+    # (scan capped at 512 tokens, VERDICT r4 #4) and dedup_keep_best
+    # (edge source parameterized, VERDICT r4 #3) replace
+    # scalar_json_extract and scalar_date_arith (both pass(d3) +
+    # bit-exact in every full artifact, untouched since round 1).
+    "flagship_weather_join", "ref_pipeline_golden", "serial_id_assignment",
+    "filter_project_pushdown", "topk_orders", "q1_pricing_summary",
+    # aggregation family
+    "agg_stats_by_returnflag", "agg_count_distinct", "agg_approx_distinct",
+    "agg_rollup", "agg_cube", "agg_grouping_sets", "agg_pivot",
+    "agg_median_percentile", "agg_salted_twophase", "agg_corr_covar",
+    "agg_bool", "agg_approx_quantile", "agg_having", "agg_collect_sorted",
+    "scalar_array_funcs",
+    # join family
+    "join_inner_3way_topk", "join_5way_star", "join_left_outer_agg",
+    "join_semi", "join_anti", "join_full_outer", "join_cross",
+    "join_theta_pairs", "join_asof_events_orders",
+    "join_composite_adjacent", "join_range_events",
+    # window family
+    "window_topk_per_group", "window_running_sum", "window_lag_lead",
+    "window_rank_ntile", "window_range_frame",
+    # sort / set ops / generators
+    "sort_multi_key", "set_union_all", "set_union_distinct",
+    "set_intersect", "set_except", "set_intersect_all",
+    "explode_variants", "distinct_projection",
+    # scalar surface
+    "scalar_string_funcs", "scalar_date_funcs", "scalar_case_math",
+    # r5-changed extension entries (see header note)
+    "text_repetition_score", "dedup_keep_best",
 )
 assert set(_DRIVER_WINDOW_FIRST) <= set(REGISTRY), sorted(
     set(_DRIVER_WINDOW_FIRST) - set(REGISTRY))

@@ -60,6 +60,16 @@ def _normalize_types(df: DataFrame) -> DataFrame:
     return df
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Public form of the ``ts`` normalization for STREAMING readers
+    (``_normalize_types`` covers batch reads): whatever physical type
+    the lake writer used for event time — TIMESTAMP(NANOS) read as
+    long under ``nanosAsLong``, or micros-NTZ (the r5 driver lakes) —
+    becomes a session-UTC TimestampType, which ``withWatermark``
+    requires (it rejects NTZ outright)."""
+    return _normalize_types(df)
+
+
 def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from ..session import ensure_session_confs
 

@@ -32,9 +32,8 @@ def continuous_hourly_rollup(spark: SparkSession, sf_dir: str,
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    from ..sources.tables import normalize_event_ts
+    stream = normalize_event_ts(stream)  # nanos-as-long OR micros-NTZ
     agg = (
         stream.withWatermark("ts", "2 hours")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")

@@ -70,9 +70,8 @@ def running_user_totals_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    from ..sources.tables import normalize_event_ts
+    stream = normalize_event_ts(stream)  # nanos-as-long OR micros-NTZ
     updated = (
         stream.groupBy("user_id")
         .applyInPandasWithState(

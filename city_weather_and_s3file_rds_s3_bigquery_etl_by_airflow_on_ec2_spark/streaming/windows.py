@@ -41,15 +41,8 @@ def run_tumbling_count_stream(
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    ts_type = dict(stream.dtypes).get("ts")
-    if ts_type == "bigint":
-        # TIMESTAMP(NANOS) parquet read as long (see sources.tables)
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif ts_type == "timestamp_ntz":
-        # NTZ event time (e.g. DuckDB-written lakes) is rejected by
-        # withWatermark; session tz is pinned UTC, so the cast is exact
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    from ..sources.tables import normalize_event_ts
+    stream = normalize_event_ts(stream)  # nanos-as-long OR micros-NTZ
     agg = (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window_duration).alias("w"), "event_type")
@@ -103,12 +96,8 @@ def run_session_window_stream(
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    ts_type = dict(stream.dtypes).get("ts")
-    if ts_type == "bigint":
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif ts_type == "timestamp_ntz":
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    from ..sources.tables import normalize_event_ts
+    stream = normalize_event_ts(stream)  # nanos-as-long OR micros-NTZ
     agg = (
         stream.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
@@ -129,10 +118,8 @@ def run_session_window_stream(
     # Deterministic emitted set: sessions closed by the final watermark
     # (max event time − delay). The bound is recomputed from the batch
     # table so the filter is exact regardless of no-data-batch timing.
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(events.dtypes).get("ts") == "bigint":
-        events = events.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    events = normalize_event_ts(
+        spark.read.parquet(f"{sf_dir}/events.parquet"))
     hi = (events.agg(
         (F.max("ts") - F.expr(f"INTERVAL {watermark}")).alias("hi"))
         .first()["hi"])

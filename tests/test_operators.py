@@ -601,3 +601,134 @@ def test_multimodal_real_png_decode(spark):
     assert got[1][:2] == (8, 5) and got[2][:2] == (31, 17)
     assert got[3][:2] == (2, 9)
     assert all(got[i][2] == len(rows[i - 1][1]) for i in (1, 2, 3))
+
+
+# -------------------------- corpus curation (VERDICT r4 #3/#4/#6) ---------
+
+def _write_documents(spark, tmp_path, rows):
+    """Write a synthetic documents.parquet lake into ``tmp_path`` with
+    the lake's column set (doc_id, text, lang, n_chars, source)."""
+    df = spark.createDataFrame(
+        [(i, t, lang, len(t), src) for i, t, lang, src in rows],
+        "doc_id: long, text: string, lang: string, n_chars: int, "
+        "source: string")
+    df.coalesce(1).write.mode("overwrite") \
+      .parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_keep_best_lsh_edges_one_survivor_per_planted_cluster(spark, tmp_path):
+    """VERDICT r4 #3: the PRODUCTION default (edges_fn=None →
+    minhash_lsh_pairs_native) must collapse each planted near-dup
+    cluster to one survivor row."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        dedup_keep_best,
+    )
+
+    rows, doc_id = [], 0
+    # 5 clusters of 3 near-identical docs (one appended token apart:
+    # shingle-jaccard ~0.9 — LSH collision prob ~1 at b=8, r=2).
+    # Cluster vocabularies are fully disjoint (suffixed per cluster)
+    # so clusters cannot legitimately merge.
+    for c in range(5):
+        base = " ".join(
+            f"{w}{c}" for w in ("alpha", "bravo", "charlie", "delta",
+                                "echo", "foxtrot", "golf", "hotel",
+                                "india", "juliet", "kilo", "lima",
+                                "mike", "november"))
+        for suffix in ("", f" oscar{c}", f" papa{c}"):
+            rows.append((doc_id, base + suffix, "en", "web"))
+            doc_id += 1
+    # 5 dissimilar singletons
+    for s in range(5):
+        rows.append((doc_id,
+                     f"lonely{s} unique{s} words{s} only{s} here{s} "
+                     f"nothing{s} shared{s} at{s} all{s} ever{s}",
+                     "en", "web"))
+        doc_id += 1
+    sf_dir = _write_documents(spark, tmp_path, rows)
+
+    out = dedup_keep_best(spark, sf_dir).collect()  # default = LSH edges
+    assert len(out) == 10  # 5 collapsed clusters + 5 singletons
+    sizes = sorted(r.n_members for r in out)
+    assert sizes == [1] * 5 + [3] * 5
+    # exactly one survivor per cluster, and it is a member doc
+    for r in out:
+        assert r.keep_doc_id is not None and r.best_quality is not None
+
+
+def test_keep_best_all_docs_one_cluster_quality_ties(spark, tmp_path):
+    """Adversarial (VERDICT r4 #6): identical texts → one cluster,
+    tied quality — the doc_id tiebreak must pick the MINIMUM id."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        dedup_keep_best,
+        deterministic_jaccard_edges,
+    )
+
+    text = "same exact boilerplate text repeated in every document here"
+    sf_dir = _write_documents(
+        spark, tmp_path, [(i, text, "en", "web") for i in range(12)])
+    out = dedup_keep_best(
+        spark, sf_dir, edges_fn=deterministic_jaccard_edges).collect()
+    assert len(out) == 1
+    assert out[0].n_members == 12
+    assert out[0].cluster_id == 0
+    assert out[0].keep_doc_id == 0  # tie on quality -> lowest doc_id
+
+
+def test_corpus_source_quota_adversarial(spark, tmp_path):
+    """Adversarial (VERDICT r4 #6): a source under the 25-doc cap keeps
+    everything; an over-cap source keeps exactly 25; tied qualities
+    break deterministically by doc_id so kept_avg_quality is stable."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        corpus_source_quota,
+    )
+
+    rows = []
+    # "small" source: 3 docs, distinct texts
+    for i in range(3):
+        rows.append((i, f"short doc number {i} with a few words", "en",
+                     "small"))
+    # "big" source: 40 identical docs — every quality tied
+    for i in range(40):
+        rows.append((100 + i,
+                     "the very same filler text for every big-source doc",
+                     "en", "big"))
+    sf_dir = _write_documents(spark, tmp_path, rows)
+
+    out = {r.source: r for r in corpus_source_quota(spark, sf_dir).collect()}
+    assert out["small"].n_docs == 3 and out["small"].n_kept == 3
+    assert out["big"].n_docs == 40 and out["big"].n_kept == 25
+    # ties: all big-source qualities identical -> mean == that quality
+    big = out["big"]
+    assert big.kept_avg_quality is not None
+    # run twice: deterministic under reshuffles/ties
+    again = {r.source: r
+             for r in corpus_source_quota(spark, sf_dir).collect()}
+    assert again["big"].kept_avg_quality == big.kept_avg_quality
+    assert again["big"].n_kept == 25
+
+
+def test_repetition_score_bounded_on_50k_token_doc(spark, tmp_path):
+    """VERDICT r4 #4: the repetition scan is capped at 512 tokens, so a
+    50 k-distinct-token document (uncapped: ~2.5e9 comparisons on one
+    row) completes quickly; n_tokens still reports full length."""
+    import time as _time
+
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        text_repetition_score,
+    )
+
+    monster = " ".join(f"tok{i}" for i in range(50_000))
+    sf_dir = _write_documents(
+        spark, tmp_path,
+        [(1, monster, "en", "web"), (2, "tiny doc here", "en", "web")])
+    t0 = _time.perf_counter()
+    out = {r.doc_id: r for r in
+           text_repetition_score(spark, sf_dir).collect()}
+    elapsed = _time.perf_counter() - t0
+    assert elapsed < 60  # uncapped form would take minutes on one core
+    assert out[1].n_tokens == 50_000
+    assert out[1].distinct_ratio == 1.0      # first 512 all distinct
+    assert out[1].top_token_ratio == round(1 / 512, 4)
+    assert out[2].n_tokens == 3 and out[2].distinct_ratio == 1.0

@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Per-round sf1 scale bench (VERDICT r4 #2): guard the sublinear
+dedup/ANN shapes with a committed, repeatable artifact instead of
+hand-run sessions.
+
+Builds the 10× perf lake via tools/make_scale_lake.py if absent, then
+runs the 4 scale-critical queries — dedup_minhash_lsh,
+dedup_token_jaccard, ann_cosine_topk, flagship_weather_join — with one
+untimed warm-up and the MEDIAN of n timed runs each (median, not mean:
+the host exhibits intermittent 10-35 s stalls — see the r5 diagnosis
+in BASELINE.md), and emits ONE JSON line to stdout; redirect or tee to
+``BENCH_scale_r{N}.json``.
+
+Per-query sublinearity is reported as ``x_vs_linear`` = sf1_sec /
+(reps × sf0.1_sec) using the *same-session* sf0.1 medians, so the
+ratio is immune to cross-day host drift.
+
+Usage: python tools/bench_scale.py [--lake /tmp/scale_sf1] [--reps 10]
+                                   [--runs 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark import (  # noqa: E402
+    get_spark,
+)
+from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.registry import (  # noqa: E402
+    bench_queries,
+)
+
+SCALE_QUERIES = [
+    "flagship_weather_join",
+    "dedup_minhash_lsh",
+    "dedup_token_jaccard",
+    "ann_cosine_topk",
+]
+
+
+def median(xs: list[float]) -> float:
+    xs = sorted(xs)
+    m = len(xs) // 2
+    return xs[m] if len(xs) % 2 else (xs[m - 1] + xs[m]) / 2
+
+
+def ensure_lake(lake: str, src: str, reps: int) -> None:
+    marker = os.path.join(lake, "lineitem.parquet")
+    if os.path.exists(marker):
+        return
+    print(f"building {reps}x scale lake at {lake} ...", file=sys.stderr)
+    subprocess.run(
+        [sys.executable,
+         os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "make_scale_lake.py"),
+         "--src", src, "--out", lake, "--reps", str(reps)],
+        check=True)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--lake", default="/tmp/scale_sf1")
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--reps", type=int, default=10)
+    ap.add_argument("--runs", type=int, default=3)
+    args = ap.parse_args()
+
+    ensure_lake(args.lake, args.src, args.reps)
+    spark = get_spark("bench-scale")
+    fns = {name: bench_queries()[name] for name in SCALE_QUERIES}
+
+    def profile(sf_dir: str) -> dict[str, float]:
+        for fn in fns.values():  # untimed warm-up
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        samples: dict[str, list[float]] = {n: [] for n in fns}
+        for _ in range(args.runs):
+            for name, fn in fns.items():
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop") \
+                    .mode("overwrite").save()
+                samples[name].append(time.perf_counter() - t0)
+        return {n: round(median(xs), 3) for n, xs in samples.items()}
+
+    small = profile(args.src)     # same-session sf0.1 reference
+    big = profile(args.lake)
+
+    out = {
+        "metric": "bench_scale_sf1",
+        "unit": "sec",
+        "reps": args.reps,
+        "runs_per_query": args.runs,
+        "sf0_1_sec": small,
+        "sf1_sec": big,
+        "x_vs_linear": {
+            n: round(big[n] / (args.reps * small[n]), 3) for n in fns},
+        "method": "median of n runs after 1 untimed warm-up; sf0.1 and "
+                  "sf1 profiled in the SAME session so x_vs_linear is "
+                  "host-drift-immune",
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
