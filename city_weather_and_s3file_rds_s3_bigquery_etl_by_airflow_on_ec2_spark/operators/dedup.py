@@ -128,6 +128,33 @@ def minhash_lsh_pairs_native(
     attach joins over the surviving pairs. Collision probability for
     shingle-jaccard s: 1-(1-s^r)^b.
     """
+    banded, sets = _minhash_banded(df, text_col, id_col, shingle_size,
+                                   num_bands, rows_per_band, seed)
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(b, on=["band_idx", "band_hash"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return _verify_shingle_jaccard(cands, sets, id_col,
+                                   max_exact_jaccard_distance)
+
+
+def _minhash_banded(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_size: int,
+    num_bands: int,
+    rows_per_band: int,
+    seed: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared signature stage of the LSH family: returns
+    ``(banded, sets)`` where ``banded`` is the narrow
+    (id, band_idx, band_hash) relation the candidate join runs on and
+    ``sets`` is (id, shingle_set) for the exact verify re-attach."""
     num_hashes = num_bands * rows_per_band
     toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("toks")) \
              .where(F.size("toks") >= shingle_size)
@@ -167,22 +194,26 @@ def minhash_lsh_pairs_native(
             for bi in range(num_bands)
         ])).alias("band"),
     ).select(id_col, "band.band_idx", "band.band_hash")
+    return banded, sig.select(id_col, "shingle_set")
 
-    a, b = banded.alias("a"), banded.alias("b")
-    cands = (
-        a.join(b, on=["band_idx", "band_hash"])
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(F.col(f"a.{id_col}").alias("id_a"),
-                F.col(f"b.{id_col}").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    sets = sig.select(id_col, "shingle_set")
+
+def _verify_shingle_jaccard(
+    cands: DataFrame,
+    sets: DataFrame,
+    id_col: str,
+    max_exact_jaccard_distance: float | None,
+    sets_b: DataFrame | None = None,
+) -> DataFrame:
+    """Exact shingle-set Jaccard verify over candidate (id_a, id_b)
+    pairs; ``sets_b`` lets the bipartite (incremental) variant attach
+    the two sides from different relations."""
+    right = sets if sets_b is None else sets_b
     cands = (
         cands
         .join(sets.select(F.col(id_col).alias("id_a"),
                           F.col("shingle_set").alias("ss_a")), "id_a")
-        .join(sets.select(F.col(id_col).alias("id_b"),
-                          F.col("shingle_set").alias("ss_b")), "id_b")
+        .join(right.select(F.col(id_col).alias("id_b"),
+                           F.col("shingle_set").alias("ss_b")), "id_b")
     )
     inter = F.size(F.array_intersect("ss_a", "ss_b")).cast("double")
     uni = F.size(F.array_union("ss_a", "ss_b")).cast("double")
@@ -193,6 +224,47 @@ def minhash_lsh_pairs_native(
         out = out.where(
             F.col("jaccard_distance") <= max_exact_jaccard_distance)
     return out
+
+
+def minhash_lsh_pairs_incremental(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_size: int = 3,
+    num_bands: int = 8,
+    rows_per_band: int = 2,
+    max_exact_jaccard_distance: float | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Incremental corpus dedup: MinHash-LSH candidates between a NEW
+    batch and an EXISTING corpus (bipartite band join — never
+    new×new or corpus×corpus), the shape a continuously-ingesting
+    training-data pipeline actually runs: the corpus side's band table
+    is precomputable and bucketed by (band_idx, band_hash), so each
+    incoming batch shuffles only ITS OWN bands plus the candidate
+    pairs — corpus scan stays narrow and join-pruned at 100 TB.
+
+    Output: (id_a = new id, id_b = corpus id, jaccard_distance), exact
+    shingle-Jaccard verified like ``minhash_lsh_pairs_native``. Both
+    sides must use the same hash ``seed``/band geometry (the corpus
+    bands are only reusable if the signature family is pinned)."""
+    banded_new, sets_new = _minhash_banded(
+        new_df, text_col, id_col, shingle_size, num_bands, rows_per_band,
+        seed)
+    banded_old, sets_old = _minhash_banded(
+        corpus_df, text_col, id_col, shingle_size, num_bands, rows_per_band,
+        seed)
+    n, c = banded_new.alias("n"), banded_old.alias("c")
+    cands = (
+        n.join(c, on=["band_idx", "band_hash"])
+        .select(F.col(f"n.{id_col}").alias("id_a"),
+                F.col(f"c.{id_col}").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return _verify_shingle_jaccard(cands, sets_new, id_col,
+                                   max_exact_jaccard_distance,
+                                   sets_b=sets_old)
 
 
 _SIMHASH_BITS = 64

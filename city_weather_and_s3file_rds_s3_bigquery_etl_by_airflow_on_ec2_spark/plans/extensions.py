@@ -389,6 +389,87 @@ def text_repetition_score(spark: SparkSession, sf_dir: str,
     )
 
 
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style (Rae et al. 2021, public) rule-based quality gates,
+    one boolean per rule plus the inputs: word count in [20, 100k],
+    mean word length in [3, 10], symbol-to-char ratio < 0.1, and ≥ 2
+    hits from a required-stopword list. Pure Catalyst expressions —
+    the cheap first-pass corpus filter; at 100 TB this is a
+    zero-shuffle map with pruned column reads."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    n_words = F.size(toks).cast("long")
+    mean_len = F.round(
+        F.length(F.regexp_replace(F.col("text"), r"\s+", ""))
+        .cast("double") / n_words, 4)
+    sym_ratio = F.round(TX.punct_ratio("text"), 4)
+    stop_hits = TX.stopword_count("text")
+    pass_wc = (n_words >= 20) & (n_words <= 100_000)
+    pass_mwl = (mean_len >= 3.0) & (mean_len <= 10.0)
+    pass_sym = sym_ratio < 0.1
+    pass_stop = stop_hits >= 2
+    return documents.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        sym_ratio.alias("symbol_ratio"),
+        stop_hits.alias("stop_hits"),
+        pass_wc.alias("pass_word_count"),
+        pass_mwl.alias("pass_mean_word_len"),
+        pass_sym.alias("pass_symbol_ratio"),
+        pass_stop.alias("pass_stopwords"),
+        (pass_wc & pass_mwl & pass_sym & pass_stop).alias("pass_all"),
+    )
+
+
+def embedding_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One deterministic Lloyd iteration over the embeddings table:
+    assign every vector to its nearest of 8 fixed seed centroids (the
+    vectors with vec_id 0-7 — deterministic, so the step is
+    oracle-checkable), then report per-centroid member count and
+    inertia (sum of squared L2 distances, DECIMAL-summed so the
+    cross-partition addition order cannot perturb double bits).
+
+    Plan: broadcast the 8 centroids, one zero-shuffle map computes all
+    8 distances per row (argmin via a per-vector window over the tiny
+    8-row fanout), one hash-agg shuffle on c_id. The iterative driver
+    (re-running with updated centroids) keeps the same per-step shape;
+    at 100 TB each step is one scan + one 8-group aggregate."""
+    from pyspark.sql import Window
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    cents = embeddings.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("centroid"))
+    sq = F.aggregate(
+        F.zip_with(as_double(F.col("embedding")),
+                   as_double(F.col("centroid")),
+                   lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x)
+    d = embeddings.crossJoin(F.broadcast(cents)).withColumn("dist2", sq)
+    w = Window.partitionBy("vec_id").orderBy("dist2", "c_id")
+    assigned = d.withColumn("rk", F.row_number().over(w)) \
+                .where(F.col("rk") == 1)
+    return (assigned.groupBy("c_id")
+            .agg(F.count(F.lit(1)).alias("n_members"),
+                 F.round(F.sum(F.col("dist2").cast("decimal(28,10)"))
+                          .cast("double"), 4).alias("inertia")))
+
+
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (new-batch × existing-corpus) MinHash-LSH dedup:
+    documents with doc_id >= 400 play the incoming batch, the rest the
+    standing corpus (rows-only: candidate set is hash-dependent; the
+    bipartite operator is ground-truthed against planted cross-side
+    near-dups in tests)."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    new_batch = documents.where(F.col("doc_id") >= 400)
+    corpus = documents.where(F.col("doc_id") < 400)
+    return D.minhash_lsh_pairs_incremental(
+        new_batch, corpus, "text", "doc_id",
+        max_exact_jaccard_distance=0.5)
+
+
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric per-vector int8 quantization (max-abs scaling): the
     standard storage/bandwidth reduction before ANN indexing at corpus

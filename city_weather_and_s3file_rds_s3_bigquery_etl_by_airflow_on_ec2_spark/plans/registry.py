@@ -1280,6 +1280,76 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM h
         """,
     ),
+    # ----------------------- round-5 widening batch -----------------------
+    "text_gopher_quality": QuerySpec(
+        X.text_gopher_quality,
+        f"""
+        WITH m AS (
+            SELECT doc_id,
+                   CAST(len({_TOKS}) AS BIGINT) AS n_words,
+                   round(CAST(length(regexp_replace(text, '\\s+', '', 'g'))
+                              AS DOUBLE) / len({_TOKS}), 4) AS mean_word_len,
+                   round({_PUNCT_RATIO}, 4) AS symbol_ratio,
+                   CAST(len(list_filter({_TOKS},
+                        t -> list_contains([{_SW}], lower(t))))
+                        AS BIGINT) AS stop_hits
+            FROM documents
+        )
+        SELECT doc_id, n_words, mean_word_len, symbol_ratio, stop_hits,
+               (n_words >= 20 AND n_words <= 100000) AS pass_word_count,
+               (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+                   AS pass_mean_word_len,
+               (symbol_ratio < 0.1) AS pass_symbol_ratio,
+               (stop_hits >= 2) AS pass_stopwords,
+               ((n_words >= 20 AND n_words <= 100000)
+                AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+                AND (symbol_ratio < 0.1)
+                AND (stop_hits >= 2)) AS pass_all
+        FROM m
+        """,
+    ),
+    "embedding_kmeans_step": QuerySpec(
+        X.embedding_kmeans_step,
+        """
+        WITH c AS (
+            SELECT vec_id AS c_id, embedding AS centroid
+            FROM embeddings WHERE vec_id < 8
+        ), d AS (
+            SELECT e.vec_id, c.c_id,
+                   list_aggregate(list_transform(
+                       list_zip(e.embedding, c.centroid),
+                       x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+                            * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))),
+                       'sum') AS dist2
+            FROM embeddings e CROSS JOIN c
+        ), a AS (
+            SELECT vec_id, c_id, dist2,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist2, c_id) AS rk
+            FROM d
+        )
+        SELECT c_id, count(*) AS n_members,
+               round(CAST(sum(CAST(dist2 AS DECIMAL(28,10))) AS DOUBLE), 4)
+                   AS inertia
+        FROM a WHERE rk = 1 GROUP BY c_id
+        """,
+    ),
+    # rows-only: candidate set is hash-dependent (bipartite LSH);
+    # ground-truthed against planted cross-side near-dups in tests
+    "dedup_incremental_lsh": QuerySpec(X.dedup_incremental_lsh, None),
+    "streaming_interval_join": QuerySpec(
+        R.streaming_interval_join,
+        """
+        SELECT c.event_id AS click_id, v.event_id AS view_id,
+               c.user_id AS user_id,
+               CAST(floor(epoch(c.ts)) - floor(epoch(v.ts)) AS BIGINT)
+                   AS gap_sec
+        FROM events c JOIN events v
+          ON c.user_id = v.user_id
+         AND c.event_type = 'click' AND v.event_type = 'view'
+         AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 60 MINUTE
+        """,
+    ),
 }
 
 # The driver's per-round correctness snapshot covers only the FIRST 50

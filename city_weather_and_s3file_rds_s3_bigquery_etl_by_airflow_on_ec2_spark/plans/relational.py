@@ -645,6 +645,15 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_session_window_stream(spark, sf_dir)
 
 
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner interval join (click ⋈ same-user views in
+    the preceding hour) through real Structured Streaming state — the
+    bounded AvailableNow run settles to exactly the batch time-bounded
+    self-join, so the oracle is plain SQL."""
+    from ..streaming.joins import run_interval_join_stream
+    return run_interval_join_stream(spark, sf_dir)
+
+
 # ------------------------------------------------- round-1 widening batch —
 
 def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -78,7 +78,9 @@ def running_user_totals_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             _update, OUTPUT_SCHEMA, STATE_SCHEMA,
             "update", GroupStateTimeout.NoTimeout)
     )
-    qname = f"stateful_{uuid.uuid4().hex[:8]}"
+    from . import rotate_sink
+    qname = rotate_sink(spark, "stateful",
+                        f"stateful_{uuid.uuid4().hex[:8]}")
     q = (updated.writeStream.outputMode("update")
          .format("memory").queryName(qname)
          .trigger(availableNow=True).start())

@@ -49,7 +49,9 @@ def run_tumbling_count_stream(
         .agg(F.count(F.lit(1)).alias("n_events"),
              F.round(F.sum("value"), 2).alias("sum_value"))
     )
-    qname = f"tumbling_{uuid.uuid4().hex[:8]}"
+    from . import rotate_sink
+    qname = rotate_sink(spark, "tumbling",
+                        f"tumbling_{uuid.uuid4().hex[:8]}")
     query = (
         agg.writeStream.outputMode("complete")
         .format("memory").queryName(qname)
@@ -103,7 +105,9 @@ def run_session_window_stream(
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
-    qname = f"sessionwin_{uuid.uuid4().hex[:8]}"
+    from . import rotate_sink
+    qname = rotate_sink(spark, "sessionwin",
+                        f"sessionwin_{uuid.uuid4().hex[:8]}")
     query = (
         agg.writeStream.outputMode("append")
         .format("memory").queryName(qname)

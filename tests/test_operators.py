@@ -732,3 +732,124 @@ def test_repetition_score_bounded_on_50k_token_doc(spark, tmp_path):
     assert out[1].distinct_ratio == 1.0      # first 512 all distinct
     assert out[1].top_token_ratio == round(1 / 512, 4)
     assert out[2].n_tokens == 3 and out[2].distinct_ratio == 1.0
+
+
+# ------------------------------ round-5 widening ---------------------------
+
+def test_incremental_lsh_bipartite_recall(spark):
+    """minhash_lsh_pairs_incremental must (a) find planted cross-side
+    near-dups with high recall, (b) emit ONLY new×corpus pairs — never
+    new×new or corpus×corpus (the bipartite contract that keeps the
+    incremental-ingest join narrow)."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.operators.dedup import (
+        minhash_lsh_pairs_incremental,
+    )
+
+    docs = read_parquet_table(spark, SF_SMALL, "documents")
+    corpus = docs.limit(20).select("doc_id", "text")
+    # the new batch: near-dup of every corpus doc (one appended token)
+    new_batch = corpus.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extraword")).alias("text"))
+    pairs = minhash_lsh_pairs_incremental(
+        new_batch, corpus, "text", "doc_id").collect()
+    corpus_ids = {r.doc_id for r in corpus.collect()}
+    for r in pairs:  # bipartite contract
+        assert r.id_a >= 100000 and r.id_b in corpus_ids
+    found = {(r.id_a, r.id_b) for r in pairs}
+    planted = {(i + 100000, i) for i in corpus_ids}
+    assert len(planted & found) >= len(planted) * 0.8
+
+
+def test_kmeans_step_matches_numpy(spark):
+    """One Lloyd iteration vs a NumPy reference on the same data:
+    membership counts and inertia (to 3 decimals) must agree."""
+    import numpy as np
+
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        embedding_kmeans_step,
+    )
+
+    emb = read_parquet_table(spark, SF_SMALL, "embeddings") \
+        .select("vec_id", "embedding").collect()
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in emb}
+    cents = {i: vecs[i] for i in range(8)}
+    counts: dict[int, int] = {}
+    inertia: dict[int, float] = {}
+    for _vid, v in vecs.items():
+        d2 = {c: float(((v - cv) ** 2).sum()) for c, cv in cents.items()}
+        best = min(d2, key=lambda c: (d2[c], c))
+        counts[best] = counts.get(best, 0) + 1
+        inertia[best] = inertia.get(best, 0.0) + d2[best]
+
+    got = {r.c_id: r for r in
+           embedding_kmeans_step(spark, SF_SMALL).collect()}
+    assert {c: r.n_members for c, r in got.items()} == counts
+    for c, r in got.items():
+        assert abs(r.inertia - inertia[c]) < 1e-3
+
+
+def test_orc_roundtrip_and_pushdown(spark, tmp_path):
+    """ORC sink/scan: values survive the round-trip and filters reach
+    the ORC reader (PushedFilters in the scan node)."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.sources.files import (
+        read_orc,
+        write_orc,
+    )
+
+    src = read_parquet_table(spark, SF_SMALL, "orders") \
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    out = str(tmp_path / "orders_orc")
+    write_orc(src, out)
+    back = read_orc(spark, out)
+    assert back.count() == src.count()
+    assert sorted(back.columns) == sorted(src.columns)
+    filtered = back.where(F.col("o_orderstatus") == "F") \
+                   .select("o_orderkey")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "o_orderstatus" in plan
+    # partitioned variant prunes directories
+    out2 = str(tmp_path / "orders_orc_part")
+    write_orc(src, out2, partition_by=["o_orderstatus"])
+    pruned = read_orc(spark, out2).where(F.col("o_orderstatus") == "F")
+    assert pruned.count() == src.where("o_orderstatus = 'F'").count()
+
+
+def test_streaming_interval_join_matches_batch(spark):
+    """Stream-stream interval join settles to the batch time-bounded
+    self-join (inner, same user, view within the preceding hour)."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.streaming.joins import (
+        run_interval_join_stream,
+    )
+
+    got = {(r.click_id, r.view_id, r.user_id, r.gap_sec)
+           for r in run_interval_join_stream(spark, SF_SMALL).collect()}
+    ev = read_parquet_table(spark, SF_SMALL, "events")
+    c = ev.where("event_type = 'click'").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"), F.col("ts").alias("c_ts"))
+    v = ev.where("event_type = 'view'").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"))
+    want = {(r.click_id, r.view_id, r.user_id, r.gap_sec) for r in
+            c.join(v, (c.user_id == v.v_user)
+                   & (F.col("v_ts") <= F.col("c_ts"))
+                   & (F.col("v_ts") >= F.col("c_ts")
+                      - F.expr("INTERVAL 60 minutes")))
+             .select("click_id", "view_id", "user_id",
+                     (F.unix_timestamp("c_ts") - F.unix_timestamp("v_ts"))
+                     .cast("long").alias("gap_sec")).collect()}
+    assert got == want and len(got) > 0
+
+
+def test_memory_sink_rotation_bounds_session_state(spark):
+    """Each streaming entry point keeps at most ONE live memory-sink
+    temp view per session: re-invoking drops the previous sink (the
+    unbounded-accumulation leak found in the r5 bench diagnosis)."""
+    first = run_tumbling_count_stream(spark, SF_SMALL)
+    n_first = first.count()  # materialize before re-invoking (contract)
+    second = run_tumbling_count_stream(spark, SF_SMALL)
+    assert second.count() == n_first
+    live = [t.name for t in spark.catalog.listTables()
+            if t.name.startswith("tumbling_")]
+    assert len(live) == 1

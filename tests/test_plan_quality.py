@@ -265,3 +265,33 @@ def test_no_unjustified_single_partition_suite_wide(spark):
                 offenders[name] = line.strip() + " || child: " + child.strip()
                 break
     assert not offenders, f"unjustified SinglePartition exchanges: {offenders}"
+
+
+def test_gopher_quality_zero_shuffle(spark):
+    """text_gopher_quality is the cheap first-pass filter — it must be
+    a pure map over the scan: no Exchange anywhere in the plan."""
+    plan = _plan(X.text_gopher_quality(spark, SF_SMALL))
+    assert "Exchange" not in plan
+
+
+def test_kmeans_step_broadcasts_centroids(spark):
+    """embedding_kmeans_step: the 8 centroids broadcast (corpus side
+    never shuffles for the distance computation); the only hash
+    exchanges are the per-vector argmin window and the tiny 8-group
+    final aggregate."""
+    plan = _plan(X.embedding_kmeans_step(spark, SF_SMALL))
+    assert "BroadcastExchange" in plan
+    # corpus side must not be range/hash-repartitioned before the
+    # broadcast join: the first Exchange below the scan is the argmin
+    # window's, keyed on vec_id
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_incremental_lsh_no_self_join_sides(spark):
+    """dedup_incremental_lsh joins new-batch bands against corpus
+    bands (bipartite): both sides prune to their doc_id half at the
+    parquet scan (PushedFilters), so the corpus scan is join-pruned
+    rather than full."""
+    plan = _explain(X.dedup_incremental_lsh(spark, SF_SMALL))
+    assert "GreaterThanOrEqual(doc_id,400)" in plan
+    assert "LessThan(doc_id,400)" in plan
