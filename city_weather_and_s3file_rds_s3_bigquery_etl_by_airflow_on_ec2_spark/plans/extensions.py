@@ -506,6 +506,51 @@ def deterministic_jaccard_edges(documents: DataFrame) -> DataFrame:
         min_jaccard=0.4)
 
 
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension corpus statistics (mean and variance for each of
+    the 64 embedding dimensions) — the feature-normalization /
+    whitening precursor every embedding pipeline runs before indexing.
+    posexplode → groupBy(dim): map-side partial aggregation collapses
+    each task's exploded rows to 64 partials before the shuffle, so
+    the exchange moves #tasks×64 rows regardless of corpus size.
+    Sums go through DECIMAL so cross-partition addition order cannot
+    perturb double bits (registry determinism rule)."""
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    e = embeddings.select(
+        F.posexplode(as_double(F.col("embedding"))).alias("dim", "x"))
+    n = F.count(F.lit(1))
+    sx = F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
+    sxx = F.sum((F.col("x") * F.col("x")).cast("decimal(28,12)")) \
+           .cast("double")
+    return (e.groupBy("dim")
+            .agg(n.alias("n_vecs"),
+                 F.round(sx / n, 4).alias("dim_mean"),
+                 F.round(sxx / n - (sx / n) * (sx / n), 4)
+                  .alias("dim_var")))
+
+
+def text_ngram_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated 5-gram spans: every 5-token window that
+    occurs in ≥2 distinct documents, with document- and occurrence-
+    counts — the candidate-generation stage of exact substring dedup
+    (Lee et al. 2021, "Deduplicating Training Data Makes Language
+    Models Better", public). One explode + one hash-agg shuffle keyed
+    on the gram (map-side combine collapses within-task repeats);
+    production variants key on a gram HASH to keep shuffle rows
+    narrow — semantics identical."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 5),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 5)))
+    g = documents.where(F.size(toks) >= 5).select(
+        "doc_id", F.explode(grams).alias("gram"))
+    return (g.groupBy("gram")
+            .agg(F.countDistinct("doc_id").alias("n_docs"),
+                 F.count(F.lit(1)).alias("n_occurrences"))
+            .where(F.col("n_docs") >= 2))
+
+
 def dedup_keep_best(spark: SparkSession, sf_dir: str,
                     edges_fn=None) -> DataFrame:
     """Canonical-survivor selection: for every near-dup cluster, keep

@@ -1337,6 +1337,44 @@ REGISTRY: dict[str, QuerySpec] = {
     # rows-only: candidate set is hash-dependent (bipartite LSH);
     # ground-truthed against planted cross-side near-dups in tests
     "dedup_incremental_lsh": QuerySpec(X.dedup_incremental_lsh, None),
+    "embedding_dim_stats": QuerySpec(
+        X.embedding_dim_stats,
+        """
+        WITH e AS (
+            SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+                   CAST(unnest(embedding) AS DOUBLE) AS x
+            FROM embeddings
+        )
+        SELECT dim, count(*) AS n_vecs,
+               round(CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE)
+                     / count(*), 4) AS dim_mean,
+               round(CAST(sum(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE)
+                     / count(*)
+                     - (CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE)
+                        / count(*))
+                       * (CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE)
+                          / count(*)), 4) AS dim_var
+        FROM e GROUP BY dim
+        """,
+    ),
+    "text_ngram_dup_spans": QuerySpec(
+        X.text_ngram_dup_spans,
+        f"""
+        WITH t AS (
+            SELECT doc_id, {_TOKS} AS toks FROM documents
+        ), g AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, len(toks) - 3),
+                       i -> array_to_string(list_slice(toks, i, i + 4),
+                                            ' '))) AS gram
+            FROM t WHERE len(toks) >= 5
+        )
+        SELECT gram, count(DISTINCT doc_id) AS n_docs,
+               count(*) AS n_occurrences
+        FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+        """,
+    ),
     "streaming_interval_join": QuerySpec(
         R.streaming_interval_join,
         """

@@ -42,6 +42,8 @@ SCALE_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_token_jaccard",
     "ann_cosine_topk",
+    # r5 addition: the bipartite incremental-ingest dedup shape
+    "dedup_incremental_lsh",
 ]
 
 
