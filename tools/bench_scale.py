@@ -34,7 +34,7 @@ from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark import 
     get_spark,
 )
 from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.registry import (  # noqa: E402
-    bench_queries,
+    queries,
 )
 
 SCALE_QUERIES = [
@@ -76,7 +76,7 @@ def main() -> None:
 
     ensure_lake(args.lake, args.src, args.reps)
     spark = get_spark("bench-scale")
-    fns = {name: bench_queries()[name] for name in SCALE_QUERIES}
+    fns = {name: queries()[name] for name in SCALE_QUERIES}
 
     def profile(sf_dir: str) -> dict[str, float]:
         for fn in fns.values():  # untimed warm-up
