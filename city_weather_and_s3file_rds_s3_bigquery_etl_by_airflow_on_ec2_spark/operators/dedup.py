@@ -497,8 +497,9 @@ def dedup_clusters(
     minimum; converges in O(component diameter) rounds — near-dup
     clusters are shallow, so a handful of shuffles. The loop's only
     driver-side action is the convergence check (a count, no data
-    collect). For billion-edge graphs swap in the large-star/small-star
-    algorithm; the operator contract stays the same.
+    collect). For billion-edge or deep-chain graphs use
+    ``dedup_clusters_star`` (same contract, O(log diameter) rounds,
+    oracle-equivalent — see registry ``dedup_cluster_assign_star``).
     """
     # materialize edges once and truncate label lineage per round —
     # without this every convergence check re-derives the whole edge
@@ -530,3 +531,70 @@ def dedup_clusters(
             break
     return labels.select(F.col("node").alias(id_col),
                          F.col("label").alias("cluster_id"))
+
+
+def dedup_clusters_star(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al. 2014, "Connected Components in MapReduce and
+    Beyond", public) — the billion-edge alternative to
+    ``dedup_clusters``' label propagation, previously documented there
+    as the scale path and now implemented.
+
+    Per round (all plain DataFrame ops — two groupBy shuffles):
+
+    * large-star: for each node u, m = min(Γ(u) ∪ {u}); every STRICTLY
+      LARGER neighbor re-attaches to m — long chains collapse toward
+      their minimum in O(log diameter) rounds instead of the
+      propagation loop's O(diameter);
+    * small-star: edges oriented toward the larger endpoint; each
+      node's smaller-or-equal neighbors all re-attach to the minimum.
+
+    Convergence when the edge set is a fixed point (every component a
+    star centered on its minimum id). Same contract as
+    ``dedup_clusters``: (id_col, cluster_id = component min), isolated
+    nodes label themselves. ``localCheckpoint`` truncates per-round
+    lineage exactly like the propagation loop."""
+    e = (edges.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+         .where(F.col("u") != F.col("v"))
+         .dropDuplicates(["u", "v"])
+         .localCheckpoint())
+    for _ in range(max_iterations):
+        # ---- large-star ----
+        sym = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (sym.groupBy("u").agg(F.min("v").alias("mn"))
+                .select("u", F.least("mn", F.col("u")).alias("m")))
+        large = (sym.join(mins, "u")
+                 .where(F.col("v") > F.col("u"))
+                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                 .where(F.col("u") != F.col("v"))
+                 .dropDuplicates(["u", "v"]))
+        # ---- small-star (edges oriented toward the larger endpoint) ----
+        o = large.select(F.greatest("u", "v").alias("u"),
+                         F.least("u", "v").alias("v"))
+        mins2 = o.groupBy("u").agg(F.min("v").alias("mn"))
+        small = (o.join(mins2, "u")
+                 .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+                 .unionByName(mins2.select(F.col("u"),
+                                           F.col("mn").alias("v")))
+                 .where(F.col("u") != F.col("v"))
+                 .dropDuplicates(["u", "v"])
+                 .localCheckpoint())
+        # fixed point: identical edge sets (cheap: anti-join both ways
+        # short-circuited by limit(1))
+        grew = small.join(e, ["u", "v"], "left_anti").limit(1).count()
+        shrank = e.join(small, ["u", "v"], "left_anti").limit(1).count()
+        e = small
+        if grew == 0 and shrank == 0:
+            break
+    labels = e.select(F.col("u").alias("node"), F.col("v").alias("label"))
+    return (nodes.select(F.col(id_col).alias("node"))
+            .join(labels, "node", "left")
+            .select(F.col("node").alias(id_col),
+                    F.coalesce(F.col("label"), F.col("node"))
+                     .alias("cluster_id")))

@@ -260,6 +260,20 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_clusters(documents.select("doc_id"), edges)
 
 
+def dedup_cluster_assign_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same contract and SQL oracle as ``dedup_cluster_assign`` but
+    through the large-star/small-star algorithm
+    (``D.dedup_clusters_star``) — O(log diameter) rounds, the
+    billion-edge path. Both implementations being oracle-exact against
+    the identical recursive CTE is the equivalence proof."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    edges = D.token_jaccard_pairs(
+        documents, "text", "doc_id",
+        block_cols=["lang"], length_col="n_chars", length_band=16,
+        min_jaccard=0.4)
+    return D.dedup_clusters_star(documents.select("doc_id"), edges)
+
+
 def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing over the corpus + a changed-flag so the oracle
     exercises both the rewrite and the comparison."""

@@ -819,6 +819,37 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM reach GROUP BY id
         """,
     ),
+    # same oracle as dedup_cluster_assign: the star algorithm must
+    # produce the identical component labeling (equivalence proof)
+    "dedup_cluster_assign_star": QuerySpec(
+        X.dedup_cluster_assign_star,
+        f"""
+        WITH RECURSIVE t AS (
+            SELECT doc_id, lang, n_chars // 16 AS len_band,
+                   list_distinct({_TOKS}) AS tokset
+            FROM documents
+        ), pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM t a JOIN t b
+              ON a.lang = b.lang AND a.len_band = b.len_band
+             AND a.doc_id < b.doc_id
+            WHERE round(CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
+                        / len(list_distinct(list_concat(a.tokset, b.tokset))),
+                        4) >= 0.4
+        ), edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION ALL
+            SELECT id_b AS src, id_a AS dst FROM pairs
+        ), reach AS (
+            SELECT doc_id AS id, doc_id AS root FROM documents
+            UNION
+            SELECT e.dst AS id, r.root
+            FROM reach r JOIN edges e ON e.src = r.id
+        )
+        SELECT id AS doc_id, min(root) AS cluster_id
+        FROM reach GROUP BY id
+        """,
+    ),
     # ------------------------------ similarity ----------------------------
     "ann_cosine_topk": QuerySpec(
         X.ann_cosine_topk,

@@ -853,3 +853,30 @@ def test_memory_sink_rotation_bounds_session_state(spark):
     live = [t.name for t in spark.catalog.listTables()
             if t.name.startswith("tumbling_")]
     assert len(live) == 1
+
+
+def test_clusters_star_equivalence_and_chain(spark):
+    """large-star/small-star must label components identically to the
+    propagation loop, including the adversarial shapes: a long chain
+    (worst diameter), a star, two components, and isolated nodes."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_clusters_star,
+    )
+
+    # chain 0-1-2-...-19, star 100-{101..105}, pair 200-201, isolates
+    edges = [(i, i + 1) for i in range(19)]
+    edges += [(100, x) for x in range(101, 106)]
+    edges += [(200, 201)]
+    nodes = list(range(20)) + list(range(100, 106)) + [200, 201, 300, 301]
+    e = spark.createDataFrame(edges, "id_a: long, id_b: long")
+    n = spark.createDataFrame([(x,) for x in nodes], "doc_id: long")
+    star = {r.doc_id: r.cluster_id
+            for r in dedup_clusters_star(n, e).collect()}
+    prop = {r.doc_id: r.cluster_id
+            for r in dedup_clusters(n, e, max_iterations=30).collect()}
+    assert star == prop
+    assert all(star[i] == 0 for i in range(20))          # chain collapses
+    assert all(star[x] == 100 for x in range(100, 106))  # star
+    assert star[200] == star[201] == 200
+    assert star[300] == 300 and star[301] == 301         # isolated
