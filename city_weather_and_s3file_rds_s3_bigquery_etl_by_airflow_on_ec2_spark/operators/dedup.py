@@ -248,7 +248,13 @@ def minhash_lsh_pairs_incremental(
     Output: (id_a = new id, id_b = corpus id, jaccard_distance), exact
     shingle-Jaccard verified like ``minhash_lsh_pairs_native``. Both
     sides must use the same hash ``seed``/band geometry (the corpus
-    bands are only reusable if the signature family is pinned)."""
+    bands are only reusable if the signature family is pinned).
+
+    Sides are expected to be id-disjoint; if a batch is replayed after
+    it was already merged into the corpus, equal-id self-pairs are
+    filtered out defensively, but the same document present on both
+    sides under DIFFERENT ids is indistinguishable from a real
+    near-dup by construction — dedupe on content hash upstream."""
     banded_new, sets_new = _minhash_banded(
         new_df, text_col, id_col, shingle_size, num_bands, rows_per_band,
         seed)
@@ -258,6 +264,7 @@ def minhash_lsh_pairs_incremental(
     n, c = banded_new.alias("n"), banded_old.alias("c")
     cands = (
         n.join(c, on=["band_idx", "band_hash"])
+        .where(F.col(f"n.{id_col}") != F.col(f"c.{id_col}"))
         .select(F.col(f"n.{id_col}").alias("id_a"),
                 F.col(f"c.{id_col}").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])

@@ -445,11 +445,15 @@ def embedding_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-partition addition order cannot perturb double bits).
 
     Plan: broadcast the 8 centroids, one zero-shuffle map computes all
-    8 distances per row (argmin via a per-vector window over the tiny
-    8-row fanout), one hash-agg shuffle on c_id. The iterative driver
-    (re-running with updated centroids) keeps the same per-step shape;
-    at 100 TB each step is one scan + one 8-group aggregate."""
-    from pyspark.sql import Window
+    8 distances per row; the argmin is ``min(struct(dist2, c_id))``
+    per vector — lexicographic struct ordering is exactly (distance
+    asc, centroid-id tiebreak), and partial aggregation collapses the
+    8-row fanout map-side, so the exchange carries one NARROW
+    (vec_id, dist2, c_id) row per vector, never the embedding arrays
+    (r5 review: the earlier window-based argmin shuffled the 8×
+    exploded rows including both 64-dim arrays). Then one 8-group
+    rollup. The iterative driver (re-running with updated centroids)
+    keeps the same per-step shape at 100 TB."""
     (embeddings,) = _t(spark, sf_dir, "embeddings")
     cents = embeddings.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("c_id"),
@@ -460,13 +464,13 @@ def embedding_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
                    lambda a, b: (a - b) * (a - b)),
         F.lit(0.0),
         lambda acc, x: acc + x)
-    d = embeddings.crossJoin(F.broadcast(cents)).withColumn("dist2", sq)
-    w = Window.partitionBy("vec_id").orderBy("dist2", "c_id")
-    assigned = d.withColumn("rk", F.row_number().over(w)) \
-                .where(F.col("rk") == 1)
-    return (assigned.groupBy("c_id")
+    d = embeddings.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "c_id", sq.alias("dist2"))
+    best = d.groupBy("vec_id").agg(
+        F.min(F.struct("dist2", "c_id")).alias("b"))
+    return (best.groupBy(F.col("b.c_id").alias("c_id"))
             .agg(F.count(F.lit(1)).alias("n_members"),
-                 F.round(F.sum(F.col("dist2").cast("decimal(28,10)"))
+                 F.round(F.sum(F.col("b.dist2").cast("decimal(28,10)"))
                           .cast("double"), 4).alias("inertia")))
 
 
@@ -592,8 +596,12 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str,
             max_exact_jaccard_distance=0.6)
     else:
         edges = edges_fn(documents)
-    clusters = D.dedup_clusters(documents.select("doc_id"),
-                                edges.select("id_a", "id_b"))
+    # star variant: O(log diameter) rounds — with the billion-edge LSH
+    # graph this entry advertises, the propagation loop's O(diameter)
+    # would be the weak link (r5 review); both clusterers are
+    # oracle-equivalent so the oracle entry is unaffected
+    clusters = D.dedup_clusters_star(documents.select("doc_id"),
+                                     edges.select("id_a", "id_b"))
     scored = documents.select(
         "doc_id", TX.quality_score("text").alias("quality"))
     members = clusters.join(scored, "doc_id")

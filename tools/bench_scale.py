@@ -4,8 +4,9 @@ dedup/ANN shapes with a committed, repeatable artifact instead of
 hand-run sessions.
 
 Builds the 10× perf lake via tools/make_scale_lake.py if absent, then
-runs the 4 scale-critical queries — dedup_minhash_lsh,
-dedup_token_jaccard, ann_cosine_topk, flagship_weather_join — with one
+runs the scale-critical queries (flagship_weather_join,
+dedup_minhash_lsh, dedup_token_jaccard, ann_cosine_topk, and the
+bipartite dedup_incremental_lsh) with one
 untimed warm-up and the MEDIAN of n timed runs each (median, not mean:
 the host exhibits intermittent 10-35 s stalls — see the r5 diagnosis
 in BASELINE.md), and emits ONE JSON line to stdout; redirect or tee to
@@ -36,6 +37,7 @@ from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark import 
 from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.registry import (  # noqa: E402
     queries,
 )
+from tools._stats import median  # noqa: E402
 
 SCALE_QUERIES = [
     "flagship_weather_join",
@@ -47,14 +49,11 @@ SCALE_QUERIES = [
 ]
 
 
-def median(xs: list[float]) -> float:
-    xs = sorted(xs)
-    m = len(xs) // 2
-    return xs[m] if len(xs) % 2 else (xs[m - 1] + xs[m]) / 2
-
-
 def ensure_lake(lake: str, src: str, reps: int) -> None:
-    marker = os.path.join(lake, "lineitem.parquet")
+    # embeddings is the LAST table make_scale_lake.py writes, so its
+    # presence means the build ran to completion (lineitem, written
+    # 7th, would accept an interrupted build — r5 review)
+    marker = os.path.join(lake, "embeddings.parquet")
     if os.path.exists(marker):
         return
     print(f"building {reps}x scale lake at {lake} ...", file=sys.stderr)

@@ -48,12 +48,6 @@ R4_ORDER = [
 ]
 
 
-def trimmed_mean(xs: list[float]) -> float:
-    if len(xs) >= 3:
-        xs = sorted(xs)[1:-1]
-    return sum(xs) / len(xs)
-
-
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 5
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

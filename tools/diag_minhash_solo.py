@@ -19,6 +19,7 @@ from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark import 
 from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.registry import (  # noqa: E402
     bench_queries,
 )
+from tools._stats import trimmed_mean  # noqa: E402
 
 
 def cpu_jiffies() -> tuple[int, int]:
@@ -52,7 +53,7 @@ def main() -> None:
     walls = sorted(r["wall"] for r in runs)
     print(json.dumps({
         "query": name, "n": n, "runs": runs,
-        "trimmed_mean": round(sum(walls[1:-1]) / max(1, len(walls) - 2), 3),
+        "trimmed_mean": round(trimmed_mean(walls), 3),
         "min": walls[0], "max": walls[-1],
     }))
 
