@@ -1,0 +1,123 @@
+"""Scalable prefix sums and token-budget shard packing.
+
+A 100 TB training corpus is written out as shards, each holding at most
+``budget`` tokens, in a deterministic document order — the classic
+"pack the corpus into ~1 GB shards" step at the tail of every
+training-data pipeline.  The naive plan — ``sum(tokens) OVER (ORDER BY
+doc_id)`` — is a global running total: Spark plans it as an Exchange to
+a SINGLE partition and sorts the entire corpus in one task.  Dead at
+scale.
+
+``prefix_sum`` reuses the two-phase shape of
+:func:`..operators.ids.serial_id` (quantile-bucketed ranges → per-bucket
+window + broadcast bucket offsets): one hash shuffle on a bucket id
+whose groups are all independent, no global funnel.  The result is
+bit-identical to the global window whenever ``order_cols`` is a total
+order, because each row's running total depends only on its rank.
+
+``pack_by_budget`` derives the shard id from the prefix sum with the
+*start-offset* rule::
+
+    shard = floor((prefix_sum - weight) / budget)
+
+i.e. a document is assigned to the shard in which it *begins*.  Every
+shard except possibly the last then holds at least ``budget`` tokens'
+worth of starts; document order within and across shards is preserved,
+so a sequential reader sees the original corpus order.  The rule is a
+pure expression over the prefix sum — deterministic, oracle-checkable
+against the equivalent SQL window, and embarrassingly parallel after
+the one bucket shuffle.
+
+Reference scope note: the reference pipeline (codes/
+weather_etl_pipeline.py) materializes its outputs as single CSV/table
+appends at 4-row scale and needs no sharding; this operator is part of
+the SURVEY.md §2.13 extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .ids import _default_ranges, _NUMERIC_TYPES
+
+_PID = "__ps_pid"
+_OFF = "__ps_off"
+
+
+def prefix_sum(df: DataFrame, weight_col: str, order_cols: list[str],
+               out_col: str = "prefix_sum",
+               num_ranges: int | None = None) -> DataFrame:
+    """Running total of ``weight_col`` ordered by ``order_cols``
+    (inclusive of the current row) without a single-partition window.
+
+    ``order_cols`` must be a total order; the leading order column must
+    be numeric (it feeds the driver-side quantile sketch, exactly as in
+    ``serial_id``).  Triggers two metadata-sized eager jobs (boundary
+    sketch + per-bucket weight sums).  The bucket-tagged input is NOT
+    persisted here — unlike serial_id's row-offset contract, a
+    recomputed deterministic upstream yields the same sums; callers
+    with nondeterministic upstreams must checkpoint first.
+    """
+    spark = df.sparkSession
+    n = num_ranges or _default_ranges(spark)
+    lead = order_cols[0]
+    lead_type = df.schema[lead].dataType
+    if not isinstance(lead_type, _NUMERIC_TYPES):
+        raise TypeError(
+            f"prefix_sum leading order col {lead!r} must be numeric for "
+            f"the quantile sketch; got {lead_type.simpleString()}")
+
+    probs = [i / n for i in range(1, n)]
+    bounds = sorted(set(df.stat.approxQuantile(lead, probs, 1.0 / (100 * n))))
+    if bounds:
+        barr = F.array(*[F.lit(b).cast("double") for b in bounds])
+        pid_expr = F.size(
+            F.filter(barr, lambda b: b < F.col(lead).cast("double")))
+    else:
+        pid_expr = F.lit(0)
+    tagged = df.withColumn(_PID, pid_expr)
+
+    # one row per bucket — metadata scale, safe to collect
+    sums = {r[_PID]: r["w"]
+            for r in tagged.groupBy(_PID)
+                           .agg(F.sum(F.col(weight_col).cast("long"))
+                                 .alias("w"))
+                           .collect()}
+    offsets, acc = [], 0
+    for pid in sorted(sums):
+        offsets.append((pid, acc))
+        acc += sums[pid] or 0
+    if not offsets:
+        offsets = [(0, 0)]
+    off_df = spark.createDataFrame(offsets, f"{_PID} int, {_OFF} long")
+
+    w = Window.partitionBy(_PID).orderBy(*[F.col(c) for c in order_cols])
+    return (tagged.join(F.broadcast(off_df), _PID)
+            .withColumn(out_col,
+                        F.sum(F.col(weight_col).cast("long")).over(w)
+                        + F.col(_OFF))
+            .drop(_PID, _OFF))
+
+
+def pack_by_budget(df: DataFrame, weight_col: str, order_cols: list[str],
+                   budget: int, shard_col: str = "shard_id",
+                   num_ranges: int | None = None) -> DataFrame:
+    """Assign each row the 0-based shard in which its weight interval
+    *starts* under a running-total budget of ``budget`` per shard.
+
+    Equivalent SQL (the oracle shape)::
+
+        floor((sum(w) OVER (ORDER BY k) - w) / budget)
+
+    but planned via the two-phase :func:`prefix_sum` — no global
+    single-partition window.  ``budget`` must be positive.
+    """
+    if budget <= 0:
+        raise ValueError(f"pack_by_budget requires budget > 0, got {budget}")
+    ps = prefix_sum(df, weight_col, order_cols, out_col="__ps_total",
+                    num_ranges=num_ranges)
+    start: Column = F.col("__ps_total") - F.col(weight_col).cast("long")
+    return (ps.withColumn(shard_col,
+                          F.floor(start / F.lit(budget)).cast("long"))
+              .drop("__ps_total"))

@@ -616,3 +616,146 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str,
              F.max(F.when(F.col("rk") == 1, F.col("quality")))
               .alias("best_quality"))
     )
+
+
+# ------------------------------------------------- round-5 additions —
+
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style span-level global dedup: chunk each document into
+    non-overlapping 10-token spans, drop every span whose exact text
+    occurs in >= 2 distinct documents ANYWHERE in the corpus, and
+    reassemble the surviving text per document (C4 does this with
+    3-sentence spans; the synthetic corpus has no sentence marks, so
+    fixed token spans stand in).
+
+    Plan shape: expression-only chunking (slice over sequence, order
+    carried by chunk index — no order-unstable collect_list), one
+    global groupBy(span_text) for the duplicate census (map-side
+    partial agg; at 100 TB this is the standard shuffle-on-content
+    census, same shape as exact dedup), broadcast-joinable census
+    filter, then re-aggregate per doc with sort_array(struct(idx, txt))
+    for a deterministic reassembly."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    span_starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.lit(0),
+                   F.floor((F.size(toks) - 1) / F.lit(10)).cast("int") * 10),
+        F.lit(10))
+    spans = F.transform(
+        span_starts, lambda s: F.concat_ws(" ", F.slice(toks, s + 1, 10)))
+    exploded = (documents
+                .select("doc_id", F.posexplode(spans)
+                        .alias("span_idx", "span_text")))
+    dup_spans = (exploded.groupBy("span_text")
+                 .agg(F.count_distinct("doc_id").alias("n_docs"))
+                 .where(F.col("n_docs") >= 2)
+                 .select("span_text"))
+    kept = exploded.join(dup_spans, "span_text", "left_anti")
+    return (kept.groupBy("doc_id")
+            .agg(F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(
+                        F.struct(F.col("span_idx"), F.col("span_text")))),
+                    lambda s: s["span_text"]), " ").alias("clean_text"),
+                 F.count(F.lit(1)).alias("n_spans_kept")))
+
+
+def corpus_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing: assign every document to the output
+    shard in which its token interval starts, under a 2 000-token
+    budget per shard, in doc_id order — via the two-phase
+    quantile-bucketed prefix sum (operators/packing.py), NOT the
+    single-partition global window the equivalent SQL implies."""
+    from ..operators.packing import pack_by_budget
+    (documents,) = _t(spark, sf_dir, "documents")
+    sized = documents.select(
+        "doc_id", TX.token_count("text").alias("n_tokens"))
+    return (pack_by_budget(sized, "n_tokens", ["doc_id"], budget=2000)
+            .select("doc_id", "n_tokens", "shard_id"))
+
+
+def sample_weighted(spark: SparkSession, sf_dir: str, k: int = 50) -> DataFrame:
+    """Deterministic weighted sampling without replacement (A-ES /
+    Efraimidis-Spirakis): key = u^(1/w) with w = n_chars and u a
+    length-agnostic arithmetic hash of doc_id (Knuth multiplicative,
+    pure integer expression so the DuckDB oracle computes the
+    identical doubles) — take the k largest keys.
+
+    The top-k is a TakeOrderedAndProject (per-partition partial top-k,
+    k rows to the driver), not a global sort — the one shape that
+    makes weighted corpus subsampling viable at 100 TB."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    u = ((F.col("doc_id") * F.lit(2654435761).cast("long"))
+         % F.lit(4294967296).cast("long") + 1).cast("double") / 4294967297.0
+    key = F.pow(u, F.lit(1.0) / F.col("n_chars").cast("double"))
+    return (documents
+            .select("doc_id", "n_chars",
+                    F.round(key, 9).alias("sample_key"),
+                    key.alias("__k"))
+            .orderBy(F.col("__k").desc(), F.col("doc_id"))
+            .limit(k)
+            .drop("__k"))
+
+
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 terms by tf-idf (idf = ln(N/df), N = corpus
+    size, ties broken by term) — the classic keyword-extraction shape.
+    Two shuffles: term-frequency groupBy and the per-doc top-k window;
+    the document-frequency table is corpus-vocabulary-sized and
+    broadcast into the join."""
+    from pyspark.sql import Window
+    (documents,) = _t(spark, sf_dir, "documents")
+    n_docs = documents.count()  # scalar; one metadata-scale job
+    terms = documents.select(
+        "doc_id", F.explode(TX.tokens("text")).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"))
+    df_ = terms.groupBy("term").agg(
+        F.count_distinct("doc_id").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term"))
+    return (tf.join(F.broadcast(df_), "term")
+            .withColumn("tfidf",
+                        F.round(F.col("tf").cast("double")
+                                * F.log(F.lit(float(n_docs))
+                                        / F.col("df").cast("double")), 9))
+            .withColumn("rk", F.row_number().over(w).cast("long"))
+            .where(F.col("rk") <= 3)
+            .select("doc_id", "term", F.col("tf").cast("long").alias("tf"),
+                    "tfidf", "rk"))
+
+
+def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level bigram collocations by pointwise mutual information:
+    pmi = ln(c(ab) * T / (c(a) * c(b))) over adjacent token pairs with
+    c(ab) >= 25, T = total bigram count.  Bigrams come from zipping the
+    token array with its own tail (arrays_zip of two slices — pure
+    expression, order-exact); the unigram table is vocabulary-sized and
+    broadcast twice."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))).alias("w1"),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))).alias("w2"))
+    bigrams = (documents.where(F.size(toks) >= 2)
+               .select(F.explode(pairs).alias("p"))
+               .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")))
+    bg = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    # unigram counts measured over the SAME positional population as
+    # the bigram heads/tails would double-count interior tokens; the
+    # standard estimator just uses raw token counts
+    uni = (documents.select(F.explode(toks).alias("w"))
+           .groupBy("w").agg(F.count(F.lit(1)).alias("c")))
+    total_bg = bg.agg(F.sum("c_ab")).collect()[0][0]
+    return (bg.where(F.col("c_ab") >= 25)
+            .join(F.broadcast(uni.withColumnRenamed("w", "w1")
+                              .withColumnRenamed("c", "c_a")), "w1")
+            .join(F.broadcast(uni.withColumnRenamed("w", "w2")
+                              .withColumnRenamed("c", "c_b")), "w2")
+            .select("w1", "w2", F.col("c_ab").cast("long").alias("c_ab"),
+                    F.round(F.log(F.col("c_ab").cast("double")
+                                  * F.lit(float(total_bg))
+                                  / (F.col("c_a").cast("double")
+                                     * F.col("c_b").cast("double"))), 9)
+                    .alias("pmi")))

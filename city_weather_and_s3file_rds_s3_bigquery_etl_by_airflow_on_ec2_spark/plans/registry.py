@@ -1419,6 +1419,123 @@ REGISTRY: dict[str, QuerySpec] = {
          AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 60 MINUTE
         """,
     ),
+    # ---------------- round-5 widening: corpus-pipeline tail ----------
+    "text_line_dedup": QuerySpec(
+        X.text_line_dedup,
+        f"""
+        WITH t AS (
+            SELECT doc_id, {_TOKS} AS toks FROM documents
+        ), sp AS (
+            SELECT doc_id,
+                   unnest(range(0, ((len(toks) - 1) // 10) + 1)) AS span_idx,
+                   toks
+            FROM t
+        ), spans AS (
+            SELECT doc_id, span_idx,
+                   array_to_string(list_slice(toks, span_idx * 10 + 1,
+                                              span_idx * 10 + 10),
+                                   ' ') AS span_text
+            FROM sp
+        ), dup AS (
+            SELECT span_text FROM spans
+            GROUP BY span_text HAVING count(DISTINCT doc_id) >= 2
+        ), kept AS (
+            SELECT * FROM spans
+            WHERE span_text NOT IN (SELECT span_text FROM dup)
+        )
+        SELECT doc_id,
+               string_agg(span_text, ' ' ORDER BY span_idx) AS clean_text,
+               count(*) AS n_spans_kept
+        FROM kept GROUP BY doc_id
+        """,
+    ),
+    "corpus_shard_pack": QuerySpec(
+        X.corpus_shard_pack,
+        f"""
+        WITH sized AS (
+            SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents
+        ), run AS (
+            SELECT doc_id, n_tokens,
+                   sum(n_tokens) OVER (ORDER BY doc_id) AS ps
+            FROM sized
+        )
+        SELECT doc_id, n_tokens,
+               CAST(floor((ps - n_tokens) / 2000) AS BIGINT) AS shard_id
+        FROM run
+        """,
+    ),
+    "sample_weighted": QuerySpec(
+        X.sample_weighted,
+        """
+        WITH keyed AS (
+            SELECT doc_id, n_chars,
+                   CAST((doc_id * 2654435761) % 4294967296 + 1 AS DOUBLE)
+                       / 4294967297.0 AS u
+            FROM documents
+        )
+        SELECT doc_id, n_chars,
+               round(pow(u, 1.0 / n_chars), 9) AS sample_key
+        FROM keyed
+        ORDER BY pow(u, 1.0 / n_chars) DESC, doc_id
+        LIMIT 50
+        """,
+    ),
+    "text_tfidf_topk": QuerySpec(
+        X.text_tfidf_topk,
+        f"""
+        WITH t AS (
+            SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+        ), tf AS (
+            SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2
+        ), df AS (
+            SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY 1
+        ), scored AS (
+            SELECT tf.doc_id, tf.term, tf.tf,
+                   round(tf.tf * ln((SELECT count(*) FROM documents)
+                                    / CAST(df.df AS DOUBLE)), 9) AS tfidf
+            FROM tf JOIN df USING (term)
+        )
+        SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, tfidf,
+               CAST(row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, term) AS BIGINT)
+                   AS rk
+        FROM scored
+        QUALIFY rk <= 3
+        """,
+    ),
+    "text_bigram_pmi": QuerySpec(
+        X.text_bigram_pmi,
+        f"""
+        WITH t AS (
+            SELECT doc_id, {_TOKS} AS toks FROM documents
+        ), p AS (
+            SELECT toks[i] AS w1, toks[i + 1] AS w2
+            FROM t, unnest(range(1, len(toks))) AS u(i)
+            WHERE len(toks) >= 2
+        ), bg AS (
+            SELECT w1, w2, count(*) AS c_ab FROM p GROUP BY 1, 2
+        ), uni AS (
+            SELECT unnest(toks) AS w FROM t
+        ), uc AS (
+            SELECT w, count(*) AS c FROM uni GROUP BY 1
+        )
+        SELECT bg.w1, bg.w2, CAST(bg.c_ab AS BIGINT) AS c_ab,
+               round(ln(bg.c_ab * (SELECT CAST(sum(c_ab) AS DOUBLE) FROM bg)
+                        / (a.c * CAST(b.c AS DOUBLE))), 9) AS pmi
+        FROM bg
+        JOIN uc a ON bg.w1 = a.w
+        JOIN uc b ON bg.w2 = b.w
+        WHERE bg.c_ab >= 25
+        """,
+    ),
+    "streaming_dedup_keys": QuerySpec(
+        R.streaming_dedup_keys,
+        "SELECT DISTINCT user_id, event_type FROM events",
+    ),
+    "streaming_dedup_watermarked": QuerySpec(
+        R.streaming_dedup_watermarked,
+        "SELECT DISTINCT user_id, event_type FROM events",
+    ),
 }
 
 # The driver's per-round correctness snapshot covers only the FIRST 50

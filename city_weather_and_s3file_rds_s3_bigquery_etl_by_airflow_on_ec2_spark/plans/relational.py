@@ -654,6 +654,23 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_interval_join_stream(spark, sf_dir)
 
 
+def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates over (user_id, event_type) — the
+    settled AvailableNow key set equals batch SELECT DISTINCT, so the
+    streaming dedup state machinery is fully oracle-checked."""
+    from ..streaming.dedup import run_dedup_stream
+    return run_dedup_stream(spark, sf_dir)
+
+
+def streaming_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming dedup (dropDuplicatesWithinWatermark):
+    per-key state evicted behind the watermark — the unbounded-firehose
+    form; equals DISTINCT on the bounded test source (all duplicates
+    arrive inside the delay window)."""
+    from ..streaming.dedup import run_dedup_within_watermark_stream
+    return run_dedup_within_watermark_stream(spark, sf_dir)
+
+
 # ------------------------------------------------- round-1 widening batch —
 
 def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:

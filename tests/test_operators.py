@@ -880,3 +880,167 @@ def test_clusters_star_equivalence_and_chain(spark):
     assert all(star[x] == 100 for x in range(100, 106))  # star
     assert star[200] == star[201] == 200
     assert star[300] == 300 and star[301] == 301         # isolated
+
+
+# ------------------------------ round-5 corpus-tail operators -------------
+
+def test_prefix_sum_matches_global_window(spark):
+    """Two-phase prefix_sum == the single-partition global window on a
+    shuffled input with duplicate-free keys."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.operators.packing import (
+        prefix_sum,
+    )
+
+    import random
+    rng = random.Random(7)
+    rows = [(i, rng.randint(1, 500)) for i in range(1000)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "k: long, w: long").repartition(8)
+    got = {r.k: r.prefix_sum
+           for r in prefix_sum(df, "w", ["k"]).collect()}
+    acc, want = 0, {}
+    for k, w in sorted(rows):
+        acc += w
+        want[k] = acc
+    assert got == want
+
+
+def test_pack_by_budget_start_offset_rule(spark):
+    """A document goes to the shard its token interval STARTS in; shard
+    ids are monotone in key order and the budget bounds shard starts."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.operators.packing import (
+        pack_by_budget,
+    )
+
+    rows = [(1, 600), (2, 600), (3, 600), (4, 600), (5, 10)]
+    df = spark.createDataFrame(rows, "k: long, w: long")
+    got = {r.k: r.shard_id
+           for r in pack_by_budget(df, "w", ["k"], budget=1000).collect()}
+    # starts: 0, 600, 1200, 1800, 2400 → shards 0,0,1,1,2
+    assert got == {1: 0, 2: 0, 3: 1, 4: 1, 5: 2}
+
+    import pytest
+    with pytest.raises(ValueError):
+        pack_by_budget(df, "w", ["k"], budget=0)
+
+
+def test_text_line_dedup_removes_cross_doc_spans(spark, tmp_path):
+    """A 10-token span shared by two docs is dropped from BOTH; unique
+    spans survive and reassemble in order."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        text_line_dedup,
+    )
+
+    shared = " ".join(f"dup{i}" for i in range(10))
+    a_tail = " ".join(f"atok{i}" for i in range(10))
+    b_tail = " ".join(f"btok{i}" for i in range(10))
+    rows = [
+        (0, shared + " " + a_tail, "en", "web"),
+        (1, shared + " " + b_tail, "en", "web"),
+        (2, " ".join(f"solo{i}" for i in range(20)), "en", "web"),
+    ]
+    sf_dir = _write_documents(spark, tmp_path, rows)
+    got = {r.doc_id: (r.clean_text, r.n_spans_kept)
+           for r in text_line_dedup(spark, sf_dir).collect()}
+    assert got[0] == (a_tail, 1)
+    assert got[1] == (b_tail, 1)
+    assert got[2][1] == 2 and got[2][0].startswith("solo0")
+
+
+def test_sample_weighted_prefers_heavy_docs(spark, tmp_path):
+    """Efraimidis-Spirakis keys: with extreme weight skew the heavy
+    docs dominate the sample; output is deterministic across runs."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        sample_weighted,
+    )
+
+    rows = []
+    for i in range(200):
+        # docs 0..19 are ~100x longer than the rest
+        n = 4000 if i < 20 else 40
+        rows.append((i, "w " * n, "en", "web"))
+    sf_dir = _write_documents(spark, tmp_path, [(i, t.strip(), l, s)
+                                                for i, t, l, s in rows])
+    got1 = [r.doc_id for r in sample_weighted(spark, sf_dir, k=30).collect()]
+    got2 = [r.doc_id for r in sample_weighted(spark, sf_dir, k=30).collect()]
+    assert got1 == got2  # deterministic
+    heavy_in_sample = sum(1 for d in got1 if d < 20)
+    assert heavy_in_sample >= 15  # heavy docs dominate
+
+
+def test_tfidf_topk_ground_truth(spark, tmp_path):
+    """tf-idf against a hand-computed 3-doc corpus."""
+    import math
+
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        text_tfidf_topk,
+    )
+
+    rows = [
+        (0, "apple apple banana common", "en", "web"),
+        (1, "banana banana cherry common", "en", "web"),
+        (2, "cherry cherry apple common", "en", "web"),
+    ]
+    sf_dir = _write_documents(spark, tmp_path, rows)
+    out = {(r.doc_id, r.rk): (r.term, r.tf, r.tfidf)
+           for r in text_tfidf_topk(spark, sf_dir).collect()}
+    # doc 0: apple tf=2 df=2 → 2*ln(3/2); banana tf=1 df=2 → ln(3/2);
+    # common tf=1 df=3 → 0
+    assert out[(0, 1)][0] == "apple"
+    assert abs(out[(0, 1)][2] - round(2 * math.log(3 / 2), 9)) < 1e-9
+    assert out[(0, 2)][0] == "banana"
+    # rank 3 is the zero-idf tie broken by term: 'common'
+    assert out[(0, 3)] == ("common", 1, 0.0)
+
+
+def test_bigram_pmi_detects_collocation(spark, tmp_path):
+    """A bigram that always co-occurs gets a much higher PMI than an
+    independent pair at the same marginals."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        text_bigram_pmi,
+    )
+
+    # "hong kong" always adjacent (30x); "red" and "blue" appear 30x
+    # each but adjacent only sporadically via the filler arrangement
+    doc = ("hong kong " + "red car " + "blue sky ") * 30
+    rows = [(0, doc.strip(), "en", "web")]
+    sf_dir = _write_documents(spark, tmp_path, rows)
+    got = {(r.w1, r.w2): (r.c_ab, r.pmi)
+           for r in text_bigram_pmi(spark, sf_dir).collect()}
+    assert got[("hong", "kong")][0] == 30
+    # perfectly-bound pair: pmi = ln(c_ab*T/(30*30)) — the maximum for
+    # these marginals; every other surviving bigram is weaker or equal
+    assert got[("hong", "kong")][1] == max(p for _, p in got.values())
+
+
+def test_streaming_dedup_equals_batch_distinct(spark, tmp_path):
+    """Both streaming dedup variants settle to batch SELECT DISTINCT
+    on a synthetic events lake with planted duplicates."""
+    import datetime
+
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.relational import (
+        streaming_dedup_keys,
+        streaming_dedup_watermarked,
+    )
+
+    import pandas as pd
+
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    for i in range(60):
+        rows.append((i, base + datetime.timedelta(minutes=i % 7),
+                     i % 5, ["view", "click"][i % 2], 1.0, "{}"))
+    # the streaming readers glob the literal file name events.parquet,
+    # so write ONE file (like the driver lake), not a directory
+    pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                "event_type", "value", "props"]) \
+      .to_parquet(str(tmp_path / "events.parquet"), index=False)
+    want = {(u, t) for u in range(5) for t in ("view", "click")}
+
+    got = {(r.user_id, r.event_type)
+           for r in streaming_dedup_keys(spark, str(tmp_path)).collect()}
+    assert got == want
+    got_wm = {(r.user_id, r.event_type)
+              for r in streaming_dedup_watermarked(spark,
+                                                   str(tmp_path)).collect()}
+    assert got_wm == want

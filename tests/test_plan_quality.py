@@ -295,3 +295,40 @@ def test_incremental_lsh_no_self_join_sides(spark):
     plan = _explain(X.dedup_incremental_lsh(spark, SF_SMALL))
     assert "GreaterThanOrEqual(doc_id,400)" in plan
     assert "LessThan(doc_id,400)" in plan
+
+
+def test_shard_pack_no_global_window_funnel(spark):
+    """corpus_shard_pack's running total must ride the two-phase
+    bucketed window — a global `sum OVER (ORDER BY)` would plan an
+    Exchange SinglePartition over the full corpus."""
+    df = X.corpus_shard_pack(spark, SF_SMALL)
+    plan = _plan(df)
+    assert "SinglePartition" not in plan
+    # the per-bucket window partitions by the bucket tag, not empty
+    assert "__ps_pid" in plan
+
+
+def test_sample_weighted_is_take_ordered(spark):
+    """Weighted sampling must compile to TakeOrderedAndProject (partial
+    per-partition top-k, k rows to the driver) — not a global sort."""
+    df = X.sample_weighted(spark, SF_SMALL)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan or "Exchange rangepartitioning" not in plan
+
+
+def test_tfidf_broadcasts_df_table(spark):
+    """The document-frequency side is vocabulary-sized: it must
+    broadcast; shipping the tf table through a sort-merge join would
+    shuffle the full corpus term list twice."""
+    df = X.text_tfidf_topk(spark, SF_SMALL)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bigram_pmi_broadcasts_unigrams(spark):
+    df = X.text_bigram_pmi(spark, SF_SMALL)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
