@@ -184,3 +184,129 @@ def decode_and_extract(df: DataFrame, id_col: str = "doc_id",
             })
 
     return df.select(id_col, "media_bytes").mapInPandas(extract, FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("resized_bytes", T.BinaryType()),
+    T.StructField("n_bytes", T.LongType()),
+])
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("frame_idx", T.LongType()),
+    T.StructField("byte_offset", T.LongType()),
+    T.StructField("frame_bytes", T.BinaryType()),
+])
+
+
+def resize_media(df: DataFrame, target_w: int, target_h: int,
+                 id_col: str = "doc_id", strict: bool = False,
+                 resizer=_AUTO) -> DataFrame:
+    """Resize every media payload to (target_w, target_h) via
+    Arrow-batched ``mapInPandas`` — the batch-transform shape of a
+    vision-pretraining preprocessing stage.
+
+    ``resizer`` is ``bytes -> bytes`` (decoded, resized, re-encoded).
+    Auto-resolution mirrors ``decode_and_extract``: a real PIL
+    resize+PNG-re-encode when PIL imports, else the deterministic
+    stub (sha-keyed fake payload of ``target_w*target_h`` bytes) so
+    the plumbing — binary in/out columns, output schema, partition
+    parallelism — is exercised without the codec. ``strict=True``
+    with no codec raises the NotImplementedError marker instead."""
+    if resizer is _AUTO:
+        resizer = _resolve_resizer(target_w, target_h)
+
+    def stub(raw: bytes) -> bytes:
+        d = hashlib.sha256(raw).digest()
+        reps = (target_w * target_h) // len(d) + 1
+        return (d * reps)[: target_w * target_h]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if resizer is None and strict:
+                raise NotImplementedError(
+                    "real media resize requires an image codec; not "
+                    "available in this environment")
+            fn = resizer if resizer is not None else stub
+            out = pdf["media_bytes"].map(lambda b: fn(bytes(b)))
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col],
+                "width": target_w,
+                "height": target_h,
+                "resized_bytes": out,
+                "n_bytes": out.map(len).astype("int64"),
+            })
+
+    return df.select(id_col, "media_bytes").mapInPandas(run, RESIZE_SCHEMA)
+
+
+def _resolve_resizer(target_w: int, target_h: int):
+    """PIL resize+re-encode when importable (same tier logic as
+    resolve_codec), else None → caller falls to stub/strict."""
+    try:
+        import io
+
+        from PIL import Image  # noqa: F401
+    except Exception:
+        return None
+
+    def pil_resize(raw: bytes) -> bytes:
+        import io
+
+        from PIL import Image, UnidentifiedImageError
+        try:
+            img = Image.open(io.BytesIO(raw))
+            img = img.resize((target_w, target_h))
+            buf = io.BytesIO()
+            img.save(buf, format="PNG")
+            return buf.getvalue()
+        except (UnidentifiedImageError, OSError, ValueError):
+            # "not an image" family only — mirrors _pil_codec's
+            # narrowed fallback (ADVICE r4): fake payload, observable
+            # via the deterministic stub size
+            d = hashlib.sha256(raw).digest()
+            reps = (target_w * target_h) // len(d) + 1
+            return (d * reps)[: target_w * target_h]
+
+    return pil_resize
+
+
+def sample_frames(df: DataFrame, frame_size: int = 256, stride: int = 4,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Frame-sample a video-typed payload: emit every ``stride``-th
+    fixed-size frame with its index and byte offset — the row-fanout
+    shape (one input row → many frame rows) of video-pretraining
+    ingest, via ``mapInPandas`` so a single huge payload never
+    round-trips through a Python list column.
+
+    Container parsing is the deterministic stand-in (fixed
+    ``frame_size``-byte frames — no video demuxer ships in this
+    environment; a real implementation swaps the chunker for an
+    ffmpeg/pyav keyframe iterator with the SAME output schema). The
+    Spark-side contract — schema, fanout, offsets, partition
+    parallelism — is real and tested."""
+    if frame_size <= 0 or stride <= 0:
+        raise ValueError("frame_size and stride must be positive")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, offs, frames = [], [], [], []
+            for doc_id, raw in zip(pdf[id_col], pdf["media_bytes"]):
+                raw = bytes(raw)
+                n_frames = (len(raw) + frame_size - 1) // frame_size
+                for fi in range(0, n_frames, stride):
+                    ids.append(doc_id)
+                    idxs.append(fi)
+                    offs.append(fi * frame_size)
+                    frames.append(raw[fi * frame_size:(fi + 1) * frame_size])
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int64"),
+                "byte_offset": pd.Series(offs, dtype="int64"),
+                "frame_bytes": pd.Series(frames, dtype=object),
+            })
+
+    return df.select(id_col, "media_bytes").mapInPandas(run, FRAME_SCHEMA)

@@ -684,7 +684,13 @@ def sample_weighted(spark: SparkSession, sf_dir: str, k: int = 50) -> DataFrame:
 
     The top-k is a TakeOrderedAndProject (per-partition partial top-k,
     k rows to the driver), not a global sort — the one shape that
-    makes weighted corpus subsampling viable at 100 TB."""
+    makes weighted corpus subsampling viable at 100 TB.
+
+    Determinism bound: the multiply stays inside BIGINT for
+    doc_id < 2^63 / 2654435761 ≈ 3.5e9; beyond that Spark's wrap
+    differs from a wider-integer engine. For larger id spaces derive
+    u from xxhash64(doc_id) instead (engine-internal, not
+    cross-engine-checkable)."""
     (documents,) = _t(spark, sf_dir, "documents")
     u = ((F.col("doc_id") * F.lit(2654435761).cast("long"))
          % F.lit(4294967296).cast("long") + 1).cast("double") / 4294967297.0
@@ -759,3 +765,89 @@ def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   / (F.col("c_a").cast("double")
                                      * F.col("c_b").cast("double"))), 9)
                     .alias("pmi")))
+
+
+def embedding_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Lloyd k-means TRAINING (k=8, seeds = vec_id 0-7, tol 1e-6,
+    <=10 rounds) via the driver-loop-over-stateless-jobs pattern in
+    operators/clustering.py — per-cluster member count and inertia of
+    the converged model.  Rows-only by design (unbounded iteration is
+    not SQL-expressible); ground-truthed against a NumPy Lloyd
+    reference in tests."""
+    from ..operators.clustering import kmeans_train
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    seeds = [r["embedding"]
+             for r in embeddings.where(F.col("vec_id") < 8)
+                                .select("vec_id", "embedding")
+                                .orderBy("vec_id").collect()]
+    _, assigned, _ = kmeans_train(embeddings, seeds, max_iter=10)
+    return (assigned.groupBy("c_id")
+            .agg(F.count(F.lit(1)).alias("n_members"),
+                 F.round(F.sum(F.col("dist2").cast("decimal(28,10)"))
+                          .cast("double"), 4).alias("inertia")))
+
+
+def corpus_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 95/5 train/validation split by a pure-arithmetic
+    document hash (same Knuth multiplicative scheme as
+    ``sample_weighted`` — reproducible across engines and runs, no RNG
+    state).  Hash-based splits are the only kind that survive corpus
+    re-ingestion: membership depends on the id alone, not on row order
+    or partitioning.  Zero shuffles — the split is a projection."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    h = (F.col("doc_id") * F.lit(2654435761).cast("long")) \
+        % F.lit(4294967296).cast("long")
+    return documents.select(
+        "doc_id", "lang", "source",
+        F.when(h < F.lit(int(0.95 * 4294967296)), F.lit("train"))
+         .otherwise(F.lit("val")).alias("split"))
+
+
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced mixture resampling: downsample every source to the
+    size of the SMALLEST source, keeping each source's docs in
+    deterministic hash order (hash, doc_id tiebreak) — the
+    equal-mixture construction for training-data blending.
+
+    Plan: one metadata-scale count job derives the per-source floor;
+    one window shuffle on ``source`` ranks docs by the arithmetic
+    hash; the rank filter is applied before any further work.  At
+    100 TB with few sources the window keys are coarse — the rank is
+    per-source sequential, so a hash-threshold approximation (no
+    window) is the fallback for single-source-dominated corpora."""
+    from pyspark.sql import Window
+    (documents,) = _t(spark, sf_dir, "documents")
+    floor_n = (documents.groupBy("source").count()
+               .agg(F.min("count")).collect()[0][0])
+    h = (F.col("doc_id") * F.lit(2654435761).cast("long")) \
+        % F.lit(4294967296).cast("long")
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id"))
+    return (documents
+            .withColumn("rk", F.row_number().over(w).cast("long"))
+            .where(F.col("rk") <= F.lit(int(floor_n)))
+            .select("doc_id", "source", "rk"))
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch media resize to 32x32 through the Arrow mapInPandas
+    plumbing (operators/multimodal.resize_media).  With the stub tier
+    (no image codec in this container) the output payload is the
+    documented sha-repeat fake, which IS SQL-expressible — so unlike
+    the decode entry the resize transform is fully oracle-checked,
+    payload bytes included; the PIL tier on text payloads falls back
+    to the identical bytes, keeping the oracle tier-independent."""
+    from ..operators.multimodal import attach_media_columns, resize_media
+    (documents,) = _t(spark, sf_dir, "documents")
+    media = attach_media_columns(documents, "text")
+    return resize_media(media, 32, 32)
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling (every 4th fixed 256-byte frame) —
+    the one-row-to-many-frames fanout through mapInPandas; frame
+    chunking is deterministic, so offsets AND frame payload bytes are
+    oracle-checked (ASCII corpus: char slicing == byte slicing)."""
+    from ..operators.multimodal import attach_media_columns, sample_frames
+    (documents,) = _t(spark, sf_dir, "documents")
+    media = attach_media_columns(documents, "text")
+    return sample_frames(media, frame_size=256, stride=4)

@@ -1528,6 +1528,66 @@ REGISTRY: dict[str, QuerySpec] = {
         WHERE bg.c_ab >= 25
         """,
     ),
+    # full iterative Lloyd training — unbounded iteration is not
+    # SQL-expressible; NumPy-ground-truthed in tests (rows-only)
+    "embedding_kmeans_train": QuerySpec(X.embedding_kmeans_train, None),
+    "multimodal_resize": QuerySpec(
+        X.multimodal_resize,
+        """
+        SELECT doc_id, CAST(32 AS INTEGER) AS width,
+               CAST(32 AS INTEGER) AS height,
+               unhex(substring(repeat(sha256(text), 33), 1, 2048))
+                   AS resized_bytes,
+               CAST(1024 AS BIGINT) AS n_bytes
+        FROM documents
+        """,
+    ),
+    "multimodal_frame_sample": QuerySpec(
+        X.multimodal_frame_sample,
+        """
+        WITH t AS (
+            SELECT doc_id, text,
+                   octet_length(encode(text)) AS n
+            FROM documents
+        ), f AS (
+            SELECT doc_id, text,
+                   unnest(range(0, CAST(ceil(n / 256.0) AS BIGINT), 4))
+                       AS frame_idx
+            FROM t
+        )
+        SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+               CAST(frame_idx * 256 AS BIGINT) AS byte_offset,
+               encode(substr(text, CAST(frame_idx * 256 + 1 AS BIGINT), 256))
+                   AS frame_bytes
+        FROM f
+        """,
+    ),
+    "corpus_train_val_split": QuerySpec(
+        X.corpus_train_val_split,
+        """
+        SELECT doc_id, lang, source,
+               CASE WHEN (doc_id * 2654435761) % 4294967296
+                         < CAST(0.95 * 4294967296 AS BIGINT)
+                    THEN 'train' ELSE 'val' END AS split
+        FROM documents
+        """,
+    ),
+    "corpus_mixture_sample": QuerySpec(
+        X.corpus_mixture_sample,
+        """
+        WITH ranked AS (
+            SELECT doc_id, source,
+                   CAST(row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY (doc_id * 2654435761) % 4294967296,
+                                doc_id) AS BIGINT) AS rk
+            FROM documents
+        )
+        SELECT doc_id, source, rk FROM ranked
+        WHERE rk <= (SELECT min(n) FROM
+                     (SELECT count(*) AS n FROM documents GROUP BY source))
+        """,
+    ),
     "streaming_dedup_keys": QuerySpec(
         R.streaming_dedup_keys,
         "SELECT DISTINCT user_id, event_type FROM events",

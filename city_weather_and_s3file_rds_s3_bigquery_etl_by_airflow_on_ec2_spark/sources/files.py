@@ -60,6 +60,40 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def read_jsonl(spark: SparkSession, path: str, schema=None,
+               corrupt_col: str = "_corrupt_record") -> DataFrame:
+    """JSON-lines scan in PERMISSIVE mode: malformed lines land in
+    ``corrupt_col`` instead of failing the job — the tolerant-ingest
+    contract for web-scraped corpora (a 100 TB crawl always contains
+    broken records; FAILFAST would kill the job on the first one).
+
+    With an explicit ``schema`` the scan skips the inference pass
+    (inference reads the data TWICE — never acceptable at scale);
+    schemaless calls are for interactive exploration only.
+    """
+    reader = (spark.read
+              .option("mode", "PERMISSIVE")
+              .option("columnNameOfCorruptRecord", corrupt_col))
+    if schema is not None:
+        if isinstance(schema, str):
+            schema = T.StructType.fromDDL(schema)
+        if corrupt_col not in schema.fieldNames():
+            schema = schema.add(corrupt_col, T.StringType())
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_jsonl(df: DataFrame, out_dir: str,
+                compression: str | None = None) -> str:
+    """Partitioned JSON-lines sink (one file per partition — the
+    scale-correct layout; no coalesce funnel)."""
+    w = df.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.json(out_dir)
+    return out_dir
+
+
 def write_single_csv(df: DataFrame, out_path: str, header: bool = True) -> str:
     """Write ``df`` as exactly ONE csv object at ``out_path``.
 

@@ -1044,3 +1044,178 @@ def test_streaming_dedup_equals_batch_distinct(spark, tmp_path):
               for r in streaming_dedup_watermarked(spark,
                                                    str(tmp_path)).collect()}
     assert got_wm == want
+
+
+def test_kmeans_train_matches_numpy_lloyd(spark):
+    """Driver-loop k-means == a NumPy Lloyd reference from the same
+    seeds on well-separated blobs: same memberships, same centroids
+    (to float-sum tolerance), convergence before max_iter."""
+    import numpy as np
+
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.operators.clustering import (
+        kmeans_train,
+    )
+
+    rng = np.random.RandomState(3)
+    blobs = [rng.normal(loc=c, scale=0.3, size=(40, 4))
+             for c in ((0, 0, 0, 0), (10, 0, 0, 0), (0, 10, 0, 0))]
+    data = np.vstack(blobs)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(data)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    # deliberately bad seeds: three points from the FIRST blob
+    seeds = [list(map(float, data[i])) for i in (0, 1, 2)]
+
+    cents, assigned, iters = kmeans_train(df, seeds, max_iter=25, tol=1e-8)
+    got = {r.vec_id: r.c_id for r in assigned.collect()}
+
+    # NumPy reference (float32-cast input to match array<float> storage)
+    ref_data = data.astype(np.float32).astype(np.float64)
+    c = np.array(seeds)
+    for _ in range(25):
+        d2 = ((ref_data[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        lab = d2.argmin(axis=1)
+        newc = np.array([ref_data[lab == j].mean(axis=0)
+                         if (lab == j).any() else c[j] for j in range(3)])
+        if ((newc - c) ** 2).sum(axis=1).max() < 1e-8:
+            c = newc
+            break
+        c = newc
+    d2 = ((ref_data[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+    want = d2.argmin(axis=1)
+
+    assert iters < 25  # converged
+    assert [got[i] for i in range(len(data))] == list(want)
+    np.testing.assert_allclose(np.array(cents), c, rtol=1e-6, atol=1e-6)
+
+
+def test_kmeans_train_empty_cluster_keeps_stale_centroid(spark):
+    """A seed with no members keeps its previous centroid (keep-stale
+    rule) instead of NaN-ing out."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.operators.clustering import (
+        kmeans_train,
+    )
+
+    rows = [(0, [0.0, 0.0]), (1, [0.1, 0.0]), (2, [0.0, 0.1])]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    far = [100.0, 100.0]  # captures nothing after iteration 1
+    cents, assigned, _ = kmeans_train(df, [[0.0, 0.0], far], max_iter=5)
+    assert cents[1] == far
+    assert {r.c_id for r in assigned.collect()} == {0}
+
+
+def test_jsonl_roundtrip_and_corrupt_record_tolerance(spark, tmp_path):
+    """write_jsonl→read_jsonl round-trips typed rows; a malformed line
+    lands in _corrupt_record under PERMISSIVE instead of failing."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.sources.files import (
+        read_jsonl,
+        write_jsonl,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha", 1.5), (2, "beta", -2.0)], "id: long, name: string, score: double")
+    out = write_jsonl(df, str(tmp_path / "docs_json"))
+    back = read_jsonl(spark, out, schema="id long, name string, score double")
+    got = {(r.id, r.name, r.score) for r in back.collect()
+           if r._corrupt_record is None}
+    assert got == {(1, "alpha", 1.5), (2, "beta", -2.0)}
+
+    # corrupt line mixed in
+    bad_dir = tmp_path / "bad_json"
+    bad_dir.mkdir()
+    (bad_dir / "part-0.json").write_text(
+        '{"id": 1, "name": "ok", "score": 2.0}\n'
+        'NOT JSON AT ALL\n'
+        '{"id": 2, "name": "also ok", "score": 3.0}\n')
+    rows = read_jsonl(spark, str(bad_dir),
+                      schema="id long, name string, score double").collect()
+    good = [r for r in rows if r._corrupt_record is None]
+    bad = [r for r in rows if r._corrupt_record is not None]
+    assert len(good) == 2 and len(bad) == 1
+    assert bad[0]._corrupt_record.startswith("NOT JSON")
+
+
+def test_train_val_split_deterministic_and_sized(spark, tmp_path):
+    """Hash split: stable across calls, ~95/5 at reasonable n, and
+    membership depends only on doc_id (re-ingestion-safe)."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        corpus_train_val_split,
+    )
+
+    rows = [(i, f"text {i}", "en", "web") for i in range(2000)]
+    sf_dir = _write_documents(spark, tmp_path, rows)
+    a = {r.doc_id: r.split
+         for r in corpus_train_val_split(spark, sf_dir).collect()}
+    b = {r.doc_id: r.split
+         for r in corpus_train_val_split(spark, sf_dir).collect()}
+    assert a == b
+    val_share = sum(1 for v in a.values() if v == "val") / len(a)
+    assert 0.02 < val_share < 0.08
+
+
+def test_mixture_sample_balances_sources(spark, tmp_path):
+    """Every source is downsampled to the smallest source's size;
+    selection order is the deterministic hash order."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        corpus_mixture_sample,
+    )
+
+    rows = []
+    i = 0
+    for src, n in (("web", 300), ("books", 50), ("code", 120)):
+        for _ in range(n):
+            rows.append((i, f"text {i}", "en", src))
+            i += 1
+    sf_dir = _write_documents(spark, tmp_path, rows)
+    out = corpus_mixture_sample(spark, sf_dir).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r.rk)
+    assert {s: len(v) for s, v in by_src.items()} == \
+        {"web": 50, "books": 50, "code": 50}
+    for v in by_src.values():
+        assert sorted(v) == list(range(1, 51))
+
+
+def test_resize_media_stub_and_strict(spark):
+    """Stub-tier resize: deterministic w*h-byte payload per row; strict
+    mode with no codec raises the NotImplementedError marker."""
+    import hashlib
+
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.operators.multimodal import (
+        attach_media_columns,
+        resize_media,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "payload one"), (2, "payload two")], ["doc_id", "text"])
+    media = attach_media_columns(df, "text")
+    got = {r.doc_id: r for r in resize_media(media, 8, 6,
+                                             resizer=None).collect()}
+    for doc_id, text in ((1, "payload one"), (2, "payload two")):
+        r = got[doc_id]
+        assert (r.width, r.height, r.n_bytes) == (8, 6, 48)
+        d = hashlib.sha256(text.encode()).digest()
+        assert bytes(r.resized_bytes) == (d * 2)[:48]
+
+    with pytest.raises(Exception, match="codec|NotImplemented"):
+        resize_media(media, 8, 6, strict=True, resizer=None).collect()
+
+
+def test_sample_frames_fanout_offsets(spark):
+    """One input row fans out to every stride-th frame with correct
+    offsets; the tail frame is short; invalid params rejected."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.operators.multimodal import (
+        attach_media_columns,
+        sample_frames,
+    )
+
+    text = "x" * 25  # 25 bytes → frames of 10: idx 0,1,2 → stride 2 keeps 0,2
+    df = spark.createDataFrame([(7, text)], ["doc_id", "text"])
+    media = attach_media_columns(df, "text")
+    rows = sorted(sample_frames(media, frame_size=10, stride=2).collect(),
+                  key=lambda r: r.frame_idx)
+    assert [(r.frame_idx, r.byte_offset, len(bytes(r.frame_bytes)))
+            for r in rows] == [(0, 0, 10), (2, 20, 5)]
+
+    with pytest.raises(ValueError):
+        sample_frames(media, frame_size=0)

@@ -46,6 +46,11 @@ SCALE_QUERIES = [
     "ann_cosine_topk",
     # r5 addition: the bipartite incremental-ingest dedup shape
     "dedup_incremental_lsh",
+    # r5b additions: the two-phase prefix-sum (shard packing — would be
+    # a single-partition window if naively planned) and the
+    # span-census shuffle (C4 line dedup — groupBy on content)
+    "corpus_shard_pack",
+    "text_line_dedup",
 ]
 
 
