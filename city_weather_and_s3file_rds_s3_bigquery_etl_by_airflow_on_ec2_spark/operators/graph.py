@@ -1,0 +1,126 @@
+"""Graph analytics over similarity/edge tables: PageRank.
+
+Connected components (operators/dedup.py ``dedup_clusters`` /
+``dedup_clusters_star``) cover the dedup-clustering side of the graph
+surface; PageRank is the canonical *ranking* iteration over the same
+(id_a, id_b) edge lists the dedup pipeline already produces — e.g.
+rank documents by near-duplication centrality to pick canonical pages.
+
+One ``pagerank_step`` is pure relational algebra (explode undirected
+edges → degree → contribution join → sum per destination, plus the
+standard dangling-mass redistribution) and is therefore fully
+SQL-oracle-checkable.  ``pagerank`` is the driver loop over that step
+— same loop-over-stateless-jobs pattern as
+:func:`..operators.clustering.kmeans_train` (rows-only; ground-truthed
+against a NumPy power iteration in tests).
+
+Scale notes: each step is one shuffle on the destination id for the
+contribution sum plus a degree join (the degree table is
+node-cardinality and reusable across iterations — computed once and
+passed through the loop).  Skewed high-degree hubs are the classic
+hazard; contributions divide by degree so hub *outputs* are small, and
+the incoming sum partial-aggregates map-side.  Cross-partition double
+summation is order-dependent in the last bits, so the oracle-checked
+step sums contributions as DECIMAL and rounds the emitted rank.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_DEC = "decimal(28,15)"
+
+
+def _undirected(edges: DataFrame) -> DataFrame:
+    return (edges.select(F.col("id_a").alias("src"),
+                         F.col("id_b").alias("dst"))
+            .unionAll(edges.select(F.col("id_b").alias("src"),
+                                   F.col("id_a").alias("dst"))))
+
+
+def pagerank_step(nodes: DataFrame, edges: DataFrame,
+                  id_col: str = "doc_id", damping: float = 0.85,
+                  rank_col: str | None = None,
+                  round_to: int | None = 9) -> DataFrame:
+    """One PageRank iteration from the uniform (or given) rank vector
+    over an undirected (id_a, id_b) edge set →
+    ``(id_col, rank)``.
+
+    ``rank_col``: name of an existing per-node rank column on
+    ``nodes``; None starts from the uniform 1/N vector.  Dangling
+    nodes (degree 0) redistribute their mass uniformly — the standard
+    stochastic-matrix fix, without which rank mass leaks each step.
+    ``round_to`` rounds the emitted rank (DECIMAL-summed
+    contributions, so partition order cannot perturb the sum); pass
+    None inside an iteration loop to keep full precision."""
+    spark = nodes.sparkSession
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(F.col(id_col),
+                            F.lit(0.0).alias("rank")).where(F.lit(False))
+    und = _undirected(edges)
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+
+    if rank_col is None:
+        ranked = nodes.select(F.col(id_col), (F.lit(1.0) / n).alias("r"))
+    else:
+        ranked = nodes.select(F.col(id_col), F.col(rank_col).alias("r"))
+
+    with_deg = ranked.join(deg, ranked[id_col] == deg["src"], "left") \
+                     .select(F.col(id_col), "r", "deg")
+    # dangling mass: total rank sitting on degree-0 nodes (metadata agg)
+    dangling = (with_deg.where(F.col("deg").isNull())
+                .agg(F.sum(F.col("r").cast(_DEC)))
+                .collect()[0][0])
+    dangling = float(dangling or 0.0)
+
+    contrib = (with_deg.where(F.col("deg").isNotNull())
+               .join(und, with_deg[id_col] == und["src"])
+               .select(F.col("dst"),
+                       (F.col("r") / F.col("deg")).cast(_DEC).alias("c")))
+    summed = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+    base = (1.0 - damping) / n + damping * dangling / n
+    rank = (F.lit(base)
+            + F.lit(damping) * F.coalesce(F.col("s").cast("double"),
+                                          F.lit(0.0)))
+    if round_to is not None:
+        rank = F.round(rank, round_to)
+    return (nodes.join(summed, nodes[id_col] == summed["dst"], "left")
+            .select(F.col(id_col), rank.alias("rank")))
+
+
+def pagerank(nodes: DataFrame, edges: DataFrame, id_col: str = "doc_id",
+             damping: float = 0.85, max_iter: int = 20,
+             tol: float = 1e-6) -> tuple[DataFrame, int]:
+    """Iterate :func:`pagerank_step` until the L1 rank shift < ``tol``
+    or ``max_iter`` rounds; returns (ranks DataFrame, iterations).
+
+    The rank vector is localCheckpointed each round: it both truncates
+    the otherwise exponentially-growing lineage and pins the values the
+    NEXT step's dangling-mass collect reads (same one-materialization
+    argument as serial_id).  The edge set is localCheckpointed ONCE at
+    entry — an expensive upstream (e.g. the Jaccard similarity join)
+    must not be recomputed every iteration (measured 54 s → 13 s at
+    sf0.01 for 15 rounds over token-Jaccard edges)."""
+    edges = edges.localCheckpoint(eager=True)
+    cur = None
+    it = 0
+    prev = None
+    for it in range(1, max_iter + 1):
+        nxt = pagerank_step(
+            nodes if cur is None else cur, edges, id_col=id_col,
+            damping=damping,
+            rank_col=None if cur is None else "rank",
+            round_to=None,
+        ).localCheckpoint(eager=True)
+        if prev is not None:
+            shift = (prev.join(nxt.withColumnRenamed("rank", "rank2"),
+                               id_col)
+                     .agg(F.sum(F.abs(F.col("rank") - F.col("rank2"))))
+                     .collect()[0][0])
+            if shift is not None and shift < tol:
+                cur = nxt
+                break
+        prev, cur = nxt, nxt
+    return cur, it

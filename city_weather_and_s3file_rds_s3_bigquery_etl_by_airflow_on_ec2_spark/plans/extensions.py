@@ -851,3 +851,53 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = _t(spark, sf_dir, "documents")
     media = attach_media_columns(documents, "text")
     return sample_frames(media, frame_size=256, stride=4)
+
+
+def corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) corpus data card — the dataset-documentation
+    rollup (docs, token volume, mean length, corpus share) published
+    next to a training corpus.  Integer sums only (token/char counts),
+    so no cross-partition float-order hazard; one shuffle on the
+    coarse (source, lang) key; corpus total is a metadata-scale
+    driver literal."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    total = documents.count()
+    return (documents
+            .groupBy("source", "lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(TX.token_count("text")).alias("total_tokens"),
+                 F.sum(F.col("n_chars").cast("long")).alias("total_chars"))
+            .select("source", "lang", "n_docs", "total_tokens",
+                    F.round(F.col("total_chars").cast("double")
+                            / F.col("n_docs"), 4).alias("mean_chars"),
+                    F.round(F.col("n_docs").cast("double")
+                            / F.lit(float(total)), 6).alias("corpus_share")))
+
+
+def graph_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One PageRank iteration over the deterministic near-dup edge set
+    (operators/graph.py) from the uniform vector — rank documents by
+    near-duplication centrality.  The step is pure relational algebra
+    (degree agg + contribution join + per-destination DECIMAL sum +
+    dangling-mass redistribution), so it is fully oracle-checked; the
+    iterative driver is ``graph_pagerank``."""
+    from ..operators.graph import pagerank_step
+    (documents,) = _t(spark, sf_dir, "documents")
+    edges = deterministic_jaccard_edges(documents)
+    return pagerank_step(documents.select("doc_id"),
+                         edges.select("id_a", "id_b"))
+
+
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full power-iteration PageRank (damping 0.85, tol 1e-7, <=15
+    rounds) over the same deterministic edge set — driver loop over
+    the stateless step, same pattern as k-means training.  Rows-only
+    (unbounded iteration); ground-truthed against a NumPy power
+    iteration in tests."""
+    from ..operators.graph import pagerank
+    (documents,) = _t(spark, sf_dir, "documents")
+    edges = deterministic_jaccard_edges(documents)
+    ranks, _ = pagerank(documents.select("doc_id"),
+                        edges.select("id_a", "id_b"),
+                        max_iter=15, tol=1e-7)
+    return ranks.select("doc_id", F.round("rank", 9).alias("rank"))

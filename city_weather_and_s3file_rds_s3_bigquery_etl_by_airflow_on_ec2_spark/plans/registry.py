@@ -1531,6 +1531,66 @@ REGISTRY: dict[str, QuerySpec] = {
     # full iterative Lloyd training — unbounded iteration is not
     # SQL-expressible; NumPy-ground-truthed in tests (rows-only)
     "embedding_kmeans_train": QuerySpec(X.embedding_kmeans_train, None),
+    "corpus_data_card": QuerySpec(
+        X.corpus_data_card,
+        f"""
+        SELECT source, lang, count(*) AS n_docs,
+               sum(len({_TOKS})) AS total_tokens,
+               round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4)
+                   AS mean_chars,
+               round(CAST(count(*) AS DOUBLE)
+                     / (SELECT CAST(count(*) AS DOUBLE) FROM documents), 6)
+                   AS corpus_share
+        FROM documents GROUP BY source, lang
+        """,
+    ),
+    "graph_pagerank_step": QuerySpec(
+        X.graph_pagerank_step,
+        f"""
+        WITH t AS (
+            SELECT doc_id, lang, n_chars // 16 AS len_band,
+                   list_distinct({_TOKS}) AS tokset
+            FROM documents
+        ), pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM t a JOIN t b
+              ON a.lang = b.lang AND a.len_band = b.len_band
+             AND a.doc_id < b.doc_id
+            WHERE round(CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
+                        / len(list_distinct(list_concat(a.tokset, b.tokset))),
+                        4) >= 0.4
+        ), ed AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION ALL
+            SELECT id_b AS src, id_a AS dst FROM pairs
+        ), deg AS (
+            SELECT src, count(*) AS deg FROM ed GROUP BY src
+        ), nn AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n FROM documents
+        ), dang AS (
+            SELECT CAST(coalesce(sum(
+                       CAST(1.0 / (SELECT n FROM nn) AS DECIMAL(28,15))),
+                       0) AS DOUBLE) AS dm
+            FROM documents d
+            WHERE d.doc_id NOT IN (SELECT src FROM deg)
+        ), contrib AS (
+            SELECT ed.dst AS dst,
+                   CAST((1.0 / (SELECT n FROM nn)) / deg.deg
+                        AS DECIMAL(28,15)) AS c
+            FROM ed JOIN deg USING (src)
+        ), s AS (
+            SELECT dst, sum(c) AS s FROM contrib GROUP BY dst
+        )
+        SELECT d.doc_id,
+               round((0.15 / (SELECT n FROM nn)
+                      + 0.85 * (SELECT dm FROM dang) / (SELECT n FROM nn))
+                     + 0.85 * coalesce(CAST(s.s AS DOUBLE), 0.0), 9) AS rank
+        FROM documents d LEFT JOIN s ON d.doc_id = s.dst
+        """,
+    ),
+    # full power iteration — unbounded loop, not SQL-expressible;
+    # NumPy power-iteration ground truth in tests (rows-only)
+    "graph_pagerank": QuerySpec(X.graph_pagerank, None),
     "multimodal_resize": QuerySpec(
         X.multimodal_resize,
         """

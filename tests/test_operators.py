@@ -1219,3 +1219,87 @@ def test_sample_frames_fanout_offsets(spark):
 
     with pytest.raises(ValueError):
         sample_frames(media, frame_size=0)
+
+
+def test_pagerank_step_hand_computed(spark):
+    """One step on a 4-node path graph with one dangling node against
+    hand-computed values."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.operators.graph import (
+        pagerank_step,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "doc_id: long")
+    # path 0-1-2; node 3 dangling
+    edges = spark.createDataFrame([(0, 1), (1, 2)], "id_a: long, id_b: long")
+    got = {r.doc_id: r.rank
+           for r in pagerank_step(nodes, edges, round_to=9).collect()}
+    # r0 = 0.25; degs: 0→1, 1→2, 2→1; dangling mass 0.25
+    base = 0.15 / 4 + 0.85 * 0.25 / 4
+    want = {
+        0: base + 0.85 * 0.125,         # from 1: 0.25/2
+        1: base + 0.85 * (0.25 + 0.25),  # from 0 and 2, each degree 1
+        2: base + 0.85 * 0.125,
+        3: base,
+    }
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """Full loop vs a NumPy power iteration on a random graph: same
+    ranks to float tolerance, mass conserved."""
+    import numpy as np
+
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.operators.graph import (
+        pagerank,
+    )
+
+    rng = np.random.RandomState(11)
+    n = 40
+    pair_set = set()
+    while len(pair_set) < 60:
+        a, b = rng.randint(0, n, 2)
+        if a != b:
+            pair_set.add((min(a, b), max(a, b)))
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id: long")
+    edges = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in sorted(pair_set)],
+        "id_a: long, id_b: long")
+    ranks_df, iters = pagerank(nodes, edges, max_iter=40, tol=1e-10)
+    got = {r.doc_id: r.rank for r in ranks_df.collect()}
+
+    deg = np.zeros(n)
+    adj = np.zeros((n, n))
+    for a, b in pair_set:
+        adj[a, b] = adj[b, a] = 1
+    deg = adj.sum(axis=1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        dangling = r[deg == 0].sum()
+        contrib = np.zeros(n)
+        nz = deg > 0
+        contrib = adj[:, nz] @ (r[nz] / deg[nz])
+        r = (0.15 / n + 0.85 * dangling / n) + 0.85 * contrib
+    for i in range(n):
+        assert abs(got[i] - r[i]) < 1e-7, (i, got[i], r[i])
+    assert abs(sum(got.values()) - 1.0) < 1e-6  # mass conserved
+
+
+def test_corpus_data_card_ground_truth(spark, tmp_path):
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        corpus_data_card,
+    )
+
+    rows = [
+        (0, "one two three", "en", "web"),
+        (1, "four five", "en", "web"),
+        (2, "six", "de", "web"),
+        (3, "sieben acht", "de", "books"),
+    ]
+    sf_dir = _write_documents(spark, tmp_path, rows)
+    got = {(r.source, r.lang): r for r in corpus_data_card(spark, sf_dir).collect()}
+    web_en = got[("web", "en")]
+    assert (web_en.n_docs, web_en.total_tokens) == (2, 5)
+    assert web_en.mean_chars == (13 + 9) / 2
+    assert web_en.corpus_share == 0.5
+    assert got[("books", "de")].n_docs == 1
