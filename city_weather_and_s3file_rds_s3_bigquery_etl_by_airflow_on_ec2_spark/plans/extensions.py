@@ -901,3 +901,28 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                         edges.select("id_a", "id_b"),
                         max_iter=15, tol=1e-7)
     return ranks.select("doc_id", F.round("rank", 9).alias("rank"))
+
+
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus-cleaning capstone as ONE lineage (the §2.13
+    composition proof, extension-side analog of the reference DAG's
+    single-app pipeline): C4-style span dedup → boilerplate drop
+    (docs reduced to <2 surviving spans) → minimum-length gate
+    (>=20 clean tokens) → token-budget shard packing of the survivors
+    in doc_id order.  Every stage is the already-oracle-checked
+    operator, composed; the oracle replays the same SQL end to end,
+    so the composition itself is bit-exact-verified, not just the
+    parts.
+
+    Plan: span census shuffle + per-doc reassembly (text_line_dedup),
+    narrow filters, then the two-phase prefix-sum (no global-window
+    funnel) — nothing in the composition adds a shuffle beyond its
+    stages."""
+    from ..operators.packing import pack_by_budget
+    cleaned = text_line_dedup(spark, sf_dir)
+    sized = (cleaned.where(F.col("n_spans_kept") >= 2)
+             .select("doc_id",
+                     TX.token_count("clean_text").alias("n_tokens"))
+             .where(F.col("n_tokens") >= 20))
+    return (pack_by_budget(sized, "n_tokens", ["doc_id"], budget=2000)
+            .select("doc_id", "n_tokens", "shard_id"))

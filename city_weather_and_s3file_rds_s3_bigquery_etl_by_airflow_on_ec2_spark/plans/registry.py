@@ -1531,6 +1531,51 @@ REGISTRY: dict[str, QuerySpec] = {
     # full iterative Lloyd training — unbounded iteration is not
     # SQL-expressible; NumPy-ground-truthed in tests (rows-only)
     "embedding_kmeans_train": QuerySpec(X.embedding_kmeans_train, None),
+    "corpus_clean_pipeline": QuerySpec(
+        X.corpus_clean_pipeline,
+        f"""
+        WITH t AS (
+            SELECT doc_id, {_TOKS} AS toks FROM documents
+        ), sp AS (
+            SELECT doc_id,
+                   unnest(range(0, ((len(toks) - 1) // 10) + 1)) AS span_idx,
+                   toks
+            FROM t
+        ), spans AS (
+            SELECT doc_id, span_idx,
+                   array_to_string(list_slice(toks, span_idx * 10 + 1,
+                                              span_idx * 10 + 10),
+                                   ' ') AS span_text
+            FROM sp
+        ), dup AS (
+            SELECT span_text FROM spans
+            GROUP BY span_text HAVING count(DISTINCT doc_id) >= 2
+        ), kept AS (
+            SELECT * FROM spans
+            WHERE span_text NOT IN (SELECT span_text FROM dup)
+        ), cleaned AS (
+            SELECT doc_id,
+                   string_agg(span_text, ' ' ORDER BY span_idx)
+                       AS clean_text,
+                   count(*) AS n_spans_kept
+            FROM kept GROUP BY doc_id
+        ), sized AS (
+            SELECT doc_id,
+                   len(string_split_regex(trim(clean_text), '\\s+'))
+                       AS n_tokens
+            FROM cleaned
+            WHERE n_spans_kept >= 2
+              AND len(string_split_regex(trim(clean_text), '\\s+')) >= 20
+        ), run AS (
+            SELECT doc_id, n_tokens,
+                   sum(n_tokens) OVER (ORDER BY doc_id) AS ps
+            FROM sized
+        )
+        SELECT doc_id, n_tokens,
+               CAST(floor((ps - n_tokens) / 2000) AS BIGINT) AS shard_id
+        FROM run
+        """,
+    ),
     "corpus_data_card": QuerySpec(
         X.corpus_data_card,
         f"""

@@ -1303,3 +1303,31 @@ def test_corpus_data_card_ground_truth(spark, tmp_path):
     assert web_en.mean_chars == (13 + 9) / 2
     assert web_en.corpus_share == 0.5
     assert got[("books", "de")].n_docs == 1
+
+
+def test_corpus_clean_pipeline_composition(spark, tmp_path):
+    """The capstone composition honors each stage's contract: docs
+    reduced below 2 surviving spans or 20 clean tokens are dropped,
+    survivors keep original order, shard ids are monotone."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        corpus_clean_pipeline,
+    )
+
+    shared = " ".join(f"dup{i}" for i in range(10))
+    rows = [
+        # doc 0: one shared span + one unique span -> n_spans_kept=1 -> dropped
+        (0, shared + " " + " ".join(f"a{i}" for i in range(10)), "en", "web"),
+        # doc 1: shares the span with doc 0 -> its copy also removed;
+        # three unique spans survive (30 tokens) -> kept
+        (1, shared + " " + " ".join(f"b{i}" for i in range(30)), "en", "web"),
+        # doc 2: clean but too short after dedup (2 spans, 15 tokens) -> dropped
+        (2, " ".join(f"c{i}" for i in range(15)), "en", "web"),
+        # doc 3: long clean doc -> kept
+        (3, " ".join(f"d{i}" for i in range(40)), "en", "web"),
+    ]
+    sf_dir = _write_documents(spark, tmp_path, rows)
+    got = {r.doc_id: (r.n_tokens, r.shard_id)
+           for r in corpus_clean_pipeline(spark, sf_dir).collect()}
+    assert set(got) == {1, 3}
+    assert got[1][0] == 30 and got[3][0] == 40
+    assert got[1][1] <= got[3][1]  # monotone shard assignment
