@@ -1701,6 +1701,95 @@ REGISTRY: dict[str, QuerySpec] = {
         R.streaming_dedup_watermarked,
         "SELECT DISTINCT user_id, event_type FROM events",
     ),
+    # ------------------------- r5 SQL-surface growth (relational.py) ------
+    "recursive_cte_date_spine": QuerySpec(
+        R.recursive_cte_date_spine,
+        """
+        WITH RECURSIVE spine(month_start) AS (
+            SELECT DATE '1995-01-01'
+            UNION ALL
+            SELECT CAST(month_start + INTERVAL 1 MONTH AS DATE) FROM spine
+            WHERE month_start < DATE '1995-12-01'
+        ),
+        m AS (
+            SELECT CAST(date_trunc('month', o_orderdate) AS DATE)
+                       AS month_start,
+                   COUNT(*) AS n_orders,
+                   CAST(round(SUM(o_totalprice), 2) AS DOUBLE) AS total_price
+            FROM orders
+            WHERE o_orderdate >= DATE '1995-01-01'
+              AND o_orderdate < DATE '1996-01-01'
+            GROUP BY 1
+        )
+        SELECT s.month_start,
+               COALESCE(m.n_orders, 0) AS n_orders,
+               COALESCE(m.total_price, 0.0) AS total_price
+        FROM spine s LEFT JOIN m ON s.month_start = m.month_start
+        """,
+    ),
+    "window_gapfill_locf": QuerySpec(
+        R.window_gapfill_locf,
+        """
+        WITH r AS (
+            SELECT event_id, user_id, ts,
+                   CASE WHEN event_type <> 'error' THEN value END AS reading
+            FROM events
+        )
+        SELECT event_id, user_id, reading,
+               last_value(reading IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf,
+               first_value(reading IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nocb
+        FROM r
+        """,
+    ),
+    "agg_mode_deterministic": QuerySpec(
+        R.agg_mode_deterministic,
+        """
+        WITH c AS (
+            SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+            FROM orders GROUP BY 1, 2
+        ), r AS (
+            SELECT o_orderstatus, o_orderpriority,
+                   SUM(cnt) OVER (PARTITION BY o_orderstatus) AS n,
+                   row_number() OVER (PARTITION BY o_orderstatus
+                                      ORDER BY cnt DESC, o_orderpriority)
+                       AS rn
+            FROM c
+        )
+        SELECT o_orderstatus, o_orderpriority AS mode_priority, n
+        FROM r WHERE rn = 1
+        """,
+    ),
+    "agg_percentile_disc": QuerySpec(
+        R.agg_percentile_disc,
+        """
+        SELECT l_returnflag,
+               percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice)
+                   AS p25,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)
+                   AS p50,
+               percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)
+                   AS p90
+        FROM lineitem GROUP BY l_returnflag
+        """,
+    ),
+    "scalar_variant_json": QuerySpec(
+        R.scalar_variant_json,
+        """
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+               CAST(json_extract_string(props, '$.k') AS INTEGER)
+                   * CAST(json_extract_string(props, '$.k') AS INTEGER)
+                   AS k_sq,
+               CAST(json_extract_string(props, '$.missing') AS INTEGER)
+                   AS absent
+        FROM events
+        """,
+    ),
+    "agg_hll_sketch_union": QuerySpec(R.agg_hll_sketch_union, None),
 }
 
 # The driver's per-round correctness snapshot covers only the FIRST 50

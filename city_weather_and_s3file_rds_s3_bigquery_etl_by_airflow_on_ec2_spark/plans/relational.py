@@ -1010,3 +1010,138 @@ def explode_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def TXT_TOKENS_EXPR():
     return F.split(F.trim(F.col("text")), r"\s+")
+
+
+# ------------------------------------------------- r5 SQL-surface growth —
+# Native Spark 4 capabilities the engine now exposes as first-class
+# operators: recursive CTEs (SPARK-24497), IGNORE NULLS window frames,
+# deterministic MODE, discrete percentiles, the VARIANT type, and
+# Datasketches HLL.  Reference parity: the reference has no equivalent
+# (its one relational op is a Postgres-side join,
+# codes/weather_etl_pipeline.py:210-252); these are engine-surface
+# entries per SURVEY.md §2.5/§2.6/§2.9 notes.
+
+def recursive_cte_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``WITH RECURSIVE`` (Spark 4): generate a monthly calendar
+    spine, then LEFT JOIN monthly order counts so empty months surface
+    as zero rows — the canonical gap-free time-series shape.
+
+    Scale: the recursion materializes 12 rows on the driver-side plan
+    (depth-bounded, no data-dependent iteration); the only distributed
+    work is one partial-agg'd groupBy on orders.  Iterative operators
+    whose depth DOES depend on data (connected components, PageRank,
+    k-means) deliberately stay driver-loop + localCheckpoint instead —
+    see operators/graph.py — because recursive CTEs give no checkpoint
+    control over lineage growth."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql("""
+        WITH RECURSIVE spine(month_start) AS (
+            SELECT DATE '1995-01-01'
+            UNION ALL
+            SELECT add_months(month_start, 1) FROM spine
+            WHERE month_start < DATE '1995-12-01'
+        ),
+        m AS (
+            SELECT trunc(o_orderdate, 'MM') AS month_start,
+                   COUNT(*) AS n_orders,
+                   CAST(ROUND(SUM(o_totalprice), 2) AS DOUBLE) AS total_price
+            FROM orders
+            WHERE o_orderdate >= DATE '1995-01-01'
+              AND o_orderdate < DATE '1996-01-01'
+            GROUP BY 1
+        )
+        SELECT s.month_start,
+               COALESCE(m.n_orders, CAST(0 AS BIGINT)) AS n_orders,
+               COALESCE(m.total_price, CAST(0.0 AS DOUBLE)) AS total_price
+        FROM spine s LEFT JOIN m ON s.month_start = m.month_start
+    """)
+
+
+def window_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS window frames: last-observation-carried-forward and
+    next-observation-carried-backward over a per-user event stream
+    ('error' events carry no reading → NULL).  The standard sensor /
+    telemetry gap-fill — one shuffle on user_id, frames evaluated
+    within each partition, zero Python."""
+    (events,) = _t(spark, sf_dir, "events")
+    reading = F.when(F.col("event_type") != "error", F.col("value"))
+    order = [F.col("ts"), F.col("event_id")]
+    w_back = (Window.partitionBy("user_id").orderBy(*order)
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_fwd = (Window.partitionBy("user_id").orderBy(*order)
+             .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    return events.select(
+        "event_id", "user_id",
+        reading.alias("reading"),
+        F.last(reading, ignorenulls=True).over(w_back).alias("locf"),
+        F.first(reading, ignorenulls=True).over(w_fwd).alias("nocb"),
+    )
+
+
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODE aggregate with the deterministic tie-break (Spark 4
+    ``mode(col, deterministic=True)`` returns the LOWEST value among
+    the most frequent).  One hash-agg shuffle; the oracle spells the
+    same semantics as count + row_number since DuckDB's mode() tie
+    behavior is unspecified."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (orders.groupBy("o_orderstatus")
+            .agg(F.mode("o_orderpriority", deterministic=True)
+                 .alias("mode_priority"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete percentiles (actual data elements, no interpolation) —
+    complements the exact-interpolated agg_median_percentile entry.
+    percentile_disc picks the smallest element whose cumulative share
+    >= q in both engines."""
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql("""
+        SELECT l_returnflag,
+               percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice)
+                   AS p25,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)
+                   AS p50,
+               percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)
+                   AS p90
+        FROM lineitem GROUP BY l_returnflag
+    """)
+
+
+def scalar_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT surface (Spark 4): parse_json into the
+    binary VARIANT encoding once, then typed path extraction — the
+    shredded-JSON scan pattern (parse in the scan project, extract
+    many fields without re-parsing).  Missing paths yield NULL via
+    try-mode variant_get."""
+    (events,) = _t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "int")
+    return events.select(
+        "event_id",
+        k.alias("k_val"),
+        (k * k).alias("k_sq"),
+        F.try_variant_get(v, "$.missing", "int").alias("absent"),
+    )
+
+
+def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache Datasketches HLL,
+    Spark 3.5+): per-group sketches built in one pass, then re-merged
+    with hll_union_agg for the grand total WITHOUT rescanning the
+    fact — the pre-aggregated-cube pattern that matters at 100 TB
+    (store 12-KB sketches per segment; union at query time).
+    Rows-only: estimates are engine-specific; the error bound vs exact
+    COUNT(DISTINCT) is asserted in tests/test_operators.py."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql("""
+        WITH s AS (
+            SELECT event_type, hll_sketch_agg(user_id) AS sk
+            FROM events GROUP BY event_type
+        )
+        SELECT event_type, hll_sketch_estimate(sk) AS approx_users FROM s
+        UNION ALL
+        SELECT 'ALL' AS event_type, hll_sketch_estimate(hll_union_agg(sk))
+        FROM s
+    """)

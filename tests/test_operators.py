@@ -1331,3 +1331,30 @@ def test_corpus_clean_pipeline_composition(spark, tmp_path):
     assert set(got) == {1, 3}
     assert got[1][0] == 30 and got[3][0] == 40
     assert got[1][1] <= got[3][1]  # monotone shard assignment
+
+
+def test_hll_sketch_union_error_bound(spark):
+    """Datasketches HLL estimates (per-group and re-merged union) land
+    within the sketch's documented error envelope of the exact
+    distinct counts, and the union row never exceeds the sum of parts."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.relational import (
+        agg_hll_sketch_union,
+    )
+
+    from .conftest import SF_SMALL
+
+    got = {r.event_type: r.approx_users
+           for r in agg_hll_sketch_union(spark, SF_SMALL).collect()}
+    import duckdb
+    exact = dict(duckdb.sql(
+        f"SELECT event_type, count(DISTINCT user_id) "
+        f"FROM '{SF_SMALL}/events.parquet' GROUP BY 1").fetchall())
+    exact["ALL"] = duckdb.sql(
+        f"SELECT count(DISTINCT user_id) "
+        f"FROM '{SF_SMALL}/events.parquet'").fetchone()[0]
+    assert set(got) == set(exact) | {"ALL"}
+    for k, est in got.items():
+        # lgConfigK=12 -> relative standard error ~1.04/sqrt(2^12) ≈ 1.6%;
+        # allow 5 sigma plus slack for tiny groups
+        assert abs(est - exact[k]) <= max(3.0, 0.10 * exact[k]), (k, est, exact[k])
+    assert got["ALL"] <= sum(v for k, v in got.items() if k != "ALL") * 1.05
