@@ -926,3 +926,44 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
              .where(F.col("n_tokens") >= 20))
     return (pack_by_budget(sized, "n_tokens", ["doc_id"], budget=2000)
             .select("doc_id", "n_tokens", "shard_id"))
+
+
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle counts over the deterministic near-dup edge
+    set (operators/graph.py triangle_counts): the clustering-coefficient
+    building block — distinguishes tight near-dup cliques (template spam,
+    mirrored pages) from loose chains that happen to share one hub.
+    Oriented wedge join, no double counting; fully oracle-checked."""
+    from ..operators.graph import triangle_counts
+    (documents,) = _t(spark, sf_dir, "documents")
+    edges = deterministic_jaccard_edges(documents)
+    return triangle_counts(edges.select("id_a", "id_b"))
+
+
+def fuzzy_join_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance fuzzy self-join: candidate pairs from the
+    same (lang, length-band) block — identical blocking contract as
+    dedup_token_jaccard — scored by levenshtein over the 40-char
+    normalized prefix, kept at distance <= 20.  The character-level
+    complement to token-level Jaccard: catches small in-token edits
+    (typos, OCR noise) that token-set similarity misses entirely.
+
+    Scale: levenshtein is O(len^2) per pair, so it NEVER runs
+    all-pairs — only inside the banded blocks (bounded like
+    token_jaccard's verify stage), and the 40-char prefix cap bounds
+    the DP matrix at 1600 cells regardless of document length.
+    Expression-only (Spark's levenshtein is JVM codegen)."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    t = documents.select(
+        "doc_id", "lang",
+        (F.col("n_chars") / 16).cast("long").alias("len_band"),
+        F.substring("text", 1, 40).alias("pfx"))
+    a, b = t.alias("a"), t.alias("b")
+    return (a.join(b, (F.col("a.lang") == F.col("b.lang"))
+                   & (F.col("a.len_band") == F.col("b.len_band"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("id_a"),
+                    F.col("b.doc_id").alias("id_b"),
+                    F.levenshtein(F.col("a.pfx"), F.col("b.pfx"))
+                    .alias("edit_dist"))
+            .where(F.col("edit_dist") <= 20))

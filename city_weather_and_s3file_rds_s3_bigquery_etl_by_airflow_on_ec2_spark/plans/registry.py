@@ -1790,6 +1790,65 @@ REGISTRY: dict[str, QuerySpec] = {
         """,
     ),
     "agg_hll_sketch_union": QuerySpec(R.agg_hll_sketch_union, None),
+    "join_bloom_prefilter": QuerySpec(
+        R.join_bloom_prefilter,
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               round(SUM(o_totalprice), 2) AS total_price
+        FROM orders o
+        WHERE EXISTS (
+            SELECT 1 FROM customer c
+            WHERE c.c_custkey = o.o_custkey
+              AND c.c_mktsegment = 'BUILDING' AND c.c_acctbal > 7000.0
+        )
+        GROUP BY o_orderpriority
+        """,
+    ),
+    "graph_triangle_count": QuerySpec(
+        X.graph_triangle_count,
+        f"""
+        WITH t AS (
+            SELECT doc_id, lang, n_chars // 16 AS len_band,
+                   list_distinct({_TOKS}) AS tokset
+            FROM documents
+        ), e AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM t a JOIN t b
+              ON a.lang = b.lang AND a.len_band = b.len_band
+             AND a.doc_id < b.doc_id
+            WHERE round(CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
+                        / len(list_distinct(list_concat(a.tokset, b.tokset))),
+                        4) >= 0.4
+        ), tri AS (
+            SELECT ab.id_a AS a, ab.id_b AS b, bc.id_b AS c
+            FROM e ab
+            JOIN e bc ON ab.id_b = bc.id_a
+            JOIN e ac ON ac.id_a = ab.id_a AND ac.id_b = bc.id_b
+        )
+        SELECT doc_id, COUNT(*) AS n_triangles FROM (
+            SELECT a AS doc_id FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        ) GROUP BY doc_id
+        """,
+    ),
+    "fuzzy_join_levenshtein": QuerySpec(
+        X.fuzzy_join_levenshtein,
+        """
+        WITH t AS (
+            SELECT doc_id, lang, n_chars // 16 AS len_band,
+                   substr(text, 1, 40) AS pfx
+            FROM documents
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               levenshtein(a.pfx, b.pfx) AS edit_dist
+        FROM t a JOIN t b
+          ON a.lang = b.lang AND a.len_band = b.len_band
+         AND a.doc_id < b.doc_id
+        WHERE levenshtein(a.pfx, b.pfx) <= 20
+        """,
+    ),
 }
 
 # The driver's per-round correctness snapshot covers only the FIRST 50

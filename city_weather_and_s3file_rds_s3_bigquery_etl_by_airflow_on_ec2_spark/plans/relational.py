@@ -1126,6 +1126,25 @@ def scalar_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join (operators/bloom.py): selective customer
+    subset → kilobyte bitmap → expression-only prefilter on orders →
+    exact merge semi-join over the survivors, then the usual rollup.
+    Bit-equal to the plain EXISTS semi-join (no false negatives), so
+    fully oracle-checked.  At 100 TB the prefilter runs inside the
+    fact scan's codegen stage and drops non-matching rows BEFORE the
+    fact-side Exchange — see the module docstring for sizing."""
+    from ..operators.bloom import bloom_semi_join
+    orders, customer = _t(spark, sf_dir, "orders", "customer")
+    dim = (customer.where((F.col("c_mktsegment") == "BUILDING")
+                          & (F.col("c_acctbal") > 7000.0)))
+    matched = bloom_semi_join(orders, dim.select("c_custkey"),
+                              "o_custkey", "c_custkey")
+    return (matched.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total_price")))
+
+
 def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count sketches (Apache Datasketches HLL,
     Spark 3.5+): per-group sketches built in one pass, then re-merged

@@ -1358,3 +1358,18 @@ def test_hll_sketch_union_error_bound(spark):
         # allow 5 sigma plus slack for tiny groups
         assert abs(est - exact[k]) <= max(3.0, 0.10 * exact[k]), (k, est, exact[k])
     assert got["ALL"] <= sum(v for k, v in got.items() if k != "ALL") * 1.05
+
+
+def test_triangle_counts_planted_graph(spark):
+    """K4 on {0,1,2,3} (4 triangles, each vertex in 3), one pendant
+    edge (4,5), and a 4-cycle {6,7,8,9} with no chord (0 triangles)."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    edges = spark.createDataFrame(
+        k4 + [(4, 5), (6, 7), (7, 8), (8, 9), (6, 9)],
+        ["id_a", "id_b"])
+    got = {r.doc_id: r.n_triangles for r in triangle_counts(edges).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}

@@ -332,3 +332,52 @@ def test_bigram_pmi_broadcasts_unigrams(spark):
     plan = _plan(df)
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_bloom_prefilter_runs_before_fact_exchange(spark):
+    """join_bloom_prefilter contract (operators/bloom.py): the Bloom
+    membership probe is a Filter fused into the fact scan's codegen
+    stage BELOW the fact-side Exchange (so the shuffle only carries
+    surviving rows), and the exact join is the merge-hinted SMJ the
+    operator exists for (a broadcast would make the prefilter moot)."""
+    df = R.join_bloom_prefilter(spark, SF_SMALL)
+    plan = _explain(df)
+    assert "SortMergeJoin" in plan and "LeftSemi" in plan
+    # locate the fact-side Filter: the node whose condition probes the
+    # bitmap (xxhash64 + element_at) and whose subtree scans orders
+    blocks = plan.split("\n\n")
+    fact_filter = [b for b in blocks
+                   if b.startswith("(") and "Filter" in b.splitlines()[0]
+                   and "xxhash64(o_custkey" in b]
+    assert fact_filter, "bloom probe filter missing on the fact side"
+    # tree section: Filter(2) sits directly on Scan(1), Exchange above
+    tree = plan.split("==")[2] if "==" in plan else plan
+    filt_line = next(ln for ln in tree.splitlines() if "Filter" in ln
+                     and "(2)" in ln)
+    scan_line = next(ln for ln in tree.splitlines() if "Scan parquet" in ln
+                     and "(1)" in ln)
+    assert filt_line.index("Filter") == scan_line.index("Scan") - 3
+
+
+def test_bloom_semi_join_no_false_negatives(spark):
+    """Property: bloom_semi_join == plain left-semi join, bit-equal,
+    including under heavy bitmap load (tiny m forces false positives —
+    they must be removed by the exact join, never added)."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.operators.bloom import (
+        bloom_semi_join,
+    )
+
+    fact = spark.range(0, 5000).select(
+        (F.col("id") * 7919 % 1000).alias("fk"), "id")
+    dim = spark.range(0, 1000).where(F.col("id") % 13 == 0).select(
+        F.col("id").alias("dk"))
+    for m_bits in (64, 1 << 12):          # 64 bits ~ saturated bitmap
+        got = sorted(
+            (r.fk, r.id)
+            for r in bloom_semi_join(fact, dim, "fk", "dk",
+                                     m_bits=m_bits, k=3).collect())
+        want = sorted(
+            (r.fk, r.id)
+            for r in fact.join(dim, F.col("fk") == F.col("dk"),
+                               "left_semi").collect())
+        assert got == want, f"m_bits={m_bits}"
