@@ -36,6 +36,14 @@ _PUNCT_RATIO = ("(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) A
                 " / length(text))")
 
 
+# 16-bit Morton interleave of grid coords gx/gy (layout_zorder_keys
+# oracle) — bit i of gx lands at 2i, bit i of gy at 2i+1; mirrors
+# sources/layout.zorder_value exactly.
+_Z_INTERLEAVE = " | ".join(
+    f"(((gx >> {i}) & 1) << {2 * i}) | (((gy >> {i}) & 1) << {2 * i + 1})"
+    for i in range(16))
+
+
 @dataclass(frozen=True)
 class QuerySpec:
     fn: Callable[[SparkSession, str], DataFrame]
@@ -1831,6 +1839,41 @@ REGISTRY: dict[str, QuerySpec] = {
             UNION ALL SELECT b FROM tri
             UNION ALL SELECT c FROM tri
         ) GROUP BY doc_id
+        """,
+    ),
+    "agg_incremental_merge": QuerySpec(
+        R.agg_incremental_merge,
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               round(SUM(o_totalprice), 2) AS total_price,
+               round(SUM(o_totalprice) / COUNT(o_totalprice), 4) AS avg_price
+        FROM orders GROUP BY o_orderpriority
+        """,
+    ),
+    "layout_zorder_keys": QuerySpec(
+        R.layout_zorder_keys,
+        f"""
+        WITH ev AS (
+            SELECT event_id, user_id,
+                   date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                       AS day
+            FROM events
+        ), b AS (
+            SELECT min(user_id) AS ux, max(user_id) AS uy,
+                   min(day) AS dx, max(day) AS dy
+            FROM ev
+        ), g AS (
+            SELECT event_id,
+                   CAST(floor((user_id - ux) * 65535
+                              / greatest(uy - ux, 1)) AS BIGINT) AS gx,
+                   CAST(floor((day - dx) * 65535
+                              / greatest(dy - dx, 1)) AS BIGINT) AS gy
+            FROM ev, b
+        ), z AS (
+            SELECT event_id, ({_Z_INTERLEAVE}) AS zval FROM g
+        )
+        SELECT event_id, zval, zval >> 29 AS file_bucket FROM z
         """,
     ),
     "fuzzy_join_levenshtein": QuerySpec(

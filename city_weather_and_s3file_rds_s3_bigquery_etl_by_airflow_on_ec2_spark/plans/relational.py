@@ -1126,6 +1126,54 @@ def scalar_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance (operators/incremental.py): the
+    history partition and the delta partition are collapsed into
+    mergeable states INDEPENDENTLY, then folded — proving
+    state(old) ⨁ state(delta) == aggregate(full scan), which is the
+    whole contract of O(delta)-cost daily rollups.  The oracle is the
+    full-scan GROUP BY.  AVG is derived from merged sums/counts, never
+    averaged-of-averages."""
+    from ..operators.incremental import aggregate_state, merge_states
+    (orders,) = _t(spark, sf_dir, "orders")
+    cut = F.lit("1995-01-01").cast("date")
+    hist = aggregate_state(orders.where(F.col("o_orderdate") < cut),
+                           ["o_orderpriority"], ["o_totalprice"])
+    delta = aggregate_state(orders.where(F.col("o_orderdate") >= cut),
+                            ["o_orderpriority"], ["o_totalprice"])
+    merged = merge_states(hist, delta, keys=["o_orderpriority"])
+    return merged.select(
+        "o_orderpriority",
+        F.col("n_rows").alias("n_orders"),
+        F.round("o_totalprice_sum", 2).alias("total_price"),
+        F.round(F.col("o_totalprice_sum") / F.col("o_totalprice_cnt"), 4)
+        .alias("avg_price"))
+
+
+def layout_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering keys (sources/layout.py): scale (user_id,
+    epoch-day) onto the 2^16 grid, interleave to the Morton code, and
+    derive the range-split file bucket — the exact values
+    ``write_zordered`` clusters by, surfaced as a query so the mapping
+    is oracle-checked bit-for-bit.  The physical win (2-D parquet
+    min/max pruning) is asserted separately in
+    tests/test_layout.py."""
+    from ..sources.layout import zorder_scale, zorder_value
+    (events,) = _t(spark, sf_dir, "events")
+    ev = events.select(
+        "event_id", "user_id",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .alias("day"))
+    b = ev.agg(F.min("user_id"), F.max("user_id"),
+               F.min("day"), F.max("day")).first()
+    z = zorder_value(zorder_scale(F.col("user_id"), b[0], b[1]),
+                     zorder_scale(F.col("day"), b[2], b[3]))
+    return ev.select(
+        "event_id",
+        z.alias("zval"),
+        F.shiftright(z, 29).alias("file_bucket"))  # 8 range buckets
+
+
 def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter semi-join (operators/bloom.py): selective customer
     subset → kilobyte bitmap → expression-only prefilter on orders →

@@ -60,3 +60,69 @@ def bucketed_join(spark: SparkSession, left_table: str, right_table: str,
     shuffle-free plan this layout exists for."""
     return (spark.table(left_table).hint("merge")
             .join(spark.table(right_table), on=on, how=how))
+
+
+# ------------------------------------------------------------- Z-order —
+# Multi-dimensional clustering: directory partitioning prunes on ONE
+# column and bucketing co-locates ONE key; a Z-(Morton-)order sort
+# clusters files on SEVERAL columns at once, so 2-D selective queries
+# (user range x day range) skip files via parquet min/max row-group
+# stats on BOTH dimensions.  Same mechanism as Delta OPTIMIZE ZORDER
+# BY, expressed with plain Spark: scale each column to a fixed-width
+# integer grid, interleave the bits, repartitionByRange + sort on the
+# Z value, write.
+
+Z_BITS = 16
+
+
+def zorder_scale(col: "F.Column", cmin: int, cmax: int,
+                 bits: int = Z_BITS) -> "F.Column":
+    """Scale an integer column with known [cmin, cmax] onto the
+    [0, 2^bits) grid — pure integer arithmetic (no float rounding, so
+    the mapping is engine-exact and oracle-checkable)."""
+    span = max(cmax - cmin, 1)
+    # floor() (not a truncating cast) on both engines: Spark's
+    # double->long cast truncates while DuckDB's rounds, so the oracle
+    # mirrors this exact floor(a*k/span) spelling.  The IEEE double
+    # multiply/divide is bit-identical cross-engine for these
+    # magnitudes (< 2^53).
+    return F.floor((col - F.lit(cmin)).cast("long")
+                   * F.lit((1 << bits) - 1) / F.lit(span)).cast("long")
+
+
+def zorder_value(x: "F.Column", y: "F.Column",
+                 bits: int = Z_BITS) -> "F.Column":
+    """Interleave the low ``bits`` of two grid coordinates into the
+    Morton code: bit i of x lands at 2i, bit i of y at 2i+1.
+    Expression-only (64 shift/mask terms fused by codegen; constant
+    plan size)."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        xbit = F.call_function(
+            "shiftleft", F.shiftright(x, i).bitwiseAND(F.lit(1)),
+            F.lit(2 * i))
+        ybit = F.call_function(
+            "shiftleft", F.shiftright(y, i).bitwiseAND(F.lit(1)),
+            F.lit(2 * i + 1))
+        z = z.bitwiseOR(xbit).bitwiseOR(ybit)
+    return z
+
+
+def write_zordered(df: DataFrame, path: str, col_x: str, col_y: str,
+                   num_files: int = 8, bits: int = Z_BITS) -> None:
+    """Write ``df`` as ``num_files`` parquet files clustered on the
+    Z-order of (col_x, col_y).  One metadata-scale agg collects the
+    4 min/max bounds; repartitionByRange on the Z value range-splits
+    the curve, and the within-partition sort tightens per-row-group
+    min/max stats.  Readers need no special support: parquet stat
+    pruning on either column simply skips most files."""
+    b = df.agg(F.min(col_x), F.max(col_x),
+               F.min(col_y), F.max(col_y)).first()
+    z = zorder_value(
+        zorder_scale(F.col(col_x), b[0], b[1], bits),
+        zorder_scale(F.col(col_y), b[2], b[3], bits), bits)
+    (df.withColumn("__z", z)
+       .repartitionByRange(num_files, "__z")
+       .sortWithinPartitions("__z")
+       .drop("__z")
+       .write.mode("overwrite").parquet(path))

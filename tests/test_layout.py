@@ -76,3 +76,53 @@ def test_json_orc_roundtrip(spark, tmp_path):
     want = key(docs.collect())
     assert key(jread.collect()) == want
     assert key(oread.collect()) == want
+
+
+def _files_touched(path, col, lo, hi):
+    """Files whose parquet row-group min/max stats for `col` intersect
+    [lo, hi] — what a stat-pruning reader would actually open."""
+    import glob
+    import pyarrow.parquet as pq
+
+    touched = 0
+    for f in glob.glob(f"{path}/part-*.parquet"):
+        pf = pq.ParquetFile(f)
+        idx = pf.schema_arrow.get_field_index(col)
+        hit = False
+        for rg in range(pf.metadata.num_row_groups):
+            st = pf.metadata.row_group(rg).column(idx).statistics
+            if st is None or st.min <= hi and st.max >= lo:
+                hit = True
+                break
+        touched += hit
+    return touched
+
+
+def test_zorder_prunes_both_dimensions(spark, tmp_path):
+    """write_zordered clusters files on BOTH columns: a selective
+    range on y alone skips most files, where the x-sorted layout must
+    open every file (each one spans the full y range); x stays
+    prunable too.  Morton mapping itself is oracle-checked via the
+    layout_zorder_keys registry entry — this asserts the physical
+    file-stat effect."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.sources.layout import (
+        write_zordered,
+    )
+
+    grid = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("long").alias("y"))
+    zpath, spath = str(tmp_path / "zorder"), str(tmp_path / "xsort")
+    write_zordered(grid, zpath, "x", "y", num_files=16)
+    (grid.repartitionByRange(16, "x").sortWithinPartitions("x")
+     .write.mode("overwrite").parquet(spath))
+
+    # y-only box: x-sorted layout cannot prune at all
+    assert _files_touched(spath, "y", 0, 7) == 16
+    assert _files_touched(zpath, "y", 0, 7) <= 8
+    # x-only box: z-order still prunes (not as tightly as pure x-sort)
+    assert _files_touched(zpath, "x", 0, 7) <= 8
+    # and nothing was lost
+    import duckdb
+    assert duckdb.sql(
+        f"SELECT count(*) FROM '{zpath}/part-*.parquet'").fetchone()[0] == 64 * 64

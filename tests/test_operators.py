@@ -1373,3 +1373,25 @@ def test_triangle_counts_planted_graph(spark):
         ["id_a", "id_b"])
     got = {r.doc_id: r.n_triangles for r in triangle_counts(edges).collect()}
     assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_incremental_state_merge_properties(spark):
+    """state(A) ⨁ state(B) ⨁ state(C) == aggregate(A∪B∪C) for
+    arbitrary disjoint splits, including an empty split and NULL
+    measures (sum skips them, cnt counts non-null only)."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.operators.incremental import (
+        aggregate_state,
+        merge_states,
+    )
+
+    rows = [("a", 1.0), ("a", None), ("b", 2.5), ("a", 4.0), ("b", None),
+            ("c", 0.0)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    parts = [df.where(F.col("v") >= 2.0),
+             df.where((F.col("v") < 2.0) | F.col("v").isNull()),
+             df.limit(0)]
+    merged = merge_states(
+        *[aggregate_state(p, ["k"], ["v"]) for p in parts], keys=["k"])
+    direct = aggregate_state(df, ["k"], ["v"])
+    as_tuples = lambda d: sorted(map(tuple, d.collect()))
+    assert as_tuples(merged) == as_tuples(direct)

@@ -239,3 +239,49 @@ def test_jdbc_derby_typed_roundtrip(spark, tmp_path):
     assert got[0].temp == 287.45
     # NULLs survive in every type
     assert got[1].descr is None and got[2].obs_ts is None and got[2].temp is None
+
+
+def test_streaming_jdbc_upsert_foreachbatch(spark, tmp_path):
+    """EXECUTED streaming → JDBC upsert (streaming/sinks.py): two
+    AvailableNow drains over a file landing dir, with the second batch
+    overlapping the first on the key — the foreachBatch anti-join must
+    keep the destination exactly-once even though delivery is
+    at-least-once (the reference's blind execute_values INSERT
+    duplicates on re-run; this sink is the fix)."""
+    import json
+
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.sources.jdbc import (
+        derby_endpoint,
+    )
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.streaming.sinks import (
+        jdbc_upsert_stream,
+    )
+
+    ep = derby_endpoint(str(tmp_path / "derbyupsert"))
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        stream = (spark.readStream
+                  .schema("id int, city string, temp double")
+                  .json(str(landing)))
+        q = (jdbc_upsert_stream(stream, ep, "stream_weather", ["id"], ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    batch1 = [{"id": i, "city": f"c{i}", "temp": 270.0 + i} for i in range(5)]
+    (landing / "b1.json").write_text(
+        "\n".join(json.dumps(r) for r in batch1))
+    drain()
+    # second file: ids 3..7 — 3,4 overlap and must NOT duplicate
+    batch2 = [{"id": i, "city": f"c{i}", "temp": 270.0 + i} for i in range(3, 8)]
+    (landing / "b2.json").write_text(
+        "\n".join(json.dumps(r) for r in batch2))
+    drain()
+
+    got = sorted(
+        jdbc_table_reader(spark, ep, "stream_weather").load().collect(),
+        key=lambda r: r.id)
+    assert [r.id for r in got] == list(range(8))
+    assert got[3].temp == 273.0
