@@ -44,6 +44,8 @@ _OFF = "__serial_off"
 
 _NUMERIC_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
                   T.FloatType, T.DoubleType, T.DecimalType)
+_TEMPORAL_TYPES = (T.DateType, T.TimestampType)
+_SKETCH = "__serial_sketch"
 
 
 def _default_ranges(spark) -> int:
@@ -62,9 +64,11 @@ def serial_id(df: DataFrame, key_cols: list[str], id_col: str = "id",
     without a single-partition global sort.
 
     ``key_cols`` must be a total order (unique tiebreak) for the ids
-    to be deterministic, and the leading key must be numeric (it feeds
-    the quantile sketch; values beyond 2^53 would lose double
-    precision; for Date/Timestamp leads pre-derive an epoch column).
+    to be deterministic, and the leading key must be numeric or
+    Date/Timestamp (it feeds the quantile sketch; numeric values
+    beyond 2^53 would lose double precision; temporal leads bucket on
+    their epoch image — monotone under the UTC-pinned session — while
+    the per-bucket window orders by the original column).
     Triggers two eager metadata-sized jobs (boundary sketch +
     per-bucket counts) when called.
 
@@ -88,26 +92,37 @@ def serial_id(df: DataFrame, key_cols: list[str], id_col: str = "id",
     n = num_ranges or _default_ranges(spark)
     lead = key_cols[0]
     lead_type = df.schema[lead].dataType
-    if not isinstance(lead_type, _NUMERIC_TYPES):
+    if isinstance(lead_type, _TEMPORAL_TYPES):
+        # Date/Timestamp leads (ADVICE r4): sketch and bucket on the
+        # epoch image (session tz is pinned UTC so the cast is a
+        # monotone bijection — equal instants share a bucket, order is
+        # preserved); the final per-bucket window still orders by the
+        # ORIGINAL temporal column.
+        sketch_src = F.col(lead).cast("timestamp").cast("double")
+    elif isinstance(lead_type, _NUMERIC_TYPES):
+        sketch_src = F.col(lead).cast("double")
+    else:
         raise TypeError(
-            f"serial_id leading key {lead!r} must be numeric for "
-            f"the quantile sketch; got {lead_type.simpleString()} — reorder "
-            f"key_cols or pre-derive a numeric sort key (e.g. epoch "
-            f"seconds for Date/Timestamp)")
+            f"serial_id leading key {lead!r} must be numeric or "
+            f"Date/Timestamp (it feeds the quantile sketch); got "
+            f"{lead_type.simpleString()} — reorder key_cols or "
+            f"pre-derive a sortable numeric key")
     keys = [F.col(c) for c in key_cols]
+    sk = df.withColumn(_SKETCH, sketch_src)
 
     probs = [i / n for i in range(1, n)]
-    bounds = sorted(set(df.stat.approxQuantile(lead, probs, 1.0 / (100 * n))))
+    bounds = sorted(set(sk.stat.approxQuantile(
+        _SKETCH, probs, 1.0 / (100 * n))))
     if bounds:
         barr = F.array(*[F.lit(b).cast("double") for b in bounds])
         pid_expr = F.size(
-            F.filter(barr, lambda b: b < F.col(lead).cast("double")))
+            F.filter(barr, lambda b: b < F.col(_SKETCH)))
     else:  # empty input — single bucket
         pid_expr = F.lit(0)
     # pin ONE materialization for both the counts job and the final job
     # (see docstring); spill-not-evict narrows — but does not eliminate —
     # the lineage-recompute window (executor loss still recomputes)
-    tagged = df.withColumn(_PID, pid_expr).persist(
+    tagged = sk.withColumn(_PID, pid_expr).drop(_SKETCH).persist(
         StorageLevel.MEMORY_AND_DISK)
 
     # one row per bucket — metadata scale, safe to collect

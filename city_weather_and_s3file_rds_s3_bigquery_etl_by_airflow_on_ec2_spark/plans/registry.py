@@ -1841,6 +1841,37 @@ REGISTRY: dict[str, QuerySpec] = {
         ) GROUP BY doc_id
         """,
     ),
+    "udaf_grouped_pandas_geomean": QuerySpec(
+        R.udaf_grouped_pandas_geomean,
+        """
+        SELECT l_returnflag,
+               round(exp(avg(ln(l_extendedprice))), 6) AS geo_price,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag
+        """,
+    ),
+    "grouped_map_normalize": QuerySpec(
+        R.grouped_map_normalize,
+        """
+        SELECT event_id, event_type,
+               round((value - avg(value) OVER w)
+                     / stddev_samp(value) OVER w, 4) AS z
+        FROM events
+        WINDOW w AS (PARTITION BY event_type)
+        """,
+    ),
+    "scalar_map_funcs": QuerySpec(
+        R.scalar_map_funcs,
+        """
+        SELECT c_custkey, key, val FROM (
+            SELECT c_custkey, 'acct' AS key, c_acctbal * 2 AS val
+            FROM customer
+            UNION ALL
+            SELECT c_custkey, 'half' AS key, (c_acctbal / 2) * 2 AS val
+            FROM customer
+        ) WHERE val > 5000.0
+        """,
+    ),
     "agg_incremental_merge": QuerySpec(
         R.agg_incremental_merge,
         """

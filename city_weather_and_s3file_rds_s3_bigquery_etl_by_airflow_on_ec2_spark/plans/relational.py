@@ -1126,6 +1126,84 @@ def scalar_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def udaf_grouped_pandas_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDAF (§2.11, the UDAF leg of the UDF/UDAF/
+    UDTF surface): per-group geometric mean — an aggregate Spark has
+    no builtin for — as an Arrow-batched vectorized reduction.  The
+    oracle is the exp(avg(ln x)) identity in plain SQL; both sides
+    round to 6 decimals so numpy's pairwise summation vs DuckDB's
+    sequential accumulation cannot flip the hash.
+
+    Scale: GROUPED_AGG ships each group's column (one Arrow batch) to
+    Python — right for low-cardinality groups over wide scans; a
+    high-cardinality version should use the logsum decomposition in
+    pure SQL instead (exactly what the oracle shows)."""
+    import pandas as pd
+
+    def _geomean(v):
+        import numpy as np
+        return float(np.exp(np.log(v).mean()))
+
+    # explicit annotations (not decorator type hints): this module uses
+    # `from __future__ import annotations`, which stringizes hints so
+    # pandas_udf cannot infer the GROUPED_AGG kind from them
+    _geomean.__annotations__ = {"v": pd.Series, "return": float}
+    geomean = F.pandas_udf(_geomean, "double")
+
+    def _n(v):
+        return len(v)
+
+    # Spark rejects mixing a GROUPED_AGG pandas UDF with built-in
+    # aggregates in one agg(), so the count is a second pandas UDAF
+    _n.__annotations__ = {"v": pd.Series, "return": int}
+    n_rows = F.pandas_udf(_n, "long")
+
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    return (lineitem.groupBy("l_returnflag")
+            .agg(F.round(geomean("l_extendedprice"), 6).alias("geo_price"),
+                 n_rows("l_extendedprice").alias("n")))
+
+
+def grouped_map_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map ``applyInPandas`` (§2.11): per-event-type z-score
+    normalization, the classic whole-group pandas transform (each
+    group arrives as ONE pandas DataFrame).  Rounding happens
+    Spark-side AFTER the UDF — pandas `.round` is half-even while
+    F.round is HALF_UP, and the oracle must see HALF_UP.
+
+    Scale: one shuffle on the group key; a group must fit in one
+    executor's memory — fine for bounded key domains (5 event types),
+    wrong for high-cardinality keys, where the same z-score is two
+    window aggregates (the oracle's spelling, no Python at all)."""
+    import pandas as pd
+
+    def norm(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu, sd = pdf["value"].mean(), pdf["value"].std(ddof=1)
+        pdf["z"] = (pdf["value"] - mu) / sd
+        return pdf[["event_id", "event_type", "z"]]
+
+    (events,) = _t(spark, sf_dir, "events")
+    out = (events.select("event_id", "event_type", "value")
+           .groupBy("event_type")
+           .applyInPandas(norm, "event_id long, event_type string, z double"))
+    return out.select("event_id", "event_type",
+                      F.round("z", 4).alias("z"))
+
+
+def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type scalar surface (§2.9): build → transform_values →
+    map_filter → explode back to rows (rows are how the oracle can
+    check a map without engine-specific map literals).  All four
+    higher-order map functions run JVM-side."""
+    (customer,) = _t(spark, sf_dir, "customer")
+    m = F.create_map(
+        F.lit("acct"), F.col("c_acctbal"),
+        F.lit("half"), F.col("c_acctbal") / 2)
+    doubled = F.transform_values(m, lambda k, v: v * 2)
+    kept = F.map_filter(doubled, lambda k, v: v > 5000.0)
+    return (customer.select("c_custkey", F.explode(kept).alias("key", "val")))
+
+
 def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental rollup maintenance (operators/incremental.py): the
     history partition and the delta partition are collapsed into

@@ -1395,3 +1395,38 @@ def test_incremental_state_merge_properties(spark):
     direct = aggregate_state(df, ["k"], ["v"])
     as_tuples = lambda d: sorted(map(tuple, d.collect()))
     assert as_tuples(merged) == as_tuples(direct)
+
+
+def test_serial_id_timestamp_leading_key(spark):
+    """Temporal leads (ADVICE r4): a Timestamp leading key buckets on
+    its epoch image but the ids must equal the global
+    row_number() OVER (ORDER BY ts, event_id) — including duplicate
+    timestamps straddling bucket boundaries."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.operators.ids import (
+        serial_id,
+    )
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.sources.tables import (
+        read_parquet_table,
+    )
+
+    from .conftest import SF_SMALL
+
+    ev = read_parquet_table(spark, SF_SMALL, "events") \
+        .select("event_id", "ts").limit(2000)
+    got = serial_id(ev, ["ts", "event_id"], num_ranges=8)
+    from pyspark.sql import Window
+    w = Window.orderBy("ts", "event_id")
+    want = ev.withColumn("id", F.row_number().over(w).cast("long"))
+    assert sorted((r.event_id, r.id) for r in got.collect()) == \
+           sorted((r.event_id, r.id) for r in want.collect())
+
+
+def test_serial_id_rejects_string_lead(spark):
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.operators.ids import (
+        serial_id,
+    )
+
+    df = spark.createDataFrame([("a", 1)], "k string, v int")
+    import pytest as _pytest
+    with _pytest.raises(TypeError, match="numeric or Date/Timestamp"):
+        serial_id(df, ["k", "v"])
