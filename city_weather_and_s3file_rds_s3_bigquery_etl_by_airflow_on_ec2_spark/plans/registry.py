@@ -1841,6 +1841,56 @@ REGISTRY: dict[str, QuerySpec] = {
         ) GROUP BY doc_id
         """,
     ),
+    "window_count_distinct": QuerySpec(
+        R.window_count_distinct,
+        """
+        SELECT event_id, user_id,
+               count(DISTINCT event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS n_distinct_types
+        FROM events
+        """,
+    ),
+    "events_funnel_conversion": QuerySpec(
+        R.events_funnel_conversion,
+        """
+        WITH s1 AS (
+            SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'signup' GROUP BY user_id
+        ), s2 AS (
+            SELECT e.user_id, min(e.ts) AS t2
+            FROM events e JOIN s1 ON e.user_id = s1.user_id
+            WHERE e.event_type = 'view' AND e.ts > s1.t1
+            GROUP BY e.user_id
+        ), s3 AS (
+            SELECT e.user_id, min(e.ts) AS t3
+            FROM events e JOIN s2 ON e.user_id = s2.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+            GROUP BY e.user_id
+        )
+        SELECT (SELECT count(*) FROM s1) AS n_signup,
+               (SELECT count(*) FROM s2) AS n_view_after,
+               (SELECT count(*) FROM s3) AS n_purchase_after
+        """,
+    ),
+    "events_cohort_retention": QuerySpec(
+        R.events_cohort_retention,
+        """
+        WITH ev AS (
+            SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+            FROM events
+        ), first AS (
+            SELECT user_id, min(wk) AS cohort_week FROM ev GROUP BY user_id
+        )
+        SELECT f.cohort_week,
+               CAST(date_diff('day', f.cohort_week, e.wk) // 7 AS BIGINT)
+                   AS week_offset,
+               count(DISTINCT e.user_id) AS n_users
+        FROM ev e JOIN first f ON e.user_id = f.user_id
+        GROUP BY 1, 2
+        """,
+    ),
     "udaf_grouped_pandas_geomean": QuerySpec(
         R.udaf_grouped_pandas_geomean,
         """

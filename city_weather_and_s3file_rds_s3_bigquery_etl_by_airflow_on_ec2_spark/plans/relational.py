@@ -1126,6 +1126,74 @@ def scalar_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) over a window — Spark rejects DISTINCT
+    inside window aggregates, so the engine spells it as the standard
+    two-window composition: flag each (user, event_type)'s FIRST
+    occurrence with row_number, then running-sum the flags.  The
+    oracle is DuckDB's NATIVE windowed count(DISTINCT ...), so the
+    rewrite's equivalence is checked against an independent
+    implementation, not against itself.  Two window passes over the
+    same (user_id, ts) partitioning — one shuffle, reused."""
+    (events,) = _t(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id", "event_type") \
+        .orderBy("ts", "event_id")
+    w_run = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    flag = (F.row_number().over(w_first) == 1).cast("long")
+    return (events.select("event_id", "user_id", flag.alias("__f"), "ts")
+            .select("event_id", "user_id",
+                    F.sum("__f").over(w_run).alias("n_distinct_types")))
+
+
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (signup → view → purchase): each stage's
+    timestamp must follow the previous stage's.  Stage timestamps are
+    conditional MINs computed per user in successive aggregations —
+    each stage is one keyed agg + one keyed join, all on user_id, so
+    AQE coalesces them onto one partitioning at scale.  Output is the
+    one-row conversion summary."""
+    (events,) = _t(spark, sf_dir, "events")
+    ev = events.select("user_id", "event_type", "ts")
+    s1 = (ev.where(F.col("event_type") == "signup")
+          .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    s2 = (ev.where(F.col("event_type") == "view")
+          .join(s1, "user_id")
+          .where(F.col("ts") > F.col("t1"))
+          .groupBy("user_id").agg(F.min("ts").alias("t2")))
+    s3 = (ev.where(F.col("event_type") == "purchase")
+          .join(s2, "user_id")
+          .where(F.col("ts") > F.col("t2"))
+          .groupBy("user_id").agg(F.min("ts").alias("t3")))
+    # one lineage, no driver-side counts: three 1-row aggregates
+    # cross-joined (each side is a scalar — broadcast by construction)
+    return (s1.agg(F.count(F.lit(1)).alias("n_signup"))
+            .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_view_after")))
+            .crossJoin(s3.agg(F.count(F.lit(1)).alias("n_purchase_after"))))
+
+
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by the ISO week of their
+    first event; for each (cohort_week, week_offset) the count of
+    cohort members active that week.  Two keyed aggs (first-event per
+    user, then distinct user-week activity) and a broadcast-size
+    result — the standard product-analytics rollup."""
+    (events,) = _t(spark, sf_dir, "events")
+    # to_date: Spark's date_trunc returns TIMESTAMP, DuckDB's returns
+    # DATE for the same call — normalize to DATE
+    ev = events.select("user_id",
+                       F.to_date(F.date_trunc("week", F.col("ts")))
+                       .alias("wk"))
+    first = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    active = ev.distinct()
+    return (active.join(first, "user_id")
+            .select("user_id", "cohort_week",
+                    (F.datediff(F.col("wk"), F.col("cohort_week")) / 7)
+                    .cast("long").alias("week_offset"))
+            .groupBy("cohort_week", "week_offset")
+            .agg(F.count_distinct("user_id").alias("n_users")))
+
+
 def udaf_grouped_pandas_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPED_AGG pandas UDAF (§2.11, the UDAF leg of the UDF/UDAF/
     UDTF surface): per-group geometric mean — an aggregate Spark has
