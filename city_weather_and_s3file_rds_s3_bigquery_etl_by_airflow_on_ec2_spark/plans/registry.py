@@ -1427,6 +1427,19 @@ REGISTRY: dict[str, QuerySpec] = {
          AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 60 MINUTE
         """,
     ),
+    "streaming_interval_join_outer": QuerySpec(
+        R.streaming_interval_join_outer,
+        """
+        SELECT c.event_id AS click_id, v.event_id AS view_id,
+               c.user_id AS user_id,
+               CAST(floor(epoch(c.ts)) - floor(epoch(v.ts)) AS BIGINT)
+                   AS gap_sec
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          ON c.user_id = v.user_id
+         AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 60 MINUTE
+        """,
+    ),
     # ---------------- round-5 widening: corpus-pipeline tail ----------
     "text_line_dedup": QuerySpec(
         X.text_line_dedup,

@@ -654,6 +654,17 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_interval_join_stream(spark, sf_dir)
 
 
+def streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join — unmatched clicks emit
+    NULL view columns only once the watermark proves no match can
+    arrive (the state-eviction path the inner variant never
+    exercises); a sentinel batch pushes the watermark over the bounded
+    lake so the settled set equals the batch LEFT JOIN.  See
+    streaming/joins.py run_interval_join_stream_outer."""
+    from ..streaming.joins import run_interval_join_stream_outer
+    return run_interval_join_stream_outer(spark, sf_dir)
+
+
 def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dropDuplicates over (user_id, event_type) — the
     settled AvailableNow key set equals batch SELECT DISTINCT, so the
