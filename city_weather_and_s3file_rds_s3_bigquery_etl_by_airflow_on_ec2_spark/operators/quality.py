@@ -52,3 +52,22 @@ def expect_values_in(df: DataFrame, col: str, allowed: list) -> DataFrame:
     if bad:
         raise DataQualityError(f"{col}: unexpected value {bad[0][col]!r}")
     return df
+
+
+def observed_counts(df: DataFrame, **metrics: "F.Column"):
+    """Zero-cost pipeline observability: attach named aggregate
+    metrics (``df.observe``) that are computed DURING the job's normal
+    pass — unlike the expect_* guards above, NO extra action or scan
+    is spent.  Returns ``(observed_df, observation)``; after the
+    caller runs ONE action on observed_df, ``observation.get`` yields
+    the metric dict.
+
+    This is the right tool for per-batch row counts / null rates /
+    checksum accumulators on a 100-TB run: each expect_* guard costs
+    one extra (cheap) job; an observation costs nothing.  Guards FAIL
+    the run; observations record — pair them (observe everything,
+    guard only the invariants)."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    return df.observe(obs, *[c.alias(a) for a, c in metrics.items()]), obs

@@ -1854,6 +1854,18 @@ REGISTRY: dict[str, QuerySpec] = {
         ) GROUP BY doc_id
         """,
     ),
+    "join_lateral_topn": QuerySpec(
+        R.join_lateral_topn,
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c, LATERAL (
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 2) t
+        WHERE c.c_mktsegment = 'MACHINERY'
+        """,
+    ),
     "window_count_distinct": QuerySpec(
         R.window_count_distinct,
         """

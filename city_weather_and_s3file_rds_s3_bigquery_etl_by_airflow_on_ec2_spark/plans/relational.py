@@ -1137,6 +1137,24 @@ def scalar_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with LIMIT (top-2 orders per
+    MACHINERY customer).  Catalyst decorrelates the per-row subquery
+    into a WindowGroupLimit + one join — verified in
+    tests/test_plan_quality.py — so the 'subquery per outer row'
+    spelling costs one shuffle at 100 TB, not a nested loop."""
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql("""
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c, LATERAL (
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 2) t
+        WHERE c.c_mktsegment = 'MACHINERY'
+    """)
+
+
 def window_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running COUNT(DISTINCT) over a window — Spark rejects DISTINCT
     inside window aggregates, so the engine spells it as the standard

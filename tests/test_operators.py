@@ -1430,3 +1430,65 @@ def test_serial_id_rejects_string_lead(spark):
     import pytest as _pytest
     with _pytest.raises(TypeError, match="numeric or Date/Timestamp"):
         serial_id(df, ["k", "v"])
+
+
+def test_observed_counts_free_metrics(spark):
+    """df.observe metrics ride the job's normal pass: one action
+    yields both the result and the metric dict, and the metrics match
+    an independent aggregation."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.operators.quality import (
+        observed_counts,
+    )
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.sources.tables import (
+        read_parquet_table,
+    )
+
+    from .conftest import SF_SMALL
+
+    ev = read_parquet_table(spark, SF_SMALL, "events")
+    odf, obs = observed_counts(
+        ev,
+        n=F.count(F.lit(1)),
+        null_vals=F.count(F.when(F.col("value").isNull(), 1)),
+        total=F.sum("value"),
+    )
+    kept = odf.where(F.col("event_type") != "error").count()  # ONE action
+    got = obs.get
+    direct = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("value").isNull(), 1)).alias("null_vals"),
+        F.sum("value").alias("total")).first()
+    assert got["n"] == direct["n"] == 1000
+    assert got["null_vals"] == direct["null_vals"]
+    assert abs(got["total"] - direct["total"]) < 1e-6
+    assert kept < got["n"]
+
+
+def test_zorder_interleave_bijective_property(spark):
+    """Hypothesis: the Morton interleave is a bijection on the
+    16-bit x 16-bit grid — distinct coordinate pairs never collide,
+    and the bits de-interleave back to the inputs."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(st.lists(
+        st.tuples(st.integers(0, (1 << 16) - 1),
+                  st.integers(0, (1 << 16) - 1)),
+        min_size=1, max_size=50, unique=True))
+    @settings(max_examples=20, deadline=None)
+    def check(pairs):
+        from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.sources.layout import (
+            zorder_value,
+        )
+
+        df = spark.createDataFrame(pairs, "x long, y long")
+        rows = df.select("x", "y",
+                         zorder_value(F.col("x"), F.col("y")).alias("z")) \
+                 .collect()
+        assert len({r.z for r in rows}) == len(pairs)
+        for r in rows:
+            x = sum(((r.z >> (2 * i)) & 1) << i for i in range(16))
+            y = sum(((r.z >> (2 * i + 1)) & 1) << i for i in range(16))
+            assert (x, y) == (r.x, r.y)
+
+    check()

@@ -381,3 +381,13 @@ def test_bloom_semi_join_no_false_negatives(spark):
             for r in fact.join(dim, F.col("fk") == F.col("dk"),
                                "left_semi").collect())
         assert got == want, f"m_bits={m_bits}"
+
+
+def test_lateral_topn_decorrelates_to_window_group_limit(spark):
+    """The correlated LATERAL-with-LIMIT must NOT plan as a per-row
+    nested loop: Catalyst rewrites it to a WindowGroupLimit (partial
+    top-k before the join shuffle)."""
+    df = R.join_lateral_topn(spark, SF_SMALL)
+    plan = _explain(df)
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
