@@ -967,3 +967,25 @@ def fuzzy_join_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.levenshtein(F.col("a.pfx"), F.col("b.pfx"))
                     .alias("edit_dist"))
             .where(F.col("edit_dist") <= 20))
+
+
+def text_top_tokens_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via the approx_top_k sketch (Spark 4): corpus-wide
+    top-20 tokens from ONE pass with a bounded-memory summary — the
+    sketch analog of text_ngram_profile's exact count→sort→limit.
+
+    Why it matters at 100 TB: the exact profile shuffles every distinct
+    token; the sketch keeps a fixed-size state per partition and merges
+    map-side, so the shuffle is O(maxItemsTracked), independent of
+    vocabulary size.  Rows-only: tie order at the cutoff is
+    sketch-internal; tests assert the returned (token, freq) pairs
+    equal the exact counts whenever maxItemsTracked >= vocabulary
+    (where the sketch is provably exact)."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    toks = (documents.select(F.explode(TX.tokens("text")).alias("tok"))
+            .where(F.length("tok") > 0))
+    sketch = toks.agg(F.expr(
+        "approx_top_k(tok, 20, 100000)").alias("top"))
+    return (sketch.select(F.explode("top").alias("e"))
+            .select(F.col("e.item").alias("tok"),
+                    F.col("e.count").alias("freq")))

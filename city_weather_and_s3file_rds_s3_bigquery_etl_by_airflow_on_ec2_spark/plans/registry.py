@@ -1811,6 +1811,7 @@ REGISTRY: dict[str, QuerySpec] = {
         """,
     ),
     "agg_hll_sketch_union": QuerySpec(R.agg_hll_sketch_union, None),
+    "text_top_tokens_sketch": QuerySpec(X.text_top_tokens_sketch, None),
     "join_bloom_prefilter": QuerySpec(
         R.join_bloom_prefilter,
         """

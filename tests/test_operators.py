@@ -1492,3 +1492,28 @@ def test_zorder_interleave_bijective_property(spark):
             assert (x, y) == (r.x, r.y)
 
     check()
+
+
+def test_approx_top_k_exact_when_capacity_covers_vocab(spark):
+    """approx_top_k is provably exact when maxItemsTracked >= NDV:
+    the sketched top-20 token counts must equal the exact profile."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        text_top_tokens_sketch,
+    )
+
+    from .conftest import SF_SMALL
+
+    got = {r.tok: r.freq for r in
+           text_top_tokens_sketch(spark, SF_SMALL).collect()}
+    import duckdb
+    exact = dict(duckdb.sql(f"""
+        SELECT tok, count(*) FROM (
+          SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
+          FROM '{SF_SMALL}/documents.parquet') WHERE len(tok) > 0
+        GROUP BY tok ORDER BY count(*) DESC LIMIT 25""").fetchall())
+    assert len(got) == 20
+    for tok, freq in got.items():
+        assert exact.get(tok) == freq, (tok, freq, exact.get(tok))
+    # every sketched count is at least the 25th exact count (no
+    # spurious low-frequency entries)
+    assert min(got.values()) >= min(exact.values())

@@ -391,3 +391,39 @@ def test_lateral_topn_decorrelates_to_window_group_limit(spark):
     plan = _explain(df)
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_native_runtime_bloom_filter_injected(spark, tmp_path):
+    """Spark's OWN runtime bloom filter (the AQE counterpart of
+    operators/bloom.py) activates under production-representative
+    thresholds scaled to test data: with broadcast off (the big-dim
+    case) the executed fact side carries an injected
+    bloom_filter/might_contain predicate."""
+    spark.range(0, 100000).selectExpr("id", "id % 100 as fk") \
+        .write.mode("overwrite").parquet(str(tmp_path / "fact"))
+    spark.range(0, 100).selectExpr("id as dk") \
+        .write.mode("overwrite").parquet(str(tmp_path / "dim"))
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            "10GB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        f = spark.read.parquet(str(tmp_path / "fact"))
+        d = spark.read.parquet(str(tmp_path / "dim")).where("dk < 5")
+        j = f.join(d, f.fk == d.dk)
+        assert j.count() == 5000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan.lower()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
