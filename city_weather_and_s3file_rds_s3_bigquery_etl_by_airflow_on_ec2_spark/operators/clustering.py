@@ -101,3 +101,84 @@ def kmeans_train(df: DataFrame, init_centroids: list[list[float]],
         if shift < tol:
             break
     return cents, assign_clusters(df, cents, vec_col, id_col), it
+
+
+# ------------------------------------------------- product quantization —
+# PQ [Jégou et al., "Product Quantization for Nearest Neighbor
+# Search", TPAMI 2011]: split each d-dim vector into m subvectors,
+# k-means each subspace independently, store each vector as m small
+# centroid ids.  With m=4, k=16 a 64-dim float vector (256 B)
+# compresses to 4 codes (2 B at 4 bits each) — the storage layer that
+# makes billion-vector ANN feasible; ann_ivf_topk's coarse quantizer +
+# these fine codes is the standard IVF-PQ layout.
+
+def pq_train(df: DataFrame, m: int = 4, k: int = 16,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             max_iter: int = 10) -> list[list[list[float]]]:
+    """Train the m per-subspace codebooks (k centroids each) with the
+    existing Lloyd loop.  Deterministic init: the k hash-ordered seed
+    subvectors (same fixed-budget rule as ann_ivf_topk's coarse
+    centroids).  Driver state is m*k*(d/m) = k*d doubles — metadata.
+
+    Each subspace trains on a SLICED projection of the vector column;
+    the full vectors never shuffle (kmeans_train's argmin is narrow).
+    """
+    dim = df.select(F.size(vec_col).alias("d")).first()["d"]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        sl = df.select(
+            F.col(id_col),
+            F.slice(as_double(F.col(vec_col)), j * sub + 1, sub)
+            .alias(vec_col))
+        seeds = [r.v for r in sl
+                 .orderBy(F.xxhash64(F.col(id_col), F.lit(j)))
+                 .limit(k).select(F.col(vec_col).alias("v")).collect()]
+        cb, _, _ = kmeans_train(sl, seeds, vec_col=vec_col,
+                                id_col=id_col, max_iter=max_iter)
+        books.append(cb)
+    return books
+
+
+def pq_encode(df: DataFrame, codebooks: list[list[list[float]]],
+              vec_col: str = "embedding",
+              id_col: str = "vec_id") -> DataFrame:
+    """Encode every vector to its m nearest-centroid codes →
+    ``(id_col, pq_codes array<int>, recon_err double)``.
+
+    Expression-only: per subspace the k squared distances form a
+    literal-centroid array, the code is the argmin index and the
+    subspace's min distance accumulates into the exact reconstruction
+    error (sum of per-subspace quantization errors — PQ's objective).
+    No shuffle at all: encoding is a map over the scan."""
+    m = len(codebooks)
+    k = len(codebooks[0])
+    sub = len(codebooks[0][0])
+    codes, errs = [], []
+    for j, book in enumerate(codebooks):
+        subv = F.slice(as_double(F.col(vec_col)), j * sub + 1, sub)
+        dists = F.array(*[
+            _sq_dist(subv, F.array(*[F.lit(float(x)) for x in c]))
+            for c in book])
+        codes.append((F.array_position(dists, F.array_min(dists)) - 1)
+                     .cast("int"))
+        errs.append(F.array_min(dists))
+    total_err = errs[0]
+    for e in errs[1:]:
+        total_err = total_err + e
+    return df.select(
+        F.col(id_col),
+        F.array(*codes).alias("pq_codes"),
+        total_err.alias("recon_err"))
+
+
+def pq_decode_codes(codes: list[int],
+                    codebooks: list[list[list[float]]]) -> list[float]:
+    """Driver-side reconstruction of one code word (test helper /
+    centroid lookup): concatenation of the selected centroids."""
+    out: list[float] = []
+    for j, c in enumerate(codes):
+        out.extend(codebooks[j][c])
+    return out

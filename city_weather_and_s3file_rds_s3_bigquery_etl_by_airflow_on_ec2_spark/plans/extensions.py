@@ -989,3 +989,17 @@ def text_top_tokens_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (sketch.select(F.explode("top").alias("e"))
             .select(F.col("e.item").alias("tok"),
                     F.col("e.count").alias("freq")))
+
+
+def embedding_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization storage codes for the embedding corpus
+    (operators/clustering.py pq_train/pq_encode): m=4 subspaces x
+    k=16 centroids — 64-dim float vectors compressed to 4 codes.
+    Rows-only (iterative k-means training); roundtrip and
+    error-monotonicity are ground-truthed in tests."""
+    from ..operators.clustering import pq_encode, pq_train
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    books = pq_train(embeddings, m=4, k=16, max_iter=5)
+    return (pq_encode(embeddings, books)
+            .select("vec_id", "pq_codes",
+                    F.round("recon_err", 6).alias("recon_err")))

@@ -1517,3 +1517,39 @@ def test_approx_top_k_exact_when_capacity_covers_vocab(spark):
     # every sketched count is at least the 25th exact count (no
     # spurious low-frequency entries)
     assert min(got.values()) >= min(exact.values())
+
+
+def test_pq_roundtrip_and_error_monotone(spark):
+    """PQ contract: (1) vectors that ARE codebook centroids encode
+    with zero reconstruction error and decode back exactly; (2) on
+    real embeddings, k=16 codebooks reconstruct strictly better than
+    the k=1 (per-subspace mean) baseline."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.operators.clustering import (
+        pq_decode_codes,
+        pq_encode,
+        pq_train,
+    )
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.sources.tables import (
+        read_parquet_table,
+    )
+
+    from .conftest import SF_SMALL
+
+    # planted: 8-dim vectors built from 2 subspaces x 3 known centroids
+    import itertools
+    cents = [[float(a)] * 4 for a in (0, 10, 20)]
+    vecs = [(i, ca + cb) for i, (ca, cb) in enumerate(
+        itertools.product(cents, cents))]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    books = pq_train(df, m=2, k=3, max_iter=5)
+    enc = {r.vec_id: r for r in pq_encode(df, books).collect()}
+    for vid, full in vecs:
+        assert enc[vid].recon_err < 1e-12
+        assert pq_decode_codes(list(enc[vid].pq_codes), books) == full
+
+    emb = read_parquet_table(spark, SF_SMALL, "embeddings")
+    b16 = pq_train(emb, m=4, k=16, max_iter=5)
+    b1 = pq_train(emb, m=4, k=1, max_iter=5)
+    err16 = pq_encode(emb, b16).agg(F.sum("recon_err")).first()[0]
+    err1 = pq_encode(emb, b1).agg(F.sum("recon_err")).first()[0]
+    assert err16 < err1 * 0.9

@@ -51,6 +51,9 @@ SCALE_QUERIES = [
     # span-census shuffle (C4 line dedup — groupBy on content)
     "corpus_shard_pack",
     "text_line_dedup",
+    # r5c addition: the Bloom-prefiltered semi-join (the prefilter must
+    # keep paying for itself as the fact side grows)
+    "join_bloom_prefilter",
 ]
 
 
