@@ -168,3 +168,74 @@ def ivf_topk(
         F.col("cos_sim").desc(), F.col(corpus_id).asc())
     return (scored.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") <= k).drop("__rn"))
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    corpus_codes: DataFrame,
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int,
+    rerank_factor: int = 4,
+    query_id: str = "q_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    sim_decimals: int = 6,
+) -> DataFrame:
+    """PQ asymmetric-distance top-k [Jégou et al. 2011]: score the
+    COMPRESSED corpus (m codes per vector) against per-query distance
+    tables, keep ``rerank_factor * k`` candidates per query, then
+    exact-cosine re-rank only those.
+
+    The scale shape this buys: the scan side touches pq_codes (a few
+    bytes/vector) instead of the full float vectors — the 100 TB
+    corpus read shrinks by ~100x, and ADC is m table lookups per
+    vector (no per-dimension arithmetic).  Queries collect to the
+    driver (metadata scale, same contract as the broadcast query side
+    of brute_force_topk) to precompute the m x k distance tables that
+    become a broadcast literal table.
+
+    Approximate by construction (quantization error) → rows-only in
+    the registry; recall vs brute force is ground-truthed in tests."""
+    m = len(codebooks)
+    k_cent = len(codebooks[0])
+    sub = len(codebooks[0][0])
+    spark = queries.sparkSession
+
+    q_rows = queries.select(
+        F.col(query_id), as_double(vec_col).alias("__qv")).collect()
+    tables = []
+    for r in q_rows:
+        qv = list(r["__qv"])
+        dt = [[sum((qv[j * sub + t] - c[t]) ** 2 for t in range(sub))
+               for c in codebooks[j]] for j in range(m)]
+        tables.append((r[query_id], dt))
+    tdf = spark.createDataFrame(
+        tables, f"{query_id} long, __dt array<array<double>>")
+
+    scored = corpus_codes.crossJoin(F.broadcast(tdf)).select(
+        query_id, corpus_id,
+        sum(
+            (F.element_at(F.element_at(F.col("__dt"), j + 1),
+                          F.element_at(F.col("pq_codes"), j + 1) + 1)
+             for j in range(m)),
+            start=F.lit(0.0),
+        ).alias("adc_dist2"))
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("adc_dist2").asc(), F.col(corpus_id).asc())
+    cands = (scored.withColumn("__rn", F.row_number().over(w))
+             .where((F.col("__rn") <= rerank_factor * k)
+                    & (F.col(query_id) != F.col(corpus_id)))
+             .select(query_id, corpus_id))
+
+    q = queries.select(F.col(query_id), as_double(vec_col).alias("__qv"))
+    c = corpus.select(F.col(corpus_id), as_double(vec_col).alias("__cv"))
+    exact = (cands.join(c, corpus_id)
+             .join(F.broadcast(q), query_id)
+             .select(query_id, corpus_id,
+                     F.round(cosine(F.col("__qv"), F.col("__cv")),
+                             sim_decimals).alias("cos_sim")))
+    w2 = Window.partitionBy(query_id).orderBy(
+        F.col("cos_sim").desc(), F.col(corpus_id).asc())
+    return (exact.withColumn("__rn", F.row_number().over(w2))
+            .where(F.col("__rn") <= k).drop("__rn"))

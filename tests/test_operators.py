@@ -1553,3 +1553,25 @@ def test_pq_roundtrip_and_error_monotone(spark):
     err16 = pq_encode(emb, b16).agg(F.sum("recon_err")).first()[0]
     err1 = pq_encode(emb, b1).agg(F.sum("recon_err")).first()[0]
     assert err16 < err1 * 0.9
+
+
+def test_pq_adc_recall_vs_brute_force(spark):
+    """PQ+ADC with exact re-rank recovers most of the exact top-5
+    (quantization loses some candidates; the re-rank stage means every
+    returned similarity is EXACT, so errors are only omissions)."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        ann_cosine_topk,
+        ann_pq_topk,
+    )
+
+    from .conftest import SF_SMALL
+
+    exact = {}
+    for r in ann_cosine_topk(spark, SF_SMALL).collect():
+        exact.setdefault(r.q_id, set()).add(r.vec_id)
+    approx = {}
+    for r in ann_pq_topk(spark, SF_SMALL).collect():
+        approx.setdefault(r.q_id, set()).add(r.vec_id)
+    assert set(approx) == set(exact)
+    recalls = [len(approx[q] & exact[q]) / len(exact[q]) for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
