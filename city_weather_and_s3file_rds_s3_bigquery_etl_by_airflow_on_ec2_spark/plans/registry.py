@@ -1813,6 +1813,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "agg_hll_sketch_union": QuerySpec(R.agg_hll_sketch_union, None),
     "text_top_tokens_sketch": QuerySpec(X.text_top_tokens_sketch, None),
     "embedding_pq_encode": QuerySpec(X.embedding_pq_encode, None),
+    "ann_pq_topk": QuerySpec(X.ann_pq_topk, None),
     "join_bloom_prefilter": QuerySpec(
         R.join_bloom_prefilter,
         """
