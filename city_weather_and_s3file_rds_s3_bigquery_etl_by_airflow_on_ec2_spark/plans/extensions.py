@@ -1031,3 +1031,45 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = unit.where(F.col("vec_id") < 20) \
                   .select(F.col("vec_id").alias("q_id"), "embedding")
     return S.pq_adc_topk(queries, codes, embeddings, books, k=5)
+
+
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (Robertson/Spärck Jones; k1=1.2, b=0.75)
+    for a fixed query over the corpus: tf / document-length / df
+    statistics composed exactly as in the textbook formula, top-20 by
+    rounded score with doc_id tiebreak.  The sparse-retrieval
+    complement to the dense ANN family — fully oracle-checked since
+    every statistic is a deterministic aggregate.
+
+    Plan: one token-explode census (map-side combined), a term-df
+    broadcast (|query| rows), scalar N/avgdl broadcast, score as a
+    per-(doc,term) expression summed per doc.  The corpus shuffles
+    ONLY (doc_id, term) rows for query terms — at 100 TB an inverted
+    index materializes the same census once for all queries."""
+    k1, b = 1.2, 0.75
+    terms = ["data", "spark", "window"]
+    (documents,) = _t(spark, sf_dir, "documents")
+    toks = (documents.select("doc_id",
+                             F.explode(TX.tokens("text")).alias("tok"))
+            .where(F.length("tok") > 0))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    tf = (toks.where(F.col("tok").isin(terms))
+          .groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf")))
+    dft = tf.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.avg("dl").alias("avgdl"))
+    scored = (tf.join(F.broadcast(dft), "tok")
+              .join(dl, "doc_id")
+              .crossJoin(F.broadcast(stats))
+              .select(
+                  "doc_id",
+                  (F.log((F.col("n_docs") - F.col("df") + 0.5)
+                         / (F.col("df") + 0.5) + 1.0)
+                   * (F.col("tf") * (k1 + 1))
+                   / (F.col("tf") + k1 * (1 - b + b * F.col("dl")
+                                          / F.col("avgdl"))))
+                  .alias("s")))
+    return (scored.groupBy("doc_id")
+            .agg(F.round(F.sum("s"), 6).alias("bm25"))
+            .orderBy(F.col("bm25").desc(), F.col("doc_id"))
+            .limit(20))

@@ -1814,6 +1814,40 @@ REGISTRY: dict[str, QuerySpec] = {
     "text_top_tokens_sketch": QuerySpec(X.text_top_tokens_sketch, None),
     "embedding_pq_encode": QuerySpec(X.embedding_pq_encode, None),
     "ann_pq_topk": QuerySpec(X.ann_pq_topk, None),
+    "text_bm25_topk": QuerySpec(
+        X.text_bm25_topk,
+        f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+        ), toks_nz AS (
+            SELECT doc_id, tok FROM toks WHERE length(tok) > 0
+        ), dl AS (
+            SELECT doc_id, count(*) AS dl FROM toks_nz GROUP BY doc_id
+        ), tf AS (
+            SELECT doc_id, tok, count(*) AS tf FROM toks_nz
+            WHERE tok IN ('data', 'spark', 'window')
+            GROUP BY doc_id, tok
+        ), dft AS (
+            SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY tok
+        ), stats AS (
+            SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+        ), scored AS (
+            SELECT tf.doc_id,
+                   ln((stats.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+                   * (tf.tf * 2.2)
+                   / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+                       AS s
+            FROM tf
+            JOIN dft ON tf.tok = dft.tok
+            JOIN dl ON tf.doc_id = dl.doc_id
+            CROSS JOIN stats
+        )
+        SELECT doc_id, round(SUM(s), 6) AS bm25 FROM scored
+        GROUP BY doc_id
+        ORDER BY bm25 DESC, doc_id
+        LIMIT 20
+        """,
+    ),
     "join_bloom_prefilter": QuerySpec(
         R.join_bloom_prefilter,
         """
