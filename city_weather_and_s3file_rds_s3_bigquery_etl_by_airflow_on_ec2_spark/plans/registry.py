@@ -1766,6 +1766,41 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM r
         """,
     ),
+    "window_linear_interpolate": QuerySpec(
+        R.window_linear_interpolate,
+        """
+        WITH r AS (
+            SELECT event_id, user_id, ts,
+                   CASE WHEN event_type <> 'error' THEN value END
+                       AS reading,
+                   CASE WHEN event_type <> 'error' THEN epoch_us(ts) END
+                       AS r_ts
+            FROM events
+        ), c AS (
+            SELECT event_id, user_id, reading, epoch_us(ts) AS t,
+                   last_value(reading IGNORE NULLS) OVER wb AS pv,
+                   last_value(r_ts IGNORE NULLS) OVER wb AS pt,
+                   first_value(reading IGNORE NULLS) OVER wf AS nv,
+                   first_value(r_ts IGNORE NULLS) OVER wf AS nt
+            FROM r
+            WINDOW wb AS (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+        )
+        SELECT event_id, user_id, reading,
+               CASE
+                 WHEN reading IS NOT NULL THEN reading
+                 WHEN pv IS NOT NULL AND nv IS NOT NULL AND nt <> pt THEN
+                   round(pv + (nv - pv)
+                         * (CAST(t - pt AS DOUBLE)
+                            / CAST(nt - pt AS DOUBLE)), 6)
+                 WHEN pv IS NOT NULL THEN pv
+                 ELSE nv
+               END AS filled
+        FROM c
+        """,
+    ),
     "agg_mode_deterministic": QuerySpec(
         R.agg_mode_deterministic,
         """

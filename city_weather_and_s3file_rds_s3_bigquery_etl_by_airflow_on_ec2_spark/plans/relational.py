@@ -1089,6 +1089,41 @@ def window_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted linear interpolation of missing readings — the
+    step beyond LOCF (window_gapfill_locf): a gap is filled from BOTH
+    neighbors, weighted by where the row's event time sits between
+    them; leading/trailing gaps degrade to nearest-neighbor fill.
+
+    The carried (time, value) pairs are two parallel IGNORE NULLS
+    window columns (null together, so always consistent) — no struct
+    support needed from the frame.  Same single user_id shuffle as the
+    LOCF entry; the arithmetic is pure expression."""
+    (events,) = _t(spark, sf_dir, "events")
+    reading = F.when(F.col("event_type") != "error", F.col("value"))
+    r_ts = F.when(F.col("event_type") != "error", F.unix_micros("ts"))
+    order = [F.col("ts"), F.col("event_id")]
+    w_back = (Window.partitionBy("user_id").orderBy(*order)
+              .rowsBetween(Window.unboundedPreceding, -1))
+    w_fwd = (Window.partitionBy("user_id").orderBy(*order)
+             .rowsBetween(1, Window.unboundedFollowing))
+    pv = F.last(reading, ignorenulls=True).over(w_back)
+    pt = F.last(r_ts, ignorenulls=True).over(w_back)
+    nv = F.first(reading, ignorenulls=True).over(w_fwd)
+    nt = F.first(r_ts, ignorenulls=True).over(w_fwd)
+    t = F.unix_micros("ts")
+    frac = ((t - pt).cast("double") / (nt - pt).cast("double"))
+    interp = pv + (nv - pv) * frac
+    filled = (F.when(reading.isNotNull(), reading)
+              .when(pv.isNotNull() & nv.isNotNull() & (nt != pt),
+                    F.round(interp, 6))
+              .when(pv.isNotNull(), pv)
+              .otherwise(nv))
+    return events.select("event_id", "user_id",
+                         reading.alias("reading"),
+                         filled.alias("filled"))
+
+
 def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MODE aggregate with the deterministic tie-break (Spark 4
     ``mode(col, deterministic=True)`` returns the LOWEST value among
