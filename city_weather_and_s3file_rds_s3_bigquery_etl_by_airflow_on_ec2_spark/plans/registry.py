@@ -1766,6 +1766,18 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM r
         """,
     ),
+    "window_time_range_rolling": QuerySpec(
+        R.window_time_range_rolling,
+        """
+        SELECT event_id, user_id,
+               round(avg(value) OVER w, 6) AS rolling_avg_1h,
+               count(value) OVER w AS n_in_1h
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                               AND CURRENT ROW)
+        """,
+    ),
     "window_linear_interpolate": QuerySpec(
         R.window_linear_interpolate,
         """

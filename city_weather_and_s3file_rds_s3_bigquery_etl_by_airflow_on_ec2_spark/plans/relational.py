@@ -1089,6 +1089,25 @@ def window_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_time_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame: per-user rolling 1-hour mean/count over
+    event time — the frame is bounded by an INTERVAL of the ORDER BY
+    timestamp, not a row count, so irregular event spacing is handled
+    exactly (complements window_range_frame's numeric RANGE and the
+    tumbling/sliding bucketed windows: this one is per-ROW trailing).
+    One shuffle on user_id; frames evaluated within partitions."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql("""
+        SELECT event_id, user_id,
+               round(avg(value) OVER w, 6) AS rolling_avg_1h,
+               count(value) OVER w AS n_in_1h
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                               AND CURRENT ROW)
+    """)
+
+
 def window_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-weighted linear interpolation of missing readings — the
     step beyond LOCF (window_gapfill_locf): a gap is filled from BOTH
