@@ -1766,6 +1766,83 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM r
         """,
     ),
+    "join_null_safe": QuerySpec(
+        R.join_null_safe,
+        """
+        WITH r AS (
+            SELECT event_id,
+                   CASE WHEN event_type <> 'error' THEN event_type END
+                       AS cls,
+                   value
+            FROM events
+        ), per AS (
+            SELECT cls, round(avg(value), 6) AS cls_avg FROM r GROUP BY cls
+        )
+        SELECT r.event_id, r.cls, per.cls_avg
+        FROM r JOIN per ON r.cls IS NOT DISTINCT FROM per.cls
+        """,
+    ),
+    "agg_histogram_fixed_bins": QuerySpec(
+        R.agg_histogram_fixed_bins,
+        """
+        WITH b AS (
+            SELECT min(o_totalprice) AS lo,
+                   (max(o_totalprice) - min(o_totalprice)) / 10.0 AS w
+            FROM orders
+        )
+        SELECT least(CAST(floor((o_totalprice - b.lo) / b.w) AS BIGINT),
+                     9) AS bin_id,
+               COUNT(*) AS n,
+               round(min(o_totalprice), 2) AS bin_min,
+               round(max(o_totalprice), 2) AS bin_max
+        FROM orders, b
+        GROUP BY 1
+        """,
+    ),
+    "table_profile": QuerySpec(
+        R.table_profile,
+        """
+        SELECT 'o_orderkey' AS column_name, count(*) AS n_rows,
+               count(*) FILTER (o_orderkey IS NULL) AS n_nulls,
+               count(DISTINCT o_orderkey) AS n_distinct,
+               min(CAST(o_orderkey AS VARCHAR)) AS min_str,
+               max(CAST(o_orderkey AS VARCHAR)) AS max_str
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey', count(*),
+               count(*) FILTER (o_custkey IS NULL),
+               count(DISTINCT o_custkey),
+               min(CAST(o_custkey AS VARCHAR)),
+               max(CAST(o_custkey AS VARCHAR))
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', count(*),
+               count(*) FILTER (o_orderstatus IS NULL),
+               count(DISTINCT o_orderstatus),
+               min(o_orderstatus), max(o_orderstatus)
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice', count(*),
+               count(*) FILTER (o_totalprice IS NULL),
+               count(DISTINCT o_totalprice),
+               min(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)),
+               max(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR))
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderdate', count(*),
+               count(*) FILTER (o_orderdate IS NULL),
+               count(DISTINCT o_orderdate),
+               min(CAST(o_orderdate AS VARCHAR)),
+               max(CAST(o_orderdate AS VARCHAR))
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', count(*),
+               count(*) FILTER (o_orderpriority IS NULL),
+               count(DISTINCT o_orderpriority),
+               min(o_orderpriority), max(o_orderpriority)
+        FROM orders
+        """,
+    ),
     "window_time_range_rolling": QuerySpec(
         R.window_time_range_rolling,
         """

@@ -1089,6 +1089,83 @@ def window_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (``<=>`` / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of vanishing — the semantics CDC/merge
+    pipelines need when the business key is nullable.  Spark plans
+    ``<=>`` as a regular hash/merge join key (nulls hash together), so
+    there is no nested-loop penalty.  Keys here: the reading class
+    ('error' rows carry NULL), joined against a per-class aggregate."""
+    (events,) = _t(spark, sf_dir, "events")
+    cls = F.when(F.col("event_type") != "error", F.col("event_type"))
+    rows = events.select("event_id", cls.alias("cls"), "value")
+    # distinct name on the aggregate side: a same-lineage self-join on
+    # identically-named columns is ambiguous to the analyzer
+    per_cls = (rows.groupBy("cls")
+               .agg(F.round(F.avg("value"), 6).alias("cls_avg"))
+               .withColumnRenamed("cls", "cls_r"))
+    return (rows.join(per_cls, F.col("cls").eqNullSafe(F.col("cls_r")))
+            .select("event_id", "cls", "cls_avg"))
+
+
+def agg_histogram_fixed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width numeric histogram (10 bins over the observed
+    [min, max]) — the data-profiling shape behind every distribution
+    dashboard.  The bin boundaries come from one metadata-scale agg;
+    binning is pure integer arithmetic (floor), so the histogram is
+    engine-exact, unlike sampled `histogram_numeric`."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    b = orders.agg(F.min("o_totalprice"), F.max("o_totalprice")).first()
+    lo, hi = float(b[0]), float(b[1])
+    width = (hi - lo) / 10.0
+    bin_id = F.least(F.floor((F.col("o_totalprice") - F.lit(lo))
+                             / F.lit(width)).cast("long"), F.lit(9))
+    return (orders.groupBy(bin_id.alias("bin_id"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.min("o_totalprice"), 2).alias("bin_min"),
+                 F.round(F.max("o_totalprice"), 2).alias("bin_max")))
+
+
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiler over the orders table: per column the
+    row count, null count, distinct count, and min/max (stringified so
+    heterogeneous column types stack into one result).  The whole
+    profile is ONE aggregate job (all columns' aggregates in a single
+    pass — no per-column scans), then a constant-width unpivot.
+    This is the data-quality census a 100-TB ingest runs per
+    partition; pair with operators/quality.py guards for enforcement."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority"]
+    from pyspark.sql import types as T
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        # doubles stringify via DECIMAL(18,2): Java's Double.toString
+        # and DuckDB's shortest-repr disagree on edge renderings, and
+        # the profile's min/max must be engine-stable text
+        strc = (F.col(c).cast("decimal(18,2)").cast("string")
+                if isinstance(orders.schema[c].dataType, T.DoubleType)
+                else F.col(c).cast("string"))
+        aggs += [
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(strc).alias(f"{c}__min"),
+            F.max(strc).alias(f"{c}__max"),
+        ]
+    one = orders.agg(*aggs)
+    rows = [
+        F.struct(F.lit(c).alias("column_name"),
+                 F.col("__n").alias("n_rows"),
+                 F.col(f"{c}__nulls").alias("n_nulls"),
+                 F.col(f"{c}__distinct").alias("n_distinct"),
+                 F.col(f"{c}__min").alias("min_str"),
+                 F.col(f"{c}__max").alias("max_str"))
+        for c in cols
+    ]
+    return (one.select(F.explode(F.array(*rows)).alias("p"))
+            .select("p.*"))
+
+
 def window_time_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-based RANGE frame: per-user rolling 1-hour mean/count over
     event time — the frame is bounded by an INTERVAL of the ORDER BY
