@@ -17,9 +17,10 @@ is bit-equal to the plain semi-join — the oracle for the registry
 entry is the plain `EXISTS` SQL.
 
 Implementation is expression-only on the hot path: the k probe bit
-positions are `pmod(xxhash64(key, seed_i), m)` (JVM codegen, no
-Python), and the bitmap is a constant-folded array<long> literal in
-the filter expression.  The build side collects the DISTINCT set bit
+positions are `pmod(xxhash64(key, seed_i), m)` (JVM-side; the forall
+probe is an interpreted higher-order expression but never Python),
+and the bitmap is a constant-folded array<long> literal in the
+filter expression.  The build side collects the DISTINCT set bit
 positions to the driver — bounded by m_bits (default 2^16 → at most
 65 536 ints, a metadata-scale collect like operators/ids.py's
 per-bucket offsets, NOT data-scale) — then packs them into

@@ -1037,8 +1037,8 @@ def recursive_cte_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     spine, then LEFT JOIN monthly order counts so empty months surface
     as zero rows — the canonical gap-free time-series shape.
 
-    Scale: the recursion materializes 12 rows on the driver-side plan
-    (depth-bounded, no data-dependent iteration); the only distributed
+    Scale: the recursion is depth-bounded (12 tiny local iterations,
+    no data-dependent depth); the only distributed
     work is one partial-agg'd groupBy on orders.  Iterative operators
     whose depth DOES depend on data (connected components, PageRank,
     k-means) deliberately stay driver-loop + localCheckpoint instead —
@@ -1127,13 +1127,20 @@ def agg_histogram_fixed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-pass column profiler over the orders table: per column the
-    row count, null count, distinct count, and min/max (stringified so
-    heterogeneous column types stack into one result).  The whole
-    profile is ONE aggregate job (all columns' aggregates in a single
-    pass — no per-column scans), then a constant-width unpivot.
-    This is the data-quality census a 100-TB ingest runs per
-    partition; pair with operators/quality.py guards for enforcement."""
+    """Column profiler over the orders table: per column the row
+    count, null count, distinct count, and min/max (stringified so
+    heterogeneous column types stack into one result), computed in ONE
+    job over ONE scan, then a constant-width unpivot.
+
+    Honest cost note: six exact COUNT(DISTINCT)s in one aggregate make
+    Catalyst plan an Expand — each input row is replicated once per
+    distinct-column (7x here) before the de-dup aggregate, and the
+    de-dup shuffle keys on the expanded composite.  Exactness is what
+    the oracle checks; a 100-TB profile swaps the distinct counts for
+    approx_count_distinct (no Expand, no exact-dedup shuffle — the
+    engine's agg_approx_distinct entry shows that path) or runs
+    per-partition profiles merged via operators/incremental.py.
+    Pair with operators/quality.py guards for enforcement."""
     (orders,) = _t(spark, sf_dir, "orders")
     cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
             "o_orderdate", "o_orderpriority"]
@@ -1293,8 +1300,11 @@ def window_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurrence with row_number, then running-sum the flags.  The
     oracle is DuckDB's NATIVE windowed count(DISTINCT ...), so the
     rewrite's equivalence is checked against an independent
-    implementation, not against itself.  Two window passes over the
-    same (user_id, ts) partitioning — one shuffle, reused."""
+    implementation, not against itself.  Cost: two exchanges — the
+    first-occurrence window keys on (user_id, event_type), the running
+    sum re-keys on user_id alone (a prefix, but hash partitioning is
+    not prefix-compatible, so Catalyst cannot reuse the first
+    exchange)."""
     (events,) = _t(spark, sf_dir, "events")
     w_first = Window.partitionBy("user_id", "event_type") \
         .orderBy("ts", "event_id")
