@@ -1766,6 +1766,34 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM r
         """,
     ),
+    "sql_session_variables": QuerySpec(
+        R.sql_session_variables,
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_above
+        FROM orders
+        WHERE o_totalprice > (SELECT round(avg(o_totalprice), 2)
+                              FROM orders)
+        GROUP BY o_orderpriority
+        """,
+    ),
+    "sql_scripting_control_flow": QuerySpec(
+        R.sql_scripting_control_flow,
+        """
+        WITH RECURSIVE search(t) AS (
+            SELECT 100000.0
+            UNION ALL
+            SELECT t * 1.5 FROM search
+            WHERE (SELECT COUNT(*) FROM orders
+                   WHERE o_totalprice > t) > 100
+        ), final AS (
+            SELECT max(t) AS t FROM search
+        )
+        SELECT round(f.t, 2) AS threshold,
+               (SELECT COUNT(*) FROM orders
+                WHERE o_totalprice > f.t) AS n_above
+        FROM final f
+        """,
+    ),
     "join_null_safe": QuerySpec(
         R.join_null_safe,
         """

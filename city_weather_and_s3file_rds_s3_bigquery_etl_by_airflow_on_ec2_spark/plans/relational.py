@@ -1089,6 +1089,56 @@ def window_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session variables (Spark 4 DECLARE / SET VAR): a statistic
+    computed once into a typed variable parameterizes the main query —
+    the ad-hoc-analysis idiom the reference's notebook entry point
+    (§3.3) would use instead of string-pasting literals.  The variable
+    read is constant-folded into the plan, so the main query still
+    gets pushdown on the derived predicate; the oracle inlines the
+    same subquery."""
+    register_views(spark, sf_dir, ("orders",))
+    spark.sql("DECLARE OR REPLACE VARIABLE price_cut DOUBLE")
+    spark.sql("SET VAR price_cut = "
+              "(SELECT round(avg(o_totalprice), 2) FROM orders)")
+    return spark.sql("""
+        SELECT o_orderpriority, COUNT(*) AS n_above
+        FROM orders WHERE o_totalprice > price_cut
+        GROUP BY o_orderpriority
+    """)
+
+
+def sql_scripting_control_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4, BEGIN/DECLARE/WHILE): a data-driven
+    threshold search — raise the cutoff by 1.5x until at most 100
+    orders exceed it — written imperatively, each loop probe one tiny
+    aggregate job.  The oracle proves the imperative loop equals a
+    declarative fixpoint: the SAME search expressed as a recursive CTE
+    in DuckDB.  Loop depth is data-bounded and logarithmic in the
+    price range (not row count), so the pattern survives any scale."""
+    register_views(spark, sf_dir, ("orders",))
+    prev = spark.conf.get("spark.sql.scripting.enabled", None)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    try:
+        return spark.sql("""
+            BEGIN
+              DECLARE t DOUBLE DEFAULT 100000.0;
+              WHILE (SELECT COUNT(*) FROM orders
+                     WHERE o_totalprice > t) > 100 DO
+                SET t = t * 1.5;
+              END WHILE;
+              SELECT round(t, 2) AS threshold,
+                     (SELECT COUNT(*) FROM orders
+                      WHERE o_totalprice > t) AS n_above;
+            END
+        """)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.scripting.enabled")
+        else:
+            spark.conf.set("spark.sql.scripting.enabled", prev)
+
+
 def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Null-safe equi-join (``<=>`` / IS NOT DISTINCT FROM): NULL keys
     match each other instead of vanishing — the semantics CDC/merge
