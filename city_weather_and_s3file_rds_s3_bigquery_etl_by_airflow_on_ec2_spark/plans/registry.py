@@ -1766,6 +1766,20 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM r
         """,
     ),
+    "agg_filter_clause": QuerySpec(
+        R.agg_filter_clause,
+        """
+        SELECT l_returnflag,
+               COUNT(*) AS n_all,
+               COUNT(*) FILTER (WHERE l_quantity < 10) AS n_small,
+               round(SUM(l_extendedprice)
+                     FILTER (WHERE l_discount > 0.05), 2)
+                   AS rev_discounted,
+               round(AVG(l_extendedprice)
+                     FILTER (WHERE l_tax = 0.0), 4) AS avg_taxfree
+        FROM lineitem GROUP BY l_returnflag
+        """,
+    ),
     "sql_session_variables": QuerySpec(
         R.sql_session_variables,
         """

@@ -1089,6 +1089,26 @@ def window_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER-clause aggregates: several differently-conditioned
+    aggregates in ONE pass over the group (the standard replacement
+    for N self-joins or CASE-wrapped sums).  Plans as a single
+    hash-agg with per-function predicates — one shuffle regardless of
+    how many conditions."""
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql("""
+        SELECT l_returnflag,
+               COUNT(*) AS n_all,
+               COUNT(*) FILTER (WHERE l_quantity < 10) AS n_small,
+               round(SUM(l_extendedprice)
+                     FILTER (WHERE l_discount > 0.05), 2)
+                   AS rev_discounted,
+               round(AVG(l_extendedprice)
+                     FILTER (WHERE l_tax = 0.0), 4) AS avg_taxfree
+        FROM lineitem GROUP BY l_returnflag
+    """)
+
+
 def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session variables (Spark 4 DECLARE / SET VAR): a statistic
     computed once into a typed variable parameterizes the main query —
