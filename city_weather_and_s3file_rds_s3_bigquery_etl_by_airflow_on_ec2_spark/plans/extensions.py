@@ -1073,3 +1073,50 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.round(F.sum("s"), 6).alias("bm25"))
             .orderBy(F.col("bm25").desc(), F.col("doc_id"))
             .limit(20))
+
+
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation as a query: confusion matrix of the
+    heuristic language-ID against the labeled corpus, with per-cell
+    corpus share — the eval rollup every curation classifier needs
+    next to its predictions (text_lang_id emits the raw pairs).  One
+    coarse-key aggregate; share is derived from a window total so the
+    matrix stays one job."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    pairs = documents.select(
+        F.col("lang").alias("lang_true"),
+        TX.lang_pred("text").alias("lang_pred"))
+    counts = (pairs.groupBy("lang_true", "lang_pred")
+              .agg(F.count(F.lit(1)).alias("n")))
+    # scalar total via keyless aggregate + broadcast cross join (an
+    # unpartitioned window here would funnel the matrix through a
+    # non-reduced SinglePartition exchange — the suite lint's target)
+    total = counts.agg(F.sum("n").alias("__tot"))
+    return (counts.crossJoin(F.broadcast(total))
+            .select("lang_true", "lang_pred", "n",
+                    F.round(F.col("n").cast("double") / F.col("__tot"), 6)
+                    .alias("share")))
+
+
+def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Meta-analysis of two DETERMINISTIC near-dup detectors: the
+    token-set Jaccard verifier vs the character-level levenshtein
+    fuzzy join, bucketed into both / jaccard-only / levenshtein-only
+    pair counts.  The operational report a curation pipeline uses to
+    tune thresholds before trusting a detector family; both inputs are
+    oracle-checked entries, so the agreement rollup is too."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    jac = D.token_jaccard_pairs(
+        documents, "text", "doc_id",
+        block_cols=["lang"], length_col="n_chars", length_band=16,
+        min_jaccard=0.4).select("id_a", "id_b")
+    lev = fuzzy_join_levenshtein(spark, sf_dir).select("id_a", "id_b")
+    j = jac.withColumn("in_jac", F.lit(1))
+    l_ = lev.withColumn("in_lev", F.lit(1))
+    both = j.join(l_, ["id_a", "id_b"], "full_outer")
+    method = (F.when(F.col("in_jac").isNotNull()
+                     & F.col("in_lev").isNotNull(), "both")
+              .when(F.col("in_jac").isNotNull(), "jaccard_only")
+              .otherwise("levenshtein_only"))
+    return (both.select(method.alias("method"))
+            .groupBy("method").agg(F.count(F.lit(1)).alias("n_pairs")))

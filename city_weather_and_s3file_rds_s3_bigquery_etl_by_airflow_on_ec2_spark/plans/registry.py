@@ -1766,6 +1766,58 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM r
         """,
     ),
+    "text_langid_confusion": QuerySpec(
+        X.text_langid_confusion,
+        f"""
+        WITH p AS (
+            SELECT lang AS lang_true,
+                   CASE WHEN {_STOP_RATIO} >= 0.08 THEN 'en'
+                        ELSE 'other' END AS lang_pred
+            FROM documents
+        ), c AS (
+            SELECT lang_true, lang_pred, COUNT(*) AS n
+            FROM p GROUP BY 1, 2
+        )
+        SELECT lang_true, lang_pred, n,
+               round(CAST(n AS DOUBLE) / (SELECT SUM(n) FROM c), 6)
+                   AS share
+        FROM c
+        """,
+    ),
+    "dedup_method_agreement": QuerySpec(
+        X.dedup_method_agreement,
+        f"""
+        WITH t AS (
+            SELECT doc_id, lang, n_chars // 16 AS len_band,
+                   list_distinct({_TOKS}) AS tokset,
+                   substr(text, 1, 40) AS pfx
+            FROM documents
+        ), jac AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM t a JOIN t b
+              ON a.lang = b.lang AND a.len_band = b.len_band
+             AND a.doc_id < b.doc_id
+            WHERE round(CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
+                        / len(list_distinct(list_concat(a.tokset, b.tokset))),
+                        4) >= 0.4
+        ), lev AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM t a JOIN t b
+              ON a.lang = b.lang AND a.len_band = b.len_band
+             AND a.doc_id < b.doc_id
+            WHERE levenshtein(a.pfx, b.pfx) <= 20
+        )
+        SELECT CASE
+                 WHEN j.id_a IS NOT NULL AND l.id_a IS NOT NULL THEN 'both'
+                 WHEN j.id_a IS NOT NULL THEN 'jaccard_only'
+                 ELSE 'levenshtein_only'
+               END AS method,
+               COUNT(*) AS n_pairs
+        FROM jac j FULL OUTER JOIN lev l
+          ON j.id_a = l.id_a AND j.id_b = l.id_b
+        GROUP BY 1
+        """,
+    ),
     "agg_filter_clause": QuerySpec(
         R.agg_filter_clause,
         """

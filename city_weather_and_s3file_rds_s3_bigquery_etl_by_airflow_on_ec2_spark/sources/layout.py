@@ -126,3 +126,48 @@ def write_zordered(df: DataFrame, path: str, col_x: str, col_y: str,
        .sortWithinPartitions("__z")
        .drop("__z")
        .write.mode("overwrite").parquet(path))
+
+
+# ------------------------------------------------------- compaction —
+
+def compact_files(spark: SparkSession, path: str,
+                  target_file_bytes: int = 128 * 1024 * 1024) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ``ceil(total_bytes / target_file_bytes)`` balanced files and swap
+    it into place.  Returns the new file count.
+
+    Why it matters at 100 TB: streaming ingests and fine-grained
+    partition writes leave thousands of KB-scale files per directory;
+    every reader then pays per-file open/footer costs and the driver
+    pays listing time.  Periodic compaction to ~128 MB files (the
+    HDFS-block-sized sweet spot) is standard table maintenance —
+    this is the plain-parquet form of Delta's OPTIMIZE.
+
+    Swap protocol: write to ``<path>__compact_tmp``, then rename the
+    old dir aside, the new dir in, and delete the old — the window
+    where readers can see a missing dir is two metadata renames (a
+    catalog/Delta-backed table would make this atomic; plain parquet
+    cannot).  All filesystem ops go through the Hadoop FS API so the
+    operator works on object stores, not just local disk."""
+    import math
+
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    total = fs.getContentSummary(jpath).getLength()
+    n_files = max(1, math.ceil(total / target_file_bytes))
+
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "__compact_tmp"
+    old = path.rstrip("/") + "__compact_old"
+    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+
+    jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
+    jold = jvm.org.apache.hadoop.fs.Path(old)
+    if not fs.rename(jpath, jold):
+        raise IOError(f"compact_files: could not move {path} aside")
+    if not fs.rename(jtmp, jpath):
+        fs.rename(jold, jpath)  # roll back
+        raise IOError(f"compact_files: could not swap in {tmp}")
+    fs.delete(jold, True)
+    return n_files

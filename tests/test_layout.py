@@ -126,3 +126,28 @@ def test_zorder_prunes_both_dimensions(spark, tmp_path):
     import duckdb
     assert duckdb.sql(
         f"SELECT count(*) FROM '{zpath}/part-*.parquet'").fetchone()[0] == 64 * 64
+
+
+def test_compact_files_preserves_rows_and_reduces_files(spark, tmp_path):
+    """64 tiny files -> a handful of balanced ones; rows and values
+    survive bit-exact, the old dir is gone, tmp dirs cleaned up."""
+    import glob
+
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.sources.layout import (
+        compact_files,
+    )
+
+    path = str(tmp_path / "frag")
+    spark.range(0, 10000).selectExpr("id", "id * 2 as v") \
+        .repartition(64).write.parquet(path)
+    assert len(glob.glob(f"{path}/part-*.parquet")) == 64
+    before = sorted((r.id, r.v) for r in spark.read.parquet(path).collect())
+
+    n = compact_files(spark, path, target_file_bytes=64 * 1024)
+    files = glob.glob(f"{path}/part-*.parquet")
+    assert len(files) == n < 64
+    after = sorted((r.id, r.v) for r in spark.read.parquet(path).collect())
+    assert after == before
+    import os
+    assert not os.path.exists(path + "__compact_tmp")
+    assert not os.path.exists(path + "__compact_old")
