@@ -1818,6 +1818,24 @@ REGISTRY: dict[str, QuerySpec] = {
         GROUP BY 1
         """,
     ),
+    "set_union_evolved_schema": QuerySpec(
+        R.set_union_evolved_schema,
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL BY NAME
+        SELECT o_orderkey, o_orderpriority, o_totalprice
+        FROM orders WHERE o_orderkey % 2 = 1
+        """,
+    ),
+    "agg_bitmap_distinct": QuerySpec(
+        R.agg_bitmap_distinct,
+        """
+        SELECT o_orderpriority,
+               COUNT(DISTINCT o_custkey) AS n_distinct_cust
+        FROM orders GROUP BY o_orderpriority
+        """,
+    ),
     "agg_filter_clause": QuerySpec(
         R.agg_filter_clause,
         """

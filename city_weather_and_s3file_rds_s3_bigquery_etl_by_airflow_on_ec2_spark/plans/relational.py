@@ -1089,6 +1089,47 @@ def window_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def set_union_evolved_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union (``unionByName`` with
+    ``allowMissingColumns``): an old-schema batch (no priority column) stacks
+    with a new-schema batch — missing columns null-fill, matching is
+    BY NAME, not position (a positional union would silently pair
+    wrong columns, the classic evolving-ingest bug).  Oracle: DuckDB's
+    UNION ALL BY NAME, an independent implementation of the same
+    semantics."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    old_batch = (orders.where(F.col("o_orderkey") % 2 == 0)
+                 .select("o_orderkey", "o_totalprice"))
+    new_batch = (orders.where(F.col("o_orderkey") % 2 == 1)
+                 .select("o_orderkey", "o_orderpriority", "o_totalprice"))
+    return old_batch.unionByName(new_batch, allowMissingColumns=True)
+
+
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via mergeable bitmaps (Spark 3.5
+    bitmap_construct_agg): integer keys bucket into 32k-bit bitmaps,
+    per-(group, bucket) bitmaps OR-merge map-side, and the final count
+    is a SUM of per-bucket popcounts.  The exact counterpart of
+    agg_hll_sketch_union's sketches — same pre-aggregate-and-merge
+    shape (store per-segment bitmaps, re-merge at query time without
+    rescanning), but bit-exact, at bitmap-width cost instead of 12 KB.
+    The oracle is plain COUNT(DISTINCT), which is the whole point."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql("""
+        WITH b AS (
+            SELECT o_orderpriority,
+                   bitmap_bucket_number(o_custkey) AS bucket,
+                   bitmap_construct_agg(bitmap_bit_position(o_custkey))
+                       AS bm
+            FROM orders
+            GROUP BY o_orderpriority, bitmap_bucket_number(o_custkey)
+        )
+        SELECT o_orderpriority,
+               SUM(bitmap_count(bm)) AS n_distinct_cust
+        FROM b GROUP BY o_orderpriority
+    """)
+
+
 def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FILTER-clause aggregates: several differently-conditioned
     aggregates in ONE pass over the group (the standard replacement
