@@ -1818,6 +1818,17 @@ REGISTRY: dict[str, QuerySpec] = {
         GROUP BY 1
         """,
     ),
+    "sql_udf_surface": QuerySpec(
+        R.sql_udf_surface,
+        """
+        SELECT e.event_id,
+               round((e.value + 250.0 - 273.15) * 9 / 5 + 32, 2)
+                   AS temp_f,
+               r.copy_idx
+        FROM events e
+        CROSS JOIN (VALUES (1), (2)) AS r(copy_idx)
+        """,
+    ),
     "set_union_evolved_schema": QuerySpec(
         R.set_union_evolved_schema,
         """

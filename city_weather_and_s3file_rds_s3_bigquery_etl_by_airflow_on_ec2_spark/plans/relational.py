@@ -1089,6 +1089,32 @@ def window_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sql_udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined functions (Spark 4 CREATE FUNCTION ... RETURN):
+    the reference's F1 Kelvin→Fahrenheit conversion
+    (codes/weather_etl_pipeline.py:154, reimplemented natively in
+    functions/weather.py) declared as a catalog-level SQL scalar UDF,
+    plus a SQL TABLE function expanded through LATERAL — both are
+    pure-SQL bodies, so Catalyst inlines them (full codegen/pushdown,
+    no UDF serialization wall; contrast §2.11's Python UDFs, which
+    exist for bodies SQL cannot express).  The oracle inlines the same
+    expressions."""
+    register_views(spark, sf_dir, ("events",))
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION k2f(k DOUBLE)
+        RETURNS DOUBLE RETURN round((k - 273.15) * 9 / 5 + 32, 2)
+    """)
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION replicate_idx(n INT)
+        RETURNS TABLE(copy_idx INT)
+        RETURN SELECT explode(sequence(1, n))
+    """)
+    return spark.sql("""
+        SELECT e.event_id, k2f(e.value + 250.0) AS temp_f, r.copy_idx
+        FROM events e, LATERAL replicate_idx(2) r
+    """)
+
+
 def set_union_evolved_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-evolution union (``unionByName`` with
     ``allowMissingColumns``): an old-schema batch (no priority column) stacks
