@@ -1120,3 +1120,59 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
               .otherwise("levenshtein_only"))
     return (both.select(method.alias("method"))
             .groupBy("method").agg(F.count(F.lit(1)).alias("n_pairs")))
+
+
+def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup candidates for media payloads: a
+    64-bit fingerprint banded SimHash-style (4 x 16-bit bands; one
+    shared band promotes a pair) and verified by nibble-wise hamming
+    distance <= 6 — the image-dedup shape (pHash banding) over the
+    engine's multimodal column conventions.
+
+    Fingerprint stand-in: the first 16 hex chars of the payload sha256
+    (this container has no image codec — resolve_codec()'s tier
+    policy; a real pHash drops into the same 16-hex-char contract and
+    NOTHING downstream changes).  sha-fingerprints only collide for
+    byte-identical payloads, so at threshold 6 the result is exactly
+    the exact-duplicate pairs — deterministic, hence fully
+    oracle-checked; with a real pHash the same plan yields true
+    near-dups.  Plan: 4 narrow band equi-joins unioned, distinct,
+    then expression-only hamming on the candidates (never all-pairs).
+    """
+    from ..operators.multimodal import attach_media_columns
+    (documents,) = _t(spark, sf_dir, "documents")
+    ph = (attach_media_columns(documents, "text")
+          .select("doc_id",
+                  F.substring(F.col("media_meta.sha256"), 1, 16)
+                  .alias("ph")))
+    bands = [F.substring("ph", 4 * i + 1, 4).alias(f"b{i}")
+             for i in range(4)]
+    t = ph.select("doc_id", "ph", *bands)
+    cand = None
+    for i in range(4):
+        a, b = t.alias("a"), t.alias("b")
+        pairs_i = (a.join(b, (F.col(f"a.b{i}") == F.col(f"b.b{i}"))
+                          & (F.col("a.doc_id") < F.col("b.doc_id")))
+                   .select(F.col("a.doc_id").alias("id_a"),
+                           F.col("b.doc_id").alias("id_b"),
+                           F.col("a.ph").alias("ph_a"),
+                           F.col("b.ph").alias("ph_b")))
+        cand = pairs_i if cand is None else cand.unionAll(pairs_i)
+    cand = cand.distinct()
+
+    hexs = F.lit("0123456789abcdef")
+
+    def _nibs(col_name: str):
+        return F.transform(
+            F.sequence(F.lit(1), F.lit(16)),
+            lambda i: F.call_function(
+                "instr", hexs,
+                F.call_function("substr", F.col(col_name), i, F.lit(1)))
+            - F.lit(1))
+
+    ham = F.aggregate(
+        F.zip_with(_nibs("ph_a"), _nibs("ph_b"),
+                   lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0), lambda acc, v: acc + v)
+    return (cand.select("id_a", "id_b", ham.alias("hamming"))
+            .where(F.col("hamming") <= 6))

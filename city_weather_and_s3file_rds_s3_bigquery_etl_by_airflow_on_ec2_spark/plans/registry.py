@@ -1818,6 +1818,38 @@ REGISTRY: dict[str, QuerySpec] = {
         GROUP BY 1
         """,
     ),
+    "multimodal_phash_pairs": QuerySpec(
+        X.multimodal_phash_pairs,
+        """
+        WITH p AS (
+            SELECT doc_id, substr(sha256(text), 1, 16) AS ph
+            FROM documents
+        ), t AS (
+            SELECT doc_id, ph,
+                   substr(ph, 1, 4) AS b0, substr(ph, 5, 4) AS b1,
+                   substr(ph, 9, 4) AS b2, substr(ph, 13, 4) AS b3
+            FROM p
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.ph AS ph_a, b.ph AS ph_b
+            FROM t a JOIN t b
+              ON a.doc_id < b.doc_id
+             AND (a.b0 = b.b0 OR a.b1 = b.b1
+                  OR a.b2 = b.b2 OR a.b3 = b.b3)
+        ), scored AS (
+            SELECT id_a, id_b,
+                   CAST(list_sum(
+                       [bit_count(xor(
+                            strpos('0123456789abcdef',
+                                   substr(ph_a, i, 1)) - 1,
+                            strpos('0123456789abcdef',
+                                   substr(ph_b, i, 1)) - 1))
+                        for i in range(1, 17)]) AS INTEGER) AS hamming
+            FROM cand
+        )
+        SELECT id_a, id_b, hamming FROM scored WHERE hamming <= 6
+        """,
+    ),
     "sql_udf_surface": QuerySpec(
         R.sql_udf_surface,
         """
