@@ -1818,6 +1818,38 @@ REGISTRY: dict[str, QuerySpec] = {
         GROUP BY 1
         """,
     ),
+    "scalar_datetime_make": QuerySpec(
+        R.scalar_datetime_make,
+        """
+        SELECT o_orderkey,
+               make_date(CAST(year(o_orderdate) AS INTEGER),
+                         CAST(month(o_orderdate) AS INTEGER),
+                         CAST(day(o_orderdate) AS INTEGER))
+                   AS rebuilt_date,
+               make_date(CAST(year(o_orderdate) AS INTEGER),
+                         CAST(month(o_orderdate) AS INTEGER),
+                         CAST(day(o_orderdate) AS INTEGER)) = o_orderdate
+                   AS roundtrip_ok,
+               make_timestamp(CAST(year(o_orderdate) AS BIGINT),
+                              CAST(month(o_orderdate) AS BIGINT),
+                              CAST(day(o_orderdate) AS BIGINT),
+                              12, 30, 0.0) AS noon_ts
+        FROM orders
+        """,
+    ),
+    "window_topk_with_ties": QuerySpec(
+        R.window_topk_with_ties,
+        """
+        SELECT o_orderkey, o_orderstatus, o_orderdate, rnk FROM (
+            SELECT o_orderkey, o_orderstatus, o_orderdate,
+                   CAST(rank() OVER (
+                       PARTITION BY o_orderstatus
+                       ORDER BY o_orderdate - DATE '1992-01-01')
+                       AS INTEGER) AS rnk
+            FROM orders
+        ) WHERE rnk <= 3
+        """,
+    ),
     "multimodal_phash_pairs": QuerySpec(
         X.multimodal_phash_pairs,
         """

@@ -1089,6 +1089,39 @@ def window_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scalar_datetime_make(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime constructors: decompose o_orderdate into parts and
+    rebuild it with make_date / make_timestamp — the
+    normalize-and-reassemble shape ETL uses when sources deliver
+    split date fields (the reference's CSV feed carries dates as
+    strings; §2.9 F3 coerces them — this is the part-wise variant)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    y, m, d = (F.year("o_orderdate"), F.month("o_orderdate"),
+               F.dayofmonth("o_orderdate"))
+    return orders.select(
+        "o_orderkey",
+        F.make_date(y, m, d).alias("rebuilt_date"),
+        (F.make_date(y, m, d) == F.col("o_orderdate")).alias("roundtrip_ok"),
+        F.make_timestamp(y, m, d, F.lit(12), F.lit(30), F.lit(0.0))
+        .alias("noon_ts"),
+    )
+
+
+def window_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k WITH TIES per group: rank() (not row_number) keeps EVERY
+    row tied at the boundary — the semantics a 'top 3 priorities per
+    status, ties included' report actually wants; row-count varies by
+    data, which is exactly what the oracle verifies.  Same single
+    window shuffle as the row_number top-k."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    day_ord = F.datediff(F.col("o_orderdate"),
+                         F.lit("1992-01-01").cast("date"))
+    w = Window.partitionBy("o_orderstatus").orderBy(day_ord.asc())
+    return (orders.select("o_orderkey", "o_orderstatus", "o_orderdate",
+                          F.rank().over(w).alias("rnk"))
+            .where(F.col("rnk") <= 3))
+
+
 def sql_udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-defined functions (Spark 4 CREATE FUNCTION ... RETURN):
     the reference's F1 Kelvin→Fahrenheit conversion
