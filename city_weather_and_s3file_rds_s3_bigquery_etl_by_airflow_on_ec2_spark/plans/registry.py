@@ -1818,6 +1818,39 @@ REGISTRY: dict[str, QuerySpec] = {
         GROUP BY 1
         """,
     ),
+    "join_exists_flag": QuerySpec(
+        R.join_exists_flag,
+        """
+        SELECT c_custkey, c_mktsegment,
+               EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_orderpriority = '1-URGENT')
+                   AS has_urgent
+        FROM customer c
+        """,
+    ),
+    "agg_higher_moments": QuerySpec(
+        R.agg_higher_moments,
+        """
+        WITH m AS (
+            SELECT l_returnflag,
+                   avg(l_extendedprice) AS mu,
+                   avg(l_extendedprice * l_extendedprice) AS m2r,
+                   avg(l_extendedprice * l_extendedprice
+                       * l_extendedprice) AS m3r,
+                   avg(l_extendedprice * l_extendedprice
+                       * l_extendedprice * l_extendedprice) AS m4r
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag,
+               round((m3r - 3 * mu * m2r + 2 * mu * mu * mu)
+                     / pow(m2r - mu * mu, 1.5), 6) AS skew,
+               round((m4r - 4 * mu * m3r + 6 * mu * mu * m2r
+                      - 3 * mu * mu * mu * mu)
+                     / pow(m2r - mu * mu, 2) - 3, 6) AS kurt
+        FROM m
+        """,
+    ),
     "scalar_datetime_make": QuerySpec(
         R.scalar_datetime_make,
         """

@@ -1089,6 +1089,35 @@ def window_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_exists_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mark join: annotate every customer with a has_urgent boolean
+    instead of filtering (the EXISTS-in-SELECT shape analytics needs
+    when downstream wants BOTH populations).  Spark's left join
+    against the distinct key set + null-check is the classic rewrite;
+    the distinct side shrinks to unique keys before the join, so the
+    shuffle carries keys, not order rows."""
+    orders, customer = _t(spark, sf_dir, "orders", "customer")
+    urgent = (orders.where(F.col("o_orderpriority") == "1-URGENT")
+              .select(F.col("o_custkey").alias("c_custkey")).distinct()
+              .withColumn("__hit", F.lit(1)))
+    return (customer.join(urgent, "c_custkey", "left_outer")
+            .select("c_custkey", "c_mktsegment",
+                    F.col("__hit").isNotNull().alias("has_urgent")))
+
+
+def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third/fourth-moment statistics: per-returnflag skewness and
+    kurtosis of l_extendedprice.  Spark's aggregates are the
+    POPULATION definitions (m3/m2^1.5, m4/m2²-3); DuckDB's carry
+    sample-bias corrections, so the oracle derives the population
+    moments from raw power sums — which doubles as an independent
+    check of Spark's formula, not just its arithmetic."""
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    return (lineitem.groupBy("l_returnflag")
+            .agg(F.round(F.skewness("l_extendedprice"), 6).alias("skew"),
+                 F.round(F.kurtosis("l_extendedprice"), 6).alias("kurt")))
+
+
 def scalar_datetime_make(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Datetime constructors: decompose o_orderdate into parts and
     rebuild it with make_date / make_timestamp — the
