@@ -1818,6 +1818,20 @@ REGISTRY: dict[str, QuerySpec] = {
         GROUP BY 1
         """,
     ),
+    "agg_linear_regression": QuerySpec(
+        R.agg_linear_regression,
+        """
+        SELECT l_returnflag,
+               round(regr_slope(l_extendedprice, l_quantity), 6)
+                   AS slope,
+               round(regr_intercept(l_extendedprice, l_quantity), 6)
+                   AS intercept,
+               round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+               CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT)
+                   AS n
+        FROM lineitem GROUP BY l_returnflag
+        """,
+    ),
     "join_exists_flag": QuerySpec(
         R.join_exists_flag,
         """

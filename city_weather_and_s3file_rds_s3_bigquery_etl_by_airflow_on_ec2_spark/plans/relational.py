@@ -1089,6 +1089,27 @@ def window_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-standard regression aggregates: per-returnflag OLS of
+    extended price on quantity — slope, intercept, R², and the pair
+    count, all in one grouped pass (regr_* functions; both engines
+    implement the identical textbook definitions).  The one-pass
+    moment accumulation is the same mergeable-state algebra as
+    operators/incremental.py, so per-segment regression states
+    re-merge without rescans."""
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql("""
+        SELECT l_returnflag,
+               round(regr_slope(l_extendedprice, l_quantity), 6)
+                   AS slope,
+               round(regr_intercept(l_extendedprice, l_quantity), 6)
+                   AS intercept,
+               round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+               regr_count(l_extendedprice, l_quantity) AS n
+        FROM lineitem GROUP BY l_returnflag
+    """)
+
+
 def join_exists_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mark join: annotate every customer with a has_urgent boolean
     instead of filtering (the EXISTS-in-SELECT shape analytics needs
