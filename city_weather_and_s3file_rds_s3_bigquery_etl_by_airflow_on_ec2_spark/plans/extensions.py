@@ -1176,3 +1176,125 @@ def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0), lambda acc, v: acc + v)
     return (cand.select("id_a", "id_b", ham.alias("hamming"))
             .where(F.col("hamming") <= 6))
+
+
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means clusters as the blocking structure,
+    pairwise cosine only WITHIN each cluster — the semantic analog of
+    MinHash banding that made embedding dedup tractable for LAION/
+    web-scale corpora.  Centroids here are the 8 deterministic seed
+    vectors (vec_id < 8, same contract as ``embedding_kmeans_step``)
+    so the whole composition is oracle-checkable.
+
+    Plan shape: (1) broadcast the 8 centroids, argmin assignment via
+    ``min(struct(dist2, c_id))`` — partial aggregation collapses the
+    8-row fanout map-side, the exchange carries one narrow row per
+    vector; (2) re-attach the vectors by vec_id (one hash join);
+    (3) the pair generator is an EQUI-join on the cluster id, so the
+    quadratic is bounded per cluster — at 100 TB the cluster count
+    scales with the corpus (SemDeDup uses ~50k clusters for LAION-440M)
+    keeping each block tiny, and no all-pairs shape ever appears.
+    Output: same-cluster near-dup pairs (cos >= 0.3; SemDeDup keeps
+    the lowest-id member of each pair set, which downstream
+    ``dedup_clusters``/``dedup_keep_best`` composes exactly as for the
+    token-based edge sets."""
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    e = embeddings.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    cents = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("c_id"), F.col("v").alias("centroid"))
+    sq = F.aggregate(
+        F.zip_with(F.col("v"), F.col("centroid"),
+                   lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    d = e.crossJoin(F.broadcast(cents)).select("vec_id", "c_id",
+                                               sq.alias("dist2"))
+    best = (d.groupBy("vec_id")
+            .agg(F.min(F.struct("dist2", "c_id")).alias("b"))
+            .select("vec_id", F.col("b.c_id").alias("c_id")))
+    assigned = e.join(best, "vec_id")
+    a, b = assigned.alias("a"), assigned.alias("b")
+    cos = dot(F.col("a.v"), F.col("b.v")) / (
+        F.sqrt(dot(F.col("a.v"), F.col("a.v")))
+        * F.sqrt(dot(F.col("b.v"), F.col("b.v"))))
+    return (a.join(b, (F.col("a.c_id") == F.col("b.c_id"))
+                   & (F.col("a.vec_id") < F.col("b.vec_id")))
+            .select(F.col("a.c_id").alias("cluster_id"),
+                    F.col("a.vec_id").alias("id_a"),
+                    F.col("b.vec_id").alias("id_b"),
+                    F.round(cos, 6).alias("cos_sim"))
+            .where(F.col("cos_sim") >= 0.3))
+
+
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality scoring (the CCNet/C4-style
+    "perplexity filter" in its simplest trainable form, Wenzek et al.
+    2020): fit an add-one-smoothed unigram LM on the corpus itself,
+    then score every document by its mean negative log-likelihood per
+    token — documents full of rare junk tokens score high and get
+    culled.
+
+    Plan: one token-census shuffle (map-side partial counts), a 1-row
+    scalar aggregate for (N, |V|) broadcast by construction, then the
+    token stream re-joins the frequency table on the token — at our
+    size AQE broadcasts the vocabulary side; at open-web vocabulary
+    sizes it degrades gracefully to a hash join keyed on the token,
+    never anything quadratic.  Per-token log-probs are cast to
+    DECIMAL(28,12) before the per-document sum so cross-partition
+    addition order cannot perturb double bits (r5 rule, same as
+    ``embedding_dim_stats``)."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    tok = documents.select(
+        "doc_id", F.explode(TX.tokens("text")).alias("t")
+    ).select("doc_id", F.lower(F.col("t")).alias("tok"))
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    scal = freq.agg(F.sum("cnt").alias("n_total"),
+                    F.count(F.lit(1)).alias("n_vocab"))
+    logp = F.log((F.col("cnt") + 1).cast("double")
+                 / (F.col("n_total").cast("double")
+                    + F.col("n_vocab").cast("double")))
+    scored = (tok.join(freq, "tok")
+              .crossJoin(F.broadcast(scal))
+              .select("doc_id", logp.cast("decimal(28,12)").alias("lp")))
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(-(F.sum("lp").cast("double")) / F.count(F.lit(1)), 4)
+         .alias("nll_per_token"))
+
+
+def corpus_seq_pack(spark: SparkSession, sf_dir: str,
+                    seq_len: int = 128) -> DataFrame:
+    """GPT-style fixed-length sequence packing WITH cross-boundary
+    splitting: concatenate the corpus in deterministic doc_id order
+    into back-to-back ``seq_len``-token training sequences; a document
+    that straddles a boundary contributes one segment row to every
+    sequence it overlaps.  This is the complement of
+    ``corpus_shard_pack`` (which never splits a document): pretraining
+    loaders pack exactly this way so no sequence is padded.
+
+    Plan: the global token offset comes from the two-phase
+    ``operators.packing.prefix_sum`` (quantile-bucketed ranges +
+    per-bucket window + broadcast offsets — NO single-partition global
+    window), then the per-document fanout is a pure expression:
+    ``explode(sequence(first_seq, last_seq))`` emits one row per
+    overlapped sequence and the segment arithmetic is closed-form.
+    Zero additional shuffles beyond the one bucket exchange; output
+    rows ≈ docs + crossings, never tokens."""
+    from ..operators.packing import prefix_sum
+    (documents,) = _t(spark, sf_dir, "documents")
+    t = documents.select("doc_id", TX.token_count("text").alias("n_toks"))
+    ps = prefix_sum(t, "n_toks", ["doc_id"], out_col="cum")
+    L = F.lit(seq_len).cast("long")
+    start = F.col("cum") - F.col("n_toks")
+    end = F.col("cum")
+    rows = ps.select(
+        "doc_id", "n_toks", start.alias("tok_start"), end.alias("tok_end"),
+        F.explode(F.sequence(F.floor(start / L),
+                             F.floor((end - 1) / L))).alias("seq_id"))
+    seg_start = F.greatest(F.col("tok_start"), F.col("seq_id") * L)
+    seg_end = F.least(F.col("tok_end"), (F.col("seq_id") + 1) * L)
+    return rows.select(
+        "doc_id",
+        F.col("seq_id").cast("long").alias("seq_id"),
+        (seg_start - F.col("seq_id") * L).cast("long").alias("offset_in_seq"),
+        (seg_end - seg_start).cast("long").alias("n_seg_tokens"))

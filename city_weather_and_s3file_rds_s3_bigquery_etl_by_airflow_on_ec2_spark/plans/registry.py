@@ -2393,6 +2393,102 @@ REGISTRY: dict[str, QuerySpec] = {
         WHERE levenshtein(a.pfx, b.pfx) <= 20
         """,
     ),
+    # ------------------- round-5 continuation tranche ---------------------
+    "dedup_semdedup": QuerySpec(
+        X.dedup_semdedup,
+        """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        c AS (SELECT vec_id AS c_id, v AS centroid FROM e WHERE vec_id < 8),
+        d AS (SELECT e.vec_id, c.c_id,
+                     list_aggregate(list_transform(
+                         list_zip(e.v, c.centroid),
+                         x -> (x[1] - x[2]) * (x[1] - x[2])), 'sum') AS dist2
+              FROM e CROSS JOIN c),
+        a AS (SELECT vec_id, c_id,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY dist2, c_id) AS rk
+              FROM d),
+        asn AS (SELECT e.vec_id, e.v, a.c_id
+                FROM e JOIN a ON e.vec_id = a.vec_id AND a.rk = 1)
+        SELECT cluster_id, id_a, id_b, cos_sim FROM (
+            SELECT x.c_id AS cluster_id,
+                   x.vec_id AS id_a, y.vec_id AS id_b,
+                   round(list_dot_product(x.v, y.v)
+                         / (sqrt(list_dot_product(x.v, x.v))
+                            * sqrt(list_dot_product(y.v, y.v))), 6) AS cos_sim
+            FROM asn x JOIN asn y
+              ON x.c_id = y.c_id AND x.vec_id < y.vec_id)
+        WHERE cos_sim >= 0.3
+        """,
+    ),
+    "text_unigram_logprob": QuerySpec(
+        X.text_unigram_logprob,
+        f"""
+        WITH tok AS (
+            SELECT doc_id, lower(unnest({_TOKS})) AS tok FROM documents
+        ), f AS (
+            SELECT tok, count(*) AS cnt FROM tok GROUP BY tok
+        ), s AS (
+            SELECT sum(cnt) AS n_total, count(*) AS n_vocab FROM f
+        ), sc AS (
+            SELECT t.doc_id,
+                   CAST(ln(CAST(f.cnt + 1 AS DOUBLE)
+                           / (CAST(s.n_total AS DOUBLE)
+                              + CAST(s.n_vocab AS DOUBLE)))
+                        AS DECIMAL(28,12)) AS lp
+            FROM tok t JOIN f USING (tok) CROSS JOIN s
+        )
+        SELECT doc_id, count(*) AS n_tokens,
+               round(-CAST(sum(lp) AS DOUBLE) / count(*), 4) AS nll_per_token
+        FROM sc GROUP BY doc_id
+        """,
+    ),
+    "corpus_seq_pack": QuerySpec(
+        X.corpus_seq_pack,
+        f"""
+        WITH t AS (
+            SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_toks
+            FROM documents
+        ), c AS (
+            SELECT doc_id, n_toks,
+                   CAST(sum(n_toks) OVER (ORDER BY doc_id) AS BIGINT) AS cum
+            FROM t
+        ), s AS (
+            SELECT doc_id, cum - n_toks AS tok_start, cum AS tok_end FROM c
+        ), x AS (
+            SELECT doc_id, tok_start, tok_end,
+                   unnest(generate_series(tok_start // 128,
+                                          (tok_end - 1) // 128)) AS seq_id
+            FROM s
+        )
+        SELECT doc_id, CAST(seq_id AS BIGINT) AS seq_id,
+               CAST(greatest(tok_start, seq_id * 128) - seq_id * 128
+                    AS BIGINT) AS offset_in_seq,
+               CAST(least(tok_end, (seq_id + 1) * 128)
+                    - greatest(tok_start, seq_id * 128)
+                    AS BIGINT) AS n_seg_tokens
+        FROM x
+        """,
+    ),
+    "agg_group_by_all": QuerySpec(
+        R.agg_group_by_all,
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders
+        GROUP BY ALL
+        ORDER BY ALL
+        """,
+    ),
+    "source_orc_roundtrip": QuerySpec(
+        R.source_orc_roundtrip,
+        """
+        SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+        FROM lineitem WHERE l_quantity < 10
+        """,
+    ),
 }
 
 # The driver's per-round correctness snapshot covers only the FIRST 50

@@ -1748,3 +1748,47 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT 'ALL' AS event_type, hll_sketch_estimate(hll_union_agg(sk))
         FROM s
     """)
+
+
+def agg_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ALL`` / ``ORDER BY ALL`` SQL surface (Spark 3.4+ ≡
+    DuckDB): every non-aggregate select item becomes a grouping key
+    without restating the list — the ergonomic form analysts actually
+    write.  Catalyst resolves it to the identical hash aggregate as the
+    explicit GROUP BY (same partial/final split, same exchange), so
+    the surface costs nothing; the oracle runs the same text."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders
+        GROUP BY ALL
+        ORDER BY ALL
+    """)
+
+
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-format lake surface (§2.1): write a lineitem projection as
+    ORC, read it back with a predicate — proving the engine's
+    source/sink layer is format-pluggable (parquet is the canonical
+    lake format here; ORC is the other columnar format Spark ships
+    native, vectorized readers for).  The read-back filter reaches the
+    ORC scan as a pushed predicate (asserted in
+    tests/test_plan_quality.py) and the projection prunes to the four
+    written columns — the same pushdown contract the parquet scans are
+    plan-gated on.  The sink is overwrite-idempotent (O7) keyed by the
+    scale-factor directory, mirroring the reference's overwrite-reset
+    posture (codes/weather_etl_pipeline.py TRUNCATE step,
+    README.md DDL)."""
+    import os
+    import tempfile
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    out = os.path.join(
+        tempfile.gettempdir(), "spark_graft_orc",
+        os.path.basename(os.path.normpath(sf_dir)), "lineitem")
+    (lineitem.select("l_orderkey", "l_linenumber", "l_quantity",
+                     "l_shipdate")
+     .write.mode("overwrite").orc(out))
+    back = spark.read.orc(out)
+    return back.where(F.col("l_quantity") < 10)

@@ -1631,3 +1631,139 @@ def test_multimodal_phash_planted_duplicates(spark, tmp_path):
     got = sorted((r.id_a, r.id_b, r.hamming)
                  for r in multimodal_phash_pairs(spark, sf_dir).collect())
     assert got == [(0, 1, 0), (0, 3, 0), (1, 3, 0)]
+
+
+# ------------------- round-5 continuation tranche -------------------------
+
+
+def test_semdedup_pairs_are_same_cluster_and_find_planted_dup(spark):
+    """SemDeDup invariants on the sf0.001 lake: (a) every emitted pair
+    shares the argmin-assigned cluster recomputed independently here;
+    (b) cos_sim respects the threshold; (c) a pair of IDENTICAL
+    vectors (same embedding ⇒ same cluster by determinism) is always
+    caught with cos_sim == 1."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        dedup_semdedup,
+    )
+    import numpy as np
+
+    got = dedup_semdedup(spark, SF_SMALL).collect()
+    assert got, "sf0.001 lake should contain at least one semantic pair"
+    emb = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+           for r in read_parquet_table(spark, SF_SMALL, "embeddings")
+           .collect()}
+    cents = {c: emb[c] for c in range(8)}
+
+    def assign(v):
+        d = {c: float(((v - cv) ** 2).sum()) for c, cv in cents.items()}
+        return min(d, key=lambda c: (d[c], c))
+
+    for r in got:
+        assert r.cos_sim >= 0.3
+        assert assign(emb[r.id_a]) == r.cluster_id
+        assert assign(emb[r.id_b]) == r.cluster_id
+        want = float(emb[r.id_a] @ emb[r.id_b]
+                     / (np.linalg.norm(emb[r.id_a])
+                        * np.linalg.norm(emb[r.id_b])))
+        assert abs(r.cos_sim - want) < 1e-5
+
+
+def test_unigram_logprob_orders_common_below_rare(spark, tmp_path):
+    """A document made of the corpus's most frequent token must score
+    a strictly lower per-token NLL than one made of hapax tokens, and
+    every score sits in (0, ln(N+|V|)] — the add-one-smoothing upper
+    bound."""
+    import math
+
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        text_unigram_logprob,
+    )
+
+    rows = [
+        (0, "the the the the the the the the", "en", "web"),
+        (1, "zyzzyva qwertyuiop asdfghjkl", "en", "web"),
+        (2, "the cat sat on the mat", "en", "web"),
+    ]
+    sf_dir = _write_documents(spark, tmp_path, rows)
+    got = {r.doc_id: r.nll_per_token
+           for r in text_unigram_logprob(spark, sf_dir).collect()}
+    assert set(got) == {0, 1, 2}
+    assert got[0] < got[2] < got[1]
+    n_total = 8 + 3 + 6
+    n_vocab = len({"the", "zyzzyva", "qwertyuiop", "asdfghjkl",
+                   "cat", "sat", "on", "mat"})
+    bound = math.log(n_total + n_vocab)
+    for v in got.values():
+        assert 0 < v <= bound + 1e-9
+
+
+def test_corpus_seq_pack_partitions_token_stream_exactly(spark):
+    """Sequence packing is a PARTITION of the concatenated token
+    stream: per-doc segment tokens sum back to the doc's token count,
+    offsets stay inside [0, 128), every sequence except the last
+    carries exactly 128 tokens, and segments of consecutive docs butt
+    up against each other with no gap or overlap."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.functions.text import (
+        token_count,
+    )
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        corpus_seq_pack,
+    )
+
+    segs = corpus_seq_pack(spark, SF_SMALL).collect()
+    docs = read_parquet_table(spark, SF_SMALL, "documents")
+    want = {r.doc_id: r.n for r in
+            docs.select("doc_id",
+                        token_count("text").alias("n")).collect()}
+
+    per_doc, per_seq = {}, {}
+    for r in segs:
+        assert 0 <= r.offset_in_seq < 128
+        assert 1 <= r.n_seg_tokens <= 128
+        per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + r.n_seg_tokens
+        per_seq[r.seq_id] = per_seq.get(r.seq_id, 0) + r.n_seg_tokens
+    assert per_doc == want
+    last = max(per_seq)
+    for s, n in per_seq.items():
+        assert n == 128 or s == last, (s, n)
+    assert sum(want.values()) == 128 * last + per_seq[last]
+
+
+def test_group_by_all_matches_explicit_grouping(spark):
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.relational import (
+        agg_group_by_all,
+    )
+
+    got = {(r.o_orderstatus, r.o_orderpriority): (r.n_orders, r.total_price)
+           for r in agg_group_by_all(spark, SF_SMALL).collect()}
+    orders = read_parquet_table(spark, SF_SMALL, "orders")
+    want = {(r.o_orderstatus, r.o_orderpriority): (r.n, r.t)
+            for r in orders.groupBy("o_orderstatus", "o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("o_totalprice"), 2).alias("t")).collect()}
+    assert got == want
+
+
+def test_orc_roundtrip_preserves_rows_and_pushes_filter(spark):
+    """The ORC read-back equals the parquet-side filter row-for-row
+    AND the quantity predicate reaches the ORC scan (PushedFilters),
+    proving format-pluggable pushdown, not just format-pluggable
+    storage."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.relational import (
+        source_orc_roundtrip,
+    )
+
+    back = source_orc_roundtrip(spark, SF_SMALL)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "OrcScan" in plan or "Format: ORC" in plan or "orc" in plan.lower()
+    assert "PushedFilters: [" in plan
+    assert "LessThan(l_quantity,10" in plan.replace(" ", "")
+
+    got = sorted((r.l_orderkey, r.l_linenumber, float(r.l_quantity))
+                 for r in back.collect())
+    li = read_parquet_table(spark, SF_SMALL, "lineitem")
+    want = sorted((r.l_orderkey, r.l_linenumber, float(r.l_quantity))
+                  for r in li.where(F.col("l_quantity") < 10)
+                  .select("l_orderkey", "l_linenumber", "l_quantity")
+                  .collect())
+    assert got == want
