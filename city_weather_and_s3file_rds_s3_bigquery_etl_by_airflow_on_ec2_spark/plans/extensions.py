@@ -1298,3 +1298,96 @@ def corpus_seq_pack(spark: SparkSession, sf_dir: str,
         F.col("seq_id").cast("long").alias("seq_id"),
         (seg_start - F.col("seq_id") * L).cast("long").alias("offset_in_seq"),
         (seg_end - seg_start).cast("long").alias("n_seg_tokens"))
+
+
+def corpus_token_budget_sample(spark: SparkSession, sf_dir: str,
+                               budget: int = 2000) -> DataFrame:
+    """Quality-greedy corpus selection under a token budget: rank
+    documents by the deterministic quality score (desc, doc_id
+    tiebreak) and keep the prefix whose token mass fits the budget —
+    the "take the best B tokens" step of data-mixing recipes
+    (quality-ordered greedy selection, cf. DoReMi/quality-filter
+    pipelines).  A document is kept iff its running total STARTS
+    inside the budget (same start-offset rule as
+    ``operators.packing.pack_by_budget``, so the cut is well-defined
+    and the last kept doc may overshoot).
+
+    Plan: quality is a zero-shuffle expression; the running total is
+    the two-phase ``prefix_sum`` keyed on (-quality, doc_id) — one
+    bucket-id exchange, NO global single-partition window — and the
+    budget cut is a pure filter on the prefix sum.  At 100 TB this is
+    exactly the shard-packing shape plus a broadcastable scalar."""
+    from ..operators.packing import prefix_sum
+    (documents,) = _t(spark, sf_dir, "documents")
+    t = documents.select(
+        "doc_id",
+        TX.quality_score("text").alias("quality"),
+        TX.token_count("text").alias("n_toks"),
+    ).withColumn("neg_q", -F.col("quality"))
+    ps = prefix_sum(t, "n_toks", ["neg_q", "doc_id"], out_col="cum_tokens")
+    return (ps.where(F.col("cum_tokens") - F.col("n_toks") < budget)
+            .select("doc_id", "quality", "n_toks", "cum_tokens"))
+
+
+def corpus_epoch_shuffle(spark: SparkSession, sf_dir: str,
+                         n_epochs: int = 2) -> DataFrame:
+    """Deterministic per-epoch corpus shuffle order: every epoch
+    re-permutes the documents by a Knuth multiplicative hash of
+    (doc_id, epoch) and assigns a dense 1-based rank within the epoch
+    — the reshuffle-every-epoch contract of a pretraining data loader,
+    reproducible across runs and engines (no RNG state; the permutation
+    IS the hash order).
+
+    Plan: the rank comes from ONE two-phase ``serial_id`` pass over
+    the combined (epoch << 32 | hash) key — no global funnel, no
+    per-epoch driver loop — and the per-epoch rank is recovered
+    arithmetically as ``global_id - epoch * n_docs`` (every epoch
+    carries exactly the full corpus).  The doc count rides in as a
+    broadcast scalar."""
+    from ..operators.ids import serial_id
+    (documents,) = _t(spark, sf_dir, "documents")
+    d = documents.select(
+        "doc_id",
+        F.explode(F.array(*[F.lit(e) for e in range(n_epochs)]))
+         .alias("epoch"))
+    skey = ((F.col("doc_id") + F.col("epoch").cast("long") * F.lit(1000003))
+            * F.lit(2654435761)) % F.lit(4294967296)
+    k = d.select(
+        "doc_id", "epoch", skey.alias("skey"),
+        (F.col("epoch").cast("long") * F.lit(4294967296) + skey)
+        .alias("gkey"))
+    ranked = serial_id(k, ["gkey", "doc_id"], id_col="gid")
+    n = documents.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (ranked.crossJoin(F.broadcast(n))
+            .select("epoch",
+                    (F.col("gid")
+                     - F.col("epoch").cast("long") * F.col("n_docs"))
+                    .alias("shuffle_rank"),
+                    "doc_id"))
+
+
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outlier flagging over the event stream — the
+    monitoring/data-validation pass a 100 TB ingest runs before
+    training data is admitted.  Population mean/σ per event_type are
+    derived from DECIMAL-summed power sums (Σx, Σx², the r5 rule used
+    by ``embedding_dim_stats``/``agg_higher_moments``) so both engines
+    build bit-identical doubles; events with |z| >= 2 are reported.
+
+    Plan: one partial-aggregated shuffle on event_type (4 groups),
+    stats re-attach by broadcast, the z filter is map-side."""
+    (events,) = _t(spark, sf_dir, "events")
+    stats = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(28,10)")).alias("s1"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(28,10)"))
+         .alias("s2"))
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = F.col("s2").cast("double") / F.col("n") - mean * mean
+    st = stats.select("event_type", mean.alias("mu"),
+                      F.sqrt(var).alias("sigma"))
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (events.join(F.broadcast(st), "event_type")
+            .select("event_id", "event_type", "value",
+                    F.round(z, 4).alias("zscore"))
+            .where(F.abs(F.col("zscore")) >= 2.0))

@@ -2471,6 +2471,70 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM x
         """,
     ),
+    "corpus_token_budget_sample": QuerySpec(
+        X.corpus_token_budget_sample,
+        f"""
+        WITH t AS (
+            SELECT doc_id,
+                   round(0.5 * least({_STOP_RATIO} * 4.0, 1.0)
+                         + 0.3 * least(CAST(len({_TOKS}) AS DOUBLE) / 50.0,
+                                       1.0)
+                         + 0.2 * (1.0 - least({_PUNCT_RATIO} * 10.0, 1.0)),
+                         4) AS quality,
+                   CAST(len({_TOKS}) AS BIGINT) AS n_toks
+            FROM documents
+        ), c AS (
+            SELECT doc_id, quality, n_toks,
+                   CAST(sum(n_toks) OVER (ORDER BY quality DESC, doc_id)
+                        AS BIGINT) AS cum_tokens
+            FROM t
+        )
+        SELECT doc_id, quality, n_toks, cum_tokens
+        FROM c WHERE cum_tokens - n_toks < 2000
+        """,
+    ),
+    "corpus_epoch_shuffle": QuerySpec(
+        X.corpus_epoch_shuffle,
+        """
+        WITH d AS (
+            SELECT doc_id, unnest([0, 1]) AS epoch FROM documents
+        ), k AS (
+            SELECT doc_id, epoch,
+                   ((doc_id + epoch * 1000003) * 2654435761)
+                       % 4294967296 AS skey
+            FROM d
+        )
+        SELECT epoch,
+               CAST(row_number() OVER (PARTITION BY epoch
+                                       ORDER BY skey, doc_id) AS BIGINT)
+                   AS shuffle_rank,
+               doc_id
+        FROM k
+        """,
+    ),
+    "events_anomaly_zscore": QuerySpec(
+        X.events_anomaly_zscore,
+        """
+        WITH s AS (
+            SELECT event_type, count(*) AS n,
+                   sum(CAST(value AS DECIMAL(28,10))) AS s1,
+                   sum(CAST(value * value AS DECIMAL(28,10))) AS s2
+            FROM events GROUP BY event_type
+        ), st AS (
+            SELECT event_type,
+                   CAST(s1 AS DOUBLE) / n AS mu,
+                   sqrt(CAST(s2 AS DOUBLE) / n
+                        - (CAST(s1 AS DOUBLE) / n)
+                          * (CAST(s1 AS DOUBLE) / n)) AS sigma
+            FROM s
+        )
+        SELECT event_id, event_type, value, zscore FROM (
+            SELECT e.event_id, e.event_type, e.value,
+                   round((e.value - st.mu) / st.sigma, 4) AS zscore
+            FROM events e JOIN st ON e.event_type = st.event_type) q
+        WHERE abs(zscore) >= 2.0
+        """,
+    ),
     "agg_group_by_all": QuerySpec(
         R.agg_group_by_all,
         """

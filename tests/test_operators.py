@@ -1767,3 +1767,84 @@ def test_orc_roundtrip_preserves_rows_and_pushes_filter(spark):
                   .select("l_orderkey", "l_linenumber", "l_quantity")
                   .collect())
     assert got == want
+
+
+def test_token_budget_sample_is_top_quality_prefix(spark):
+    """The kept set is EXACTLY the greedy quality-ordered prefix whose
+    running token total starts under the budget — recomputed
+    independently from the lake here."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.functions.text import (
+        quality_score,
+        token_count,
+    )
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        corpus_token_budget_sample,
+    )
+
+    got = {r.doc_id: (r.quality, r.n_toks, r.cum_tokens)
+           for r in corpus_token_budget_sample(spark, SF_SMALL).collect()}
+    docs = read_parquet_table(spark, SF_SMALL, "documents")
+    rows = sorted(
+        ((r.q, r.doc_id, r.n) for r in
+         docs.select("doc_id", quality_score("text").alias("q"),
+                     token_count("text").alias("n")).collect()),
+        key=lambda x: (-x[0], x[1]))
+    want, cum = {}, 0
+    for q, doc_id, n in rows:
+        if cum < 2000:
+            want[doc_id] = (q, n, cum + n)
+        cum += n
+    assert got == want
+    assert 0 < len(got) < docs.count()
+
+
+def test_epoch_shuffle_permutations_differ_and_are_dense(spark):
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        corpus_epoch_shuffle,
+    )
+
+    rows = corpus_epoch_shuffle(spark, SF_SMALL).collect()
+    n_docs = read_parquet_table(spark, SF_SMALL, "documents").count()
+    by_epoch = {}
+    for r in rows:
+        by_epoch.setdefault(r.epoch, {})[r.shuffle_rank] = r.doc_id
+    assert set(by_epoch) == {0, 1}
+    for e, perm in by_epoch.items():
+        assert set(perm) == set(range(1, n_docs + 1)), e
+        assert len(set(perm.values())) == n_docs
+    order0 = [by_epoch[0][i] for i in range(1, n_docs + 1)]
+    order1 = [by_epoch[1][i] for i in range(1, n_docs + 1)]
+    assert order0 != order1
+    # reproducible: a second invocation yields the identical permutation
+    again = corpus_epoch_shuffle(spark, SF_SMALL).collect()
+    assert sorted((r.epoch, r.shuffle_rank, r.doc_id) for r in again) \
+        == sorted((r.epoch, r.shuffle_rank, r.doc_id) for r in rows)
+
+
+def test_anomaly_zscore_flags_exactly_the_2sigma_tail(spark):
+    import math
+
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        events_anomaly_zscore,
+    )
+
+    got = {r.event_id: r.zscore
+           for r in events_anomaly_zscore(spark, SF_SMALL).collect()}
+    ev = [(r.event_id, r.event_type, r.value)
+          for r in read_parquet_table(spark, SF_SMALL, "events")
+          .select("event_id", "event_type", "value").collect()]
+    stats = {}
+    for _, t, v in ev:
+        n, s1, s2 = stats.get(t, (0, 0.0, 0.0))
+        stats[t] = (n + 1, s1 + v, s2 + v * v)
+    want = {}
+    for eid, t, v in ev:
+        n, s1, s2 = stats[t]
+        mu = s1 / n
+        sigma = math.sqrt(s2 / n - mu * mu)
+        z = round((v - mu) / sigma, 4)
+        if abs(z) >= 2.0:
+            want[eid] = z
+    assert set(got) == set(want)
+    for eid in got:
+        assert abs(got[eid] - want[eid]) < 1e-6
