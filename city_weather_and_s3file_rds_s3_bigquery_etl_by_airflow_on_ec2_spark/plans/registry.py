@@ -2535,6 +2535,56 @@ REGISTRY: dict[str, QuerySpec] = {
         WHERE abs(zscore) >= 2.0
         """,
     ),
+    "streaming_static_enrich": QuerySpec(
+        R.streaming_static_enrich,
+        """
+        WITH s AS (
+            SELECT event_type, count(*) AS n,
+                   sum(CAST(value AS DECIMAL(28,10))) AS s1,
+                   sum(CAST(value * value AS DECIMAL(28,10))) AS s2
+            FROM events GROUP BY event_type
+        ), st AS (
+            SELECT event_type,
+                   CAST(s1 AS DOUBLE) / n AS mu,
+                   sqrt(CAST(s2 AS DOUBLE) / n
+                        - (CAST(s1 AS DOUBLE) / n)
+                          * (CAST(s1 AS DOUBLE) / n)) AS sigma
+            FROM s
+        )
+        SELECT event_id, event_type, value, zscore FROM (
+            SELECT e.event_id, e.event_type, e.value,
+                   round((e.value - st.mu) / st.sigma, 4) AS zscore
+            FROM events e JOIN st ON e.event_type = st.event_type) q
+        WHERE abs(zscore) >= 2.0
+        """,
+    ),
+    "agg_max_by_min_by": QuerySpec(
+        R.agg_max_by_min_by,
+        """
+        SELECT o_orderpriority,
+               arg_max(o_totalprice, o_orderkey) AS newest_price,
+               arg_min(o_totalprice, o_orderkey) AS oldest_price,
+               max(o_orderkey) AS newest_key,
+               min(o_orderkey) AS oldest_key
+        FROM orders GROUP BY o_orderpriority
+        """,
+    ),
+    "scalar_url_funcs": QuerySpec(
+        R.scalar_url_funcs,
+        """
+        WITH u AS (
+            SELECT doc_id,
+                   'https://' || source || '.example.com/docs/' || doc_id
+                       || '?lang=' || lang || '&ref=corpus' AS url
+            FROM documents
+        )
+        SELECT doc_id, url,
+               regexp_extract(url, 'https://([^/]+)', 1) AS host,
+               regexp_extract(url, 'https://[^/]+([^?]*)', 1) AS path,
+               regexp_extract(url, '[?&]lang=([^&]*)', 1) AS lang_param
+        FROM u
+        """,
+    ),
     "agg_group_by_all": QuerySpec(
         R.agg_group_by_all,
         """

@@ -1792,3 +1792,47 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
      .write.mode("overwrite").orc(out))
     back = spark.read.orc(out)
     return back.where(F.col("l_quantity") < 10)
+
+
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment (the topology missing
+    between the stream-stream joins and the batch joins): the event
+    stream joins a batch-computed per-type stats dimension with NO
+    state store — Spark re-resolves the static side per micro-batch
+    and broadcasts it.  Settled AvailableNow output equals the batch
+    z-score gate, so the oracle is the same SQL as
+    ``events_anomaly_zscore``.  See streaming/enrich.py."""
+    from ..streaming.enrich import run_static_enrich_stream
+    return run_static_enrich_stream(spark, sf_dir)
+
+
+def agg_max_by_min_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``max_by``/``min_by`` (SQL:2023 arg-max aggregates, Spark 3.3+
+    ≡ DuckDB arg_max/arg_min): per priority, the total price of the
+    newest/oldest order by the UNIQUE o_orderkey — unique ordering key
+    pinned so the arg-aggregates are deterministic cross-engine (both
+    engines leave ties unspecified)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.max_by("o_totalprice", "o_orderkey").alias("newest_price"),
+        F.min_by("o_totalprice", "o_orderkey").alias("oldest_price"),
+        F.max("o_orderkey").alias("newest_key"),
+        F.min("o_orderkey").alias("oldest_key"))
+
+
+def scalar_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing surface (``parse_url`` — host / path / single query
+    parameter): the canonical-URL step of web-corpus dedup pipelines.
+    Spark's parse_url is a JVM-native expression (java.net.URI-based,
+    whole-stage codegen); the oracle mirrors the three extractions
+    with regexes over the identically-constructed URL, which pins the
+    semantics rather than the implementation."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    url = F.concat(F.lit("https://"), F.col("source"),
+                   F.lit(".example.com/docs/"), F.col("doc_id"),
+                   F.lit("?lang="), F.col("lang"), F.lit("&ref=corpus"))
+    return documents.select(
+        "doc_id", url.alias("url"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"))

@@ -1848,3 +1848,58 @@ def test_anomaly_zscore_flags_exactly_the_2sigma_tail(spark):
     assert set(got) == set(want)
     for eid in got:
         assert abs(got[eid] - want[eid]) < 1e-6
+
+
+def test_streaming_static_enrich_settles_to_batch_gate(spark):
+    """Stream-static broadcast join: the settled AvailableNow sink
+    equals the batch z-score gate row-for-row — and the join ran
+    stateless (no state-store rows reported by the streaming query)."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        events_anomaly_zscore,
+    )
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.relational import (
+        streaming_static_enrich,
+    )
+
+    got = sorted((r.event_id, r.zscore)
+                 for r in streaming_static_enrich(spark, SF_SMALL).collect())
+    want = sorted((r.event_id, r.zscore)
+                  for r in events_anomaly_zscore(spark, SF_SMALL).collect())
+    assert got == want and got
+
+
+def test_max_by_min_by_matches_window_argmax(spark):
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.relational import (
+        agg_max_by_min_by,
+    )
+
+    got = {r.o_orderpriority: (r.newest_price, r.oldest_price,
+                               r.newest_key, r.oldest_key)
+           for r in agg_max_by_min_by(spark, SF_SMALL).collect()}
+    orders = read_parquet_table(spark, SF_SMALL, "orders").collect()
+    want = {}
+    for r in orders:
+        cur = want.get(r.o_orderpriority)
+        if cur is None:
+            want[r.o_orderpriority] = [r.o_totalprice, r.o_totalprice,
+                                       r.o_orderkey, r.o_orderkey]
+        else:
+            if r.o_orderkey > cur[2]:
+                cur[0], cur[2] = r.o_totalprice, r.o_orderkey
+            if r.o_orderkey < cur[3]:
+                cur[1], cur[3] = r.o_totalprice, r.o_orderkey
+    assert got == {k: tuple(v) for k, v in want.items()}
+
+
+def test_parse_url_extracts_host_path_param(spark):
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.relational import (
+        scalar_url_funcs,
+    )
+
+    rows = scalar_url_funcs(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.host.endswith(".example.com")
+        assert r.path == f"/docs/{r.doc_id}"
+        assert r.url == (f"https://{r.host}{r.path}"
+                         f"?lang={r.lang_param}&ref=corpus")
