@@ -1391,3 +1391,28 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_id", "event_type", "value",
                     F.round(z, 4).alias("zscore"))
             .where(F.abs(F.col("zscore")) >= 2.0))
+
+
+def text_feature_hashing(spark: SparkSession, sf_dir: str,
+                         n_buckets: int = 64) -> DataFrame:
+    """Hashing-trick bag-of-words features (Weinberger et al. 2009):
+    every token is hashed into one of ``n_buckets`` feature slots and
+    counted — the fixed-dimension, vocabulary-free featurizer that
+    feeds linear quality classifiers (e.g. the fastText-style page
+    scorer in CCNet-like pipelines).  The hash is the repo's
+    cross-engine polynomial rolling hash (``functions.text
+    .rolling_hash``, already oracle-proven by ``text_fingerprint``),
+    NOT an engine-private hash — so the featurizer is bit-reproducible
+    anywhere, which is what rules out train/serve hash skew.
+
+    Output is the sparse form (doc_id, bucket, n_tokens).  Plan: one
+    map-side-combined shuffle on (doc_id, bucket); the hash itself is
+    a zero-shuffle higher-order expression."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    tok = documents.select(
+        "doc_id", F.explode(TX.tokens("text")).alias("t")
+    ).select("doc_id", F.lower(F.col("t")).alias("tok"))
+    bucket = TX.rolling_hash(F.col("tok")) % F.lit(n_buckets)
+    return (tok.select("doc_id", bucket.alias("bucket"))
+            .groupBy("doc_id", "bucket")
+            .agg(F.count(F.lit(1)).alias("n_tokens")))

@@ -2585,6 +2585,26 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM u
         """,
     ),
+    "text_feature_hashing": QuerySpec(
+        X.text_feature_hashing,
+        f"""
+        WITH tok AS (
+            SELECT doc_id, lower(unnest({_TOKS})) AS tok FROM documents
+        ), h AS (
+            SELECT doc_id,
+                   list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                           list_transform(range(1, length(tok) + 1),
+                               i -> CAST(ascii(substr(tok, i, 1))
+                                         AS BIGINT))),
+                       (acc, c) -> (acc * 31 + c) % 1000000007) % 64
+                       AS bucket
+            FROM tok
+        )
+        SELECT doc_id, bucket, count(*) AS n_tokens
+        FROM h GROUP BY doc_id, bucket
+        """,
+    ),
     "agg_group_by_all": QuerySpec(
         R.agg_group_by_all,
         """

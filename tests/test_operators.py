@@ -1903,3 +1903,42 @@ def test_parse_url_extracts_host_path_param(spark):
         assert r.path == f"/docs/{r.doc_id}"
         assert r.url == (f"https://{r.host}{r.path}"
                          f"?lang={r.lang_param}&ref=corpus")
+
+
+def test_feature_hashing_is_stable_and_conserves_tokens(spark):
+    """The hashing trick: per-doc bucket counts sum to the doc token
+    count, buckets stay inside [0, 64), and the same token always
+    lands in the same bucket (recomputed independently here with the
+    same polynomial hash)."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.functions.text import (
+        token_count,
+    )
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        text_feature_hashing,
+    )
+
+    rows = text_feature_hashing(spark, SF_SMALL).collect()
+    per_doc = {}
+    for r in rows:
+        assert 0 <= r.bucket < 64
+        per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + r.n_tokens
+    docs = read_parquet_table(spark, SF_SMALL, "documents")
+    want = {r.doc_id: r.n for r in
+            docs.select("doc_id", token_count("text").alias("n")).collect()}
+    assert per_doc == want
+
+    def phash(tok):
+        h = 0
+        for ch in tok:
+            h = (h * 31 + ord(ch)) % 1_000_000_007
+        return h % 64
+
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    import re
+    d0 = min(texts)
+    toks = re.split(r"\s+", texts[d0].strip())
+    want0 = {}
+    for t in toks:
+        want0[phash(t.lower())] = want0.get(phash(t.lower()), 0) + 1
+    got0 = {r.bucket: r.n_tokens for r in rows if r.doc_id == d0}
+    assert got0 == want0
