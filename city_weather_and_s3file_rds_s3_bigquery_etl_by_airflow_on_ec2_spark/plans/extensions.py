@@ -1416,3 +1416,70 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str,
     return (tok.select("doc_id", bucket.alias("bucket"))
             .groupBy("doc_id", "bucket")
             .agg(F.count(F.lit(1)).alias("n_tokens")))
+
+
+def ann_range_search(spark: SparkSession, sf_dir: str,
+                     min_cos: float = 0.35) -> DataFrame:
+    """Radius (range) similarity search — the other half of the ANN
+    API surface: instead of "the k nearest", return EVERY corpus
+    vector within a cosine radius of each query (the retrieval shape
+    for near-dup audits and threshold-calibrated retrieval).
+
+    Plan: even leaner than top-k — the broadcast-queries × streaming-
+    corpus map computes the similarity and the radius cut is a pure
+    filter, so there is NO shuffle at all (top-k at least repartitions
+    the WindowGroupLimit-reduced candidates); the 100 TB corpus
+    streams through map tasks once."""
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    q = (embeddings.where(F.col("vec_id") < 10)
+         .select(F.col("vec_id").alias("q_id"),
+                 as_double(F.col("embedding")).alias("qv")))
+    c = embeddings.select("vec_id", as_double(F.col("embedding")).alias("cv"))
+    cos = dot(F.col("qv"), F.col("cv")) / (
+        F.sqrt(dot(F.col("qv"), F.col("qv")))
+        * F.sqrt(dot(F.col("cv"), F.col("cv"))))
+    return (c.crossJoin(F.broadcast(q))
+            .where(F.col("q_id") != F.col("vec_id"))
+            .select("q_id", "vec_id", F.round(cos, 6).alias("cos_sim"))
+            .where(F.col("cos_sim") >= min_cos))
+
+
+def embedding_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension standardization (whitening without rotation):
+    z_i = (x_i - μ_i)/σ_i over the corpus — the normalization pass
+    embedding pipelines run before indexing/clustering so no dimension
+    dominates the metric.  μ/σ come from the same DECIMAL-summed power
+    sums as ``embedding_dim_stats`` (bit-identical cross-engine); the
+    standardized values are serialized as half-up-scaled 1e-4 integers
+    (the ``embedding_quantize_int8`` CSV rule — float→string
+    formatting is engine-specific, scaled ints are not).
+
+    Plan: one 64-group stats shuffle, stats collapse to a single
+    broadcast row of (dim-sorted) μ/σ arrays, and the standardization
+    is a zero-shuffle ``zip_with`` over the streaming corpus — at
+    100 TB the stats pass is a metadata-sized partial agg and the
+    apply pass is map-only."""
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    e = embeddings.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    d = e.select(F.posexplode("v").alias("dim", "x"))
+    s1 = F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
+    s2 = F.sum((F.col("x") * F.col("x")).cast("decimal(28,12)")) \
+          .cast("double")
+    n = F.count(F.lit(1))
+    st = d.groupBy("dim").agg(
+        (s1 / n).alias("mu"),
+        F.sqrt(s2 / n - (s1 / n) * (s1 / n)).alias("sigma"))
+    packed = st.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("dim", "mu", "sigma")))
+         .alias("sms"))
+    mus = F.transform(F.col("sms"), lambda s: s.mu)
+    sds = F.transform(F.col("sms"), lambda s: s.sigma)
+    centered = F.zip_with(F.col("v"), mus, lambda a, b: a - b)
+    z_scaled = F.zip_with(
+        centered, sds,
+        lambda a, b: F.floor(a / b * 10000 + F.lit(0.5)).cast("long"))
+    return (e.crossJoin(F.broadcast(packed))
+            .select("vec_id",
+                    F.array_join(
+                        F.transform(z_scaled, lambda v: v.cast("string")),
+                        ",").alias("z_csv")))

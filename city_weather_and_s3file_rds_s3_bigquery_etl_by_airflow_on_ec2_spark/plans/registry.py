@@ -2585,6 +2585,61 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM u
         """,
     ),
+    "streaming_sliding_window": QuerySpec(
+        R.streaming_sliding_window,
+        """
+        SELECT TIMESTAMP '1970-01-01'
+                   + (CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 - i.i * 900)
+                     * INTERVAL 1 SECOND AS window_start,
+               count(*) AS n_events
+        FROM events CROSS JOIN (SELECT unnest(range(4)) AS i) i
+        GROUP BY 1
+        """,
+    ),
+    "ann_range_search": QuerySpec(
+        X.ann_range_search,
+        """
+        WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id < 10),
+        c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+              FROM embeddings)
+        SELECT q_id, vec_id, cos_sim FROM (
+            SELECT q_id, vec_id,
+                   round(list_dot_product(qv, cv)
+                         / (sqrt(list_dot_product(qv, qv))
+                            * sqrt(list_dot_product(cv, cv))), 6) AS cos_sim
+            FROM q CROSS JOIN c WHERE q_id <> vec_id)
+        WHERE cos_sim >= 0.35
+        """,
+    ),
+    "embedding_whiten": QuerySpec(
+        X.embedding_whiten,
+        """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        d AS (SELECT generate_subscripts(v, 1) AS dim, unnest(v) AS x
+              FROM e),
+        s AS (SELECT dim,
+                     CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE)
+                         / count(*) AS mu,
+                     sqrt(CAST(sum(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE)
+                              / count(*)
+                          - (CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE)
+                                 / count(*))
+                            * (CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE)
+                                   / count(*))) AS sigma
+              FROM d GROUP BY dim),
+        p AS (SELECT list(mu ORDER BY dim) AS mus,
+                     list(sigma ORDER BY dim) AS sds
+              FROM s)
+        SELECT vec_id,
+               array_to_string(list_transform(range(1, len(v) + 1),
+                   i -> CAST(CAST(floor((v[i] - mus[i]) / sds[i] * 10000
+                                        + 0.5) AS BIGINT) AS VARCHAR)),
+                   ',') AS z_csv
+        FROM e CROSS JOIN p
+        """,
+    ),
     "text_feature_hashing": QuerySpec(
         X.text_feature_hashing,
         f"""

@@ -1836,3 +1836,14 @@ def scalar_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("HOST")).alias("host"),
         F.parse_url(url, F.lit("PATH")).alias("path"),
         F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"))
+
+
+def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sliding-window counts (1 h window, 15 min hop — each
+    event maintains 4 overlapping window states): the overlap is what
+    the tumbling entry never exercises.  Settled == batch
+    ``events_sliding_window``, so the oracle is the same arithmetic
+    window reconstruction.  See streaming/windows.py
+    run_sliding_count_stream."""
+    from ..streaming.windows import run_sliding_count_stream
+    return run_sliding_count_stream(spark, sf_dir)

@@ -156,3 +156,51 @@ def sessionize(events: DataFrame, user_col: str = "user_id",
         F.sum(new_sess).over(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
     )
+
+
+def run_sliding_count_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    window_duration: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming SLIDING windows (hop < length, so every event feeds
+    length/slide overlapping windows — 4 here): readStream → watermark
+    → ``F.window(ts, length, slide)`` → complete-mode memory sink.
+    The overlapping-window state is the piece tumbling never
+    exercises: one event updates 4 window states in the same
+    micro-batch.  Settled AvailableNow output equals the batch sliding
+    aggregate (``plans.relational.events_sliding_window``), so the
+    entry is fully SQL-oracle-checked."""
+    from ..session import ensure_session_confs
+
+    ensure_session_confs(spark)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    from ..sources.tables import normalize_event_ts
+    stream = normalize_event_ts(stream)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    from . import rotate_sink
+    qname = rotate_sink(spark, "sliding", f"sliding_{uuid.uuid4().hex[:8]}")
+    query = (
+        agg.writeStream.outputMode("complete")
+        .format("memory").queryName(qname)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination()
+    finally:
+        if query.isActive:  # pragma: no cover
+            query.stop()
+    return spark.table(qname).select(
+        F.col("w.start").alias("window_start"), "n_events")

@@ -1942,3 +1942,63 @@ def test_feature_hashing_is_stable_and_conserves_tokens(spark):
         want0[phash(t.lower())] = want0.get(phash(t.lower()), 0) + 1
     got0 = {r.bucket: r.n_tokens for r in rows if r.doc_id == d0}
     assert got0 == want0
+
+
+def test_streaming_sliding_settles_to_batch_sliding(spark):
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.relational import (
+        events_sliding_window,
+        streaming_sliding_window,
+    )
+
+    got = sorted((r.window_start, r.n_events)
+                 for r in streaming_sliding_window(spark, SF_SMALL).collect())
+    want = sorted((r.window_start, r.n_events)
+                  for r in events_sliding_window(spark, SF_SMALL).collect())
+    assert got == want and got
+
+
+def test_ann_range_search_complete_and_correct(spark):
+    """Radius search returns EXACTLY the pairs with cos >= threshold:
+    soundness and completeness checked against a NumPy recomputation
+    over the full query × corpus product."""
+    import numpy as np
+
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        ann_range_search,
+    )
+
+    got = {(r.q_id, r.vec_id): r.cos_sim
+           for r in ann_range_search(spark, SF_SMALL).collect()}
+    emb = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+           for r in read_parquet_table(spark, SF_SMALL, "embeddings")
+           .collect()}
+    want = {}
+    for q in (i for i in emb if i < 10):
+        for c, cv in emb.items():
+            if c == q:
+                continue
+            cos = round(float(emb[q] @ cv
+                              / (np.linalg.norm(emb[q])
+                                 * np.linalg.norm(cv))), 6)
+            if cos >= 0.35:
+                want[(q, c)] = cos
+    assert set(got) == set(want)
+    for k in got:
+        assert abs(got[k] - want[k]) < 1e-5
+
+
+def test_whiten_standardizes_every_dimension(spark):
+    """After whitening, each dimension's mean is ~0 and σ is ~1
+    (within the 1e-4 scaled-int serialization step)."""
+    import numpy as np
+
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        embedding_whiten,
+    )
+
+    rows = embedding_whiten(spark, SF_SMALL).collect()
+    z = np.array([[int(v) / 10000.0 for v in r.z_csv.split(",")]
+                  for r in rows])
+    assert z.shape[1] == 64
+    assert np.abs(z.mean(axis=0)).max() < 1e-3
+    assert np.abs(z.std(axis=0) - 1.0).max() < 1e-3

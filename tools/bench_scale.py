@@ -54,6 +54,9 @@ SCALE_QUERIES = [
     # r5c addition: the Bloom-prefiltered semi-join (the prefilter must
     # keep paying for itself as the fact side grows)
     "join_bloom_prefilter",
+    # r5d addition: sequence packing — prefix-sum + boundary fanout;
+    # the training-loader shape whose naive plan is a global window
+    "corpus_seq_pack",
 ]
 
 
