@@ -310,3 +310,47 @@ def sample_frames(df: DataFrame, frame_size: int = 256, stride: int = 4,
             })
 
     return df.select(id_col, "media_bytes").mapInPandas(run, FRAME_SCHEMA)
+
+
+ENERGY_SCHEMA = ("doc_id long, frame_idx long, byte_offset long, "
+                 "n_frame_bytes long, energy_stub long")
+
+
+def frame_energy(df: DataFrame, frame_size: int = 256,
+                 id_col: str = "doc_id") -> DataFrame:
+    """Per-frame energy extraction for an audio-typed payload — the
+    third modality's feature shape (image=decode/resize, video=frame
+    sample, audio=frame energy): chunk the waveform container into
+    fixed-size frames and emit one feature row per frame via
+    Arrow-batched ``mapInPandas``.
+
+    The "decoder" is the deterministic stand-in tier (no audio codec
+    ships in this environment): a frame's energy is derived from the
+    sha256 of its bytes (first byte of the digest), which keeps the
+    WHOLE transform — chunking, offsets, and the feature value —
+    SQL-expressible and therefore fully oracle-checked; a real
+    implementation swaps the stub for an RMS over PCM samples with
+    the SAME schema.  Plan: pure row fanout inside map tasks, output
+    rows ≈ payload_bytes/frame_size, payloads never shuffle."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, offs, lens, eners = [], [], [], [], []
+            for doc_id, raw in zip(pdf[id_col], pdf["media_bytes"]):
+                b = bytes(raw)
+                n_frames = max(1, -(-len(b) // frame_size))
+                for k in range(n_frames):
+                    chunk = b[k * frame_size:(k + 1) * frame_size]
+                    ids.append(doc_id)
+                    idxs.append(k)
+                    offs.append(k * frame_size)
+                    lens.append(len(chunk))
+                    eners.append(hashlib.sha256(chunk).digest()[0])
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int64"),
+                "byte_offset": pd.Series(offs, dtype="int64"),
+                "n_frame_bytes": pd.Series(lens, dtype="int64"),
+                "energy_stub": pd.Series(eners, dtype="int64"),
+            })
+
+    return df.select(id_col, "media_bytes").mapInPandas(run, ENERGY_SCHEMA)

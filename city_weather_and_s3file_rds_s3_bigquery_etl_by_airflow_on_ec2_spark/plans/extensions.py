@@ -1483,3 +1483,18 @@ def embedding_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.array_join(
                         F.transform(z_scaled, lambda v: v.cast("string")),
                         ",").alias("z_csv")))
+
+
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-modality feature extraction: fixed-size waveform frames →
+    per-frame energy, completing the modality triad (image decode/
+    resize/phash, video frame-sample, audio frame-energy).  The
+    "decoder" is the deterministic sha-derived stand-in tier (see
+    ``operators.multimodal.frame_energy``), which keeps chunking,
+    offsets AND the feature value SQL-expressible — so unlike a real
+    codec this stub path is fully oracle-checked end to end; a real
+    PCM RMS slots into the same schema."""
+    from ..operators.multimodal import attach_media_columns, frame_energy
+    (documents,) = _t(spark, sf_dir, "documents")
+    media = attach_media_columns(documents, "text", media_type="audio")
+    return frame_energy(media)

@@ -2585,6 +2585,85 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM u
         """,
     ),
+    "multimodal_audio_energy": QuerySpec(
+        X.multimodal_audio_energy,
+        """
+        WITH t AS (
+            SELECT doc_id, text, octet_length(encode(text)) AS n
+            FROM documents
+        ), f AS (
+            SELECT doc_id, text,
+                   unnest(range(0, CAST(greatest(1, ceil(n / 256.0))
+                                        AS BIGINT))) AS frame_idx
+            FROM t
+        ), c AS (
+            SELECT doc_id, frame_idx,
+                   substr(text, CAST(frame_idx * 256 + 1 AS BIGINT), 256)
+                       AS chunk
+            FROM f
+        )
+        SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+               CAST(frame_idx * 256 AS BIGINT) AS byte_offset,
+               CAST(length(chunk) AS BIGINT) AS n_frame_bytes,
+               CAST((instr('0123456789abcdef',
+                           substr(sha256(chunk), 1, 1)) - 1) * 16
+                    + instr('0123456789abcdef',
+                            substr(sha256(chunk), 2, 1)) - 1
+                    AS BIGINT) AS energy_stub
+        FROM c
+        """,
+    ),
+    "join_asof_nearest": QuerySpec(
+        R.join_asof_nearest,
+        """
+        WITH r AS (
+            SELECT o_custkey AS user_id, o_orderdate,
+                   max(o_orderkey) AS ok
+            FROM orders GROUP BY 1, 2
+        ), e AS (
+            SELECT event_id, user_id, ts FROM events
+        ), b AS (
+            SELECT e.event_id, rb.ok AS bwd_key, rb.o_orderdate AS bwd_date
+            FROM e ASOF LEFT JOIN r rb
+              ON e.user_id = rb.user_id AND e.ts >= rb.o_orderdate
+        ), f AS (
+            SELECT e.event_id, rf.ok AS fwd_key, rf.o_orderdate AS fwd_date
+            FROM e ASOF LEFT JOIN r rf
+              ON e.user_id = rf.user_id AND e.ts <= rf.o_orderdate
+        )
+        SELECT e.event_id, e.user_id, e.ts,
+               CASE WHEN fwd_key IS NULL THEN bwd_key
+                    WHEN bwd_key IS NULL THEN fwd_key
+                    WHEN epoch_us(e.ts) - epoch_us(bwd_date)
+                         <= epoch_us(fwd_date) - epoch_us(e.ts)
+                        THEN bwd_key
+                    ELSE fwd_key END AS nearest_key,
+               CASE WHEN fwd_key IS NULL THEN 'backward'
+                    WHEN bwd_key IS NULL THEN 'forward'
+                    WHEN epoch_us(e.ts) - epoch_us(bwd_date)
+                         <= epoch_us(fwd_date) - epoch_us(e.ts)
+                        THEN 'backward'
+                    ELSE 'forward' END AS side
+        FROM e JOIN b USING (event_id) JOIN f USING (event_id)
+        WHERE coalesce(bwd_key, fwd_key) IS NOT NULL
+        """,
+    ),
+    "scalar_collation_group": QuerySpec(
+        R.scalar_collation_group,
+        """
+        WITH m AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN upper(lang)
+                        ELSE lang END AS lang_mixed
+            FROM documents
+        )
+        SELECT lower(lang_mixed) AS lang_ci,
+               count(*) AS n_docs,
+               count(DISTINCT lang_mixed) AS n_raw_spellings
+        FROM m
+        GROUP BY lower(lang_mixed)
+        """,
+    ),
     "streaming_sliding_window": QuerySpec(
         R.streaming_sliding_window,
         """

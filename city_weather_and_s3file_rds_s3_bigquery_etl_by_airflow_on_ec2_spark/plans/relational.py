@@ -1847,3 +1847,72 @@ def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_sliding_count_stream."""
     from ..streaming.windows import run_sliding_count_stream
     return run_sliding_count_stream(spark, sf_dir)
+
+
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-direction as-of join (pandas merge_asof
+    direction='nearest'): each event matches the same-customer order
+    closest in time in EITHER direction, ties to the past — composed
+    from one backward and one forward pass of the shared union+window
+    ``operators.joins.asof_join`` (both passes keep the
+    no-single-partition two-shuffle shape), then an arithmetic pick on
+    epoch-microsecond deltas.  Oracle: two native DuckDB ASOF JOINs +
+    the same CASE."""
+    events, orders = _t(spark, sf_dir, "events", "orders")
+    right = (orders.groupBy("o_custkey", "o_orderdate")
+             .agg(F.max("o_orderkey").alias("ok"))
+             .withColumnRenamed("o_custkey", "user_id"))
+    left = events.select("event_id", "user_id", "ts")
+    rb = right.select("user_id", "o_orderdate",
+                      F.col("ok").alias("bwd_key"),
+                      F.col("o_orderdate").alias("bwd_date"))
+    b = asof_join(left, rb, on="user_id", left_time="ts",
+                  right_time="o_orderdate",
+                  payload_cols=["bwd_key", "bwd_date"],
+                  direction="backward")
+    rf = right.select("user_id", "o_orderdate",
+                      F.col("ok").alias("fwd_key"),
+                      F.col("o_orderdate").alias("fwd_date"))
+    bf = asof_join(b, rf, on="user_id", left_time="ts",
+                   right_time="o_orderdate",
+                   payload_cols=["fwd_key", "fwd_date"],
+                   direction="forward")
+    db = (F.unix_micros(F.col("ts"))
+          - F.unix_micros(F.col("bwd_date").cast("timestamp")))
+    df_ = (F.unix_micros(F.col("fwd_date").cast("timestamp"))
+           - F.unix_micros(F.col("ts")))
+    nearest = (F.when(F.col("fwd_key").isNull(), F.col("bwd_key"))
+               .when(F.col("bwd_key").isNull(), F.col("fwd_key"))
+               .when(db <= df_, F.col("bwd_key"))
+               .otherwise(F.col("fwd_key")))
+    side = (F.when(F.col("fwd_key").isNull(), F.lit("backward"))
+            .when(F.col("bwd_key").isNull(), F.lit("forward"))
+            .when(db <= df_, F.lit("backward"))
+            .otherwise(F.lit("forward")))
+    return (bf.where(F.coalesce("bwd_key", "fwd_key").isNotNull())
+            .select("event_id", "user_id", "ts",
+                    nearest.alias("nearest_key"), side.alias("side")))
+
+
+def scalar_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation surface (Spark 4 ``COLLATE UTF8_LCASE``):
+    case-insensitive GROUP BY merges spelling variants ('EN' ≡ 'en')
+    at the COLLATION level — no lower() rewrite in the plan; the raw
+    spellings stay observable via the count-distinct on the binary
+    collation.  The oracle states the semantic result with lower(),
+    pinning behavior, not implementation."""
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql("""
+        WITH m AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN upper(lang)
+                        ELSE lang END AS lang_mixed
+            FROM documents
+        )
+        SELECT lower(lang_mixed COLLATE UTF8_LCASE) AS lang_ci,
+               count(*) AS n_docs,
+               count(DISTINCT lang_mixed COLLATE UTF8_BINARY)
+                   AS n_raw_spellings
+        FROM m
+        GROUP BY lang_mixed COLLATE UTF8_LCASE
+    """)

@@ -2002,3 +2002,62 @@ def test_whiten_standardizes_every_dimension(spark):
     assert z.shape[1] == 64
     assert np.abs(z.mean(axis=0)).max() < 1e-3
     assert np.abs(z.std(axis=0) - 1.0).max() < 1e-3
+
+
+def test_audio_energy_frames_tile_payload_and_match_sha(spark):
+    """Frame fanout covers the payload exactly (offsets stride by 256,
+    last frame ragged) and each frame's stub energy equals the first
+    sha256 byte of its chunk recomputed here."""
+    import hashlib
+
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        multimodal_audio_energy,
+    )
+
+    rows = multimodal_audio_energy(spark, SF_SMALL).collect()
+    texts = {r.doc_id: r.text.encode()
+             for r in read_parquet_table(spark, SF_SMALL, "documents")
+             .collect()}
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    assert set(per_doc) == set(texts)
+    for doc_id, frames in per_doc.items():
+        b = texts[doc_id]
+        frames.sort(key=lambda r: r.frame_idx)
+        assert [f.frame_idx for f in frames] == list(range(len(frames)))
+        assert sum(f.n_frame_bytes for f in frames) == len(b)
+        for f in frames:
+            chunk = b[f.byte_offset:f.byte_offset + 256]
+            assert f.n_frame_bytes == len(chunk)
+            assert f.energy_stub == hashlib.sha256(chunk).digest()[0]
+
+
+def test_asof_nearest_matches_pandas_merge_asof(spark):
+    """direction='nearest' parity with pandas merge_asof on the same
+    pre-aggregated right side (pandas breaks exact-midpoint ties to
+    the BACKWARD side too, so the comparison is exact)."""
+    import pandas as pd
+
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.relational import (
+        join_asof_nearest,
+    )
+
+    got = {r.event_id: (r.nearest_key, r.side)
+           for r in join_asof_nearest(spark, SF_SMALL).collect()}
+
+    ev = read_parquet_table(spark, SF_SMALL, "events") \
+        .select("event_id", "user_id", "ts").toPandas()
+    orders = read_parquet_table(spark, SF_SMALL, "orders").toPandas()
+    right = (orders.groupby(["o_custkey", "o_orderdate"], as_index=False)
+             ["o_orderkey"].max()
+             .rename(columns={"o_custkey": "user_id",
+                              "o_orderkey": "ok"}))
+    ev = ev.sort_values("ts").reset_index(drop=True)
+    ev["ts"] = ev["ts"].dt.tz_localize(None)
+    right = right.sort_values("o_orderdate").reset_index(drop=True)
+    m = pd.merge_asof(ev, right, left_on="ts", right_on="o_orderdate",
+                      by="user_id", direction="nearest")
+    want = {int(r.event_id): int(r.ok)
+            for r in m.itertuples() if pd.notna(r.ok)}
+    assert {k: v[0] for k, v in got.items()} == want
