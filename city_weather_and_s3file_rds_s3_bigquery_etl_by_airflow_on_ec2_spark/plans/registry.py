@@ -2585,6 +2585,47 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM u
         """,
     ),
+    "sql_pipe_syntax": QuerySpec(
+        R.sql_pipe_syntax,
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders
+        WHERE o_totalprice > 1000
+        GROUP BY o_orderstatus, o_orderpriority
+        HAVING count(*) > 5
+        """,
+    ),
+    "agg_listagg": QuerySpec(
+        R.agg_listagg,
+        """
+        SELECT o_orderstatus,
+               string_agg(DISTINCT o_orderpriority, ','
+                          ORDER BY o_orderpriority) AS priorities
+        FROM orders GROUP BY o_orderstatus
+        """,
+    ),
+    "scalar_try_arith": QuerySpec(
+        R.scalar_try_arith,
+        """
+        SELECT l_orderkey, l_linenumber,
+               CASE WHEN CAST(l_discount AS DECIMAL(18,2)) = 0 THEN NULL
+                    ELSE round(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                                    / CAST(l_discount AS DECIMAL(18,2))
+                                    AS DOUBLE), 4) END AS safe_ratio,
+               CASE WHEN l_linenumber > 2 THEN NULL
+                    ELSE 9223372036854775805 + l_linenumber END
+                   AS near_max_add,
+               CASE WHEN l_orderkey >= 2 THEN NULL
+                    ELSE l_orderkey * 4611686018427387904 END
+                   AS shifted_key,
+               CASE WHEN l_linenumber = 1 THEN 'first'
+                    WHEN l_linenumber = 2 THEN 'second'
+                    ELSE NULL END AS pos_label
+        FROM lineitem
+        """,
+    ),
     "multimodal_audio_energy": QuerySpec(
         X.multimodal_audio_energy,
         """

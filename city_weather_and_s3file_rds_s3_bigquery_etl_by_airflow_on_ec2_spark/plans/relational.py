@@ -1916,3 +1916,61 @@ def scalar_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM m
         GROUP BY lang_mixed COLLATE UTF8_LCASE
     """)
+
+
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4.0 ``|>`` operators — the linear
+    FROM-first query form): scan |> filter |> aggregate-with-grouping
+    |> post-aggregation filter.  Each pipe stage resolves to exactly
+    the relational operator the verbose form plans (the final WHERE
+    over an aggregate becomes HAVING), so the surface adds zero plan
+    cost; the oracle states the classical GROUP BY + HAVING
+    equivalent."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql("""
+        FROM orders
+        |> WHERE o_totalprice > 1000
+        |> AGGREGATE count(*) AS n_orders,
+                     round(sum(o_totalprice), 2) AS total_price
+           GROUP BY o_orderstatus, o_orderpriority
+        |> WHERE n_orders > 5
+    """)
+
+
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2023 ``LISTAGG (DISTINCT …) WITHIN GROUP (ORDER BY …)``
+    (Spark 4.0): the standard ordered string aggregation — distinct
+    priorities per order status, comma-joined in collation order.
+    DuckDB's string_agg with DISTINCT + ORDER BY is the same standard
+    semantics, so the oracle is direct."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql("""
+        SELECT o_orderstatus,
+               listagg(DISTINCT o_orderpriority, ',')
+                   WITHIN GROUP (ORDER BY o_orderpriority) AS priorities
+        FROM orders GROUP BY o_orderstatus
+    """)
+
+
+def scalar_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe ``try_*`` arithmetic (ANSI-mode Spark's NULL-instead-
+    of-raise family): decimal division that NULLs on zero divisors,
+    bigint add/multiply that NULL on overflow, try_element_at beyond
+    array bounds — the ingest-hardening surface for dirty numeric
+    feeds.  The oracle states each NULL condition explicitly (DuckDB
+    raises on decimal div-by-zero and bigint overflow, so the CASE
+    guards ARE the semantics being pinned)."""
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql("""
+        SELECT l_orderkey, l_linenumber,
+               round(CAST(try_divide(CAST(l_extendedprice AS DECIMAL(18,2)),
+                                     CAST(l_discount AS DECIMAL(18,2)))
+                          AS DOUBLE), 4) AS safe_ratio,
+               try_add(9223372036854775805, CAST(l_linenumber AS BIGINT))
+                   AS near_max_add,
+               try_multiply(l_orderkey, 4611686018427387904)
+                   AS shifted_key,
+               try_element_at(array('first', 'second'), l_linenumber)
+                   AS pos_label
+        FROM lineitem
+    """)

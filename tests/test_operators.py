@@ -2061,3 +2061,50 @@ def test_asof_nearest_matches_pandas_merge_asof(spark):
     want = {int(r.event_id): int(r.ok)
             for r in m.itertuples() if pd.notna(r.ok)}
     assert {k: v[0] for k, v in got.items()} == want
+
+
+def test_pipe_syntax_equals_classic_aggregate(spark):
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.relational import (
+        sql_pipe_syntax,
+    )
+
+    got = {(r.o_orderstatus, r.o_orderpriority): (r.n_orders, r.total_price)
+           for r in sql_pipe_syntax(spark, SF_SMALL).collect()}
+    orders = read_parquet_table(spark, SF_SMALL, "orders")
+    want = {(r.o_orderstatus, r.o_orderpriority): (r.n, r.t)
+            for r in orders.where(F.col("o_totalprice") > 1000)
+            .groupBy("o_orderstatus", "o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("o_totalprice"), 2).alias("t")).collect()
+            if r.n > 5}
+    assert got == want and got
+
+
+def test_try_arith_nulls_exactly_on_error_conditions(spark):
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.relational import (
+        scalar_try_arith,
+    )
+
+    rows = scalar_try_arith(spark, SF_SMALL).collect()
+    assert rows
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic lake,
+    # so the div-by-zero condition is checked as a multiset count
+    from decimal import ROUND_HALF_UP, Decimal
+
+    discs = [r.l_discount for r in
+             read_parquet_table(spark, SF_SMALL, "lineitem")
+             .select("l_discount").collect()]
+    # Spark CAST(double AS DECIMAL) rounds the shortest decimal
+    # representation (BigDecimal.valueOf) HALF_UP
+    want_null = sum(
+        1 for d in discs
+        if Decimal(str(d)).quantize(Decimal("0.01"),
+                                    rounding=ROUND_HALF_UP) == 0)
+    got_null = sum(1 for r in rows if r.safe_ratio is None)
+    assert got_null == want_null > 0
+    for r in rows:
+        assert (r.near_max_add is None) == (r.l_linenumber > 2)
+        if r.l_linenumber <= 2:
+            assert r.near_max_add == 9223372036854775805 + r.l_linenumber
+        assert (r.shifted_key is None) == (r.l_orderkey >= 2)
+        assert r.pos_label == {1: "first", 2: "second"}.get(r.l_linenumber)
