@@ -1498,3 +1498,42 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = _t(spark, sf_dir, "documents")
     media = attach_media_columns(documents, "text", media_type="audio")
     return frame_energy(media)
+
+
+def ml_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib interop: the SAME near-dup candidate problem solved
+    through ``pyspark.ml``'s HashingTF → MinHashLSH →
+    approxSimilarityJoin pipeline over 3-token SHINGLE sets (the same
+    discriminative unit as the native operator; seeded, so
+    deterministic per build).  Rows-only by design, like the native
+    ``dedup_minhash_lsh``: the candidate set is hash-dependent;
+    planted-near-dup recall is ground-truthed in tests.
+
+    Scale note: MLlib's approxSimilarityJoin explodes one row per
+    (vector, hash-table) and equi-joins on the hash value — the same
+    banded-join shape as the native operator (operators/dedup.py),
+    which remains the first choice because it skips the ml.Vector
+    boxing and keeps everything in Tungsten rows; this entry exists to
+    prove the ml.feature surface composes with the engine's tables."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    t = TX.tokens("text")
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.size(t) - 3),
+        lambda i: F.concat_ws(" ", F.slice(t, i + 1, 3)))
+    toks = (documents.where(F.size(t) >= 3)
+            .select("doc_id", shingles.alias("toks")))
+    tf = HashingTF(inputCol="toks", outputCol="features",
+                   numFeatures=1 << 14, binary=True)
+    feats = tf.transform(toks)
+    mh = MinHashLSH(inputCol="features", outputCol="hashes",
+                    numHashTables=8, seed=42)
+    model = mh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 0.5,
+                                       distCol="jaccard_dist")
+    return (pairs
+            .where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+            .select(F.col("datasetA.doc_id").alias("id_a"),
+                    F.col("datasetB.doc_id").alias("id_b"),
+                    F.round(F.col("jaccard_dist"), 6).alias("jaccard_dist")))

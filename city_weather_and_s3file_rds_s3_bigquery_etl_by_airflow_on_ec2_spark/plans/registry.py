@@ -2585,6 +2585,43 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM u
         """,
     ),
+    "events_value_islands": QuerySpec(
+        R.events_value_islands,
+        """
+        WITH l AS (
+            SELECT user_id, event_id, ts, event_type,
+                   CASE WHEN lag(event_type) OVER w IS NULL
+                             OR event_type <> lag(event_type) OVER w
+                        THEN 1 ELSE 0 END AS chg
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), i AS (
+            SELECT user_id, ts, event_type,
+                   CAST(sum(chg) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS island
+            FROM l
+        )
+        SELECT user_id, island, event_type,
+               min(ts) AS island_start, max(ts) AS island_end,
+               count(*) AS n_events
+        FROM i GROUP BY user_id, island, event_type
+        """,
+    ),
+    "sql_parameterized": QuerySpec(
+        R.sql_parameterized,
+        """
+        SELECT o_orderstatus, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders
+        WHERE o_totalprice > 5000 AND o_orderpriority = '1-URGENT'
+        GROUP BY o_orderstatus
+        """,
+    ),
+    # rows-only: MLlib MinHashLSH candidates are hash-dependent;
+    # planted-near-dup recall ground-truthed in tests
+    "ml_minhash_lsh_pairs": QuerySpec(X.ml_minhash_lsh_pairs, None),
     "sql_pipe_syntax": QuerySpec(
         R.sql_pipe_syntax,
         """

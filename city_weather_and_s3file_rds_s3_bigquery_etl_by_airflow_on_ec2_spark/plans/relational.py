@@ -1974,3 +1974,44 @@ def scalar_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS pos_label
         FROM lineitem
     """)
+
+
+def events_value_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of the SAME event_type per user
+    in time order (the classic state-change segmentation — uptime
+    runs, status stretches).  lag → change-flag → running change count
+    (the island id) → one aggregate per island.  Two window passes and
+    one aggregate, all partitioned by user — no global funnel; hot
+    users are single-key partitions AQE handles."""
+    (events,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = (F.lag("event_type").over(w).isNull()
+           | (F.col("event_type") != F.lag("event_type").over(w))) \
+        .cast("long")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    islands = (events
+               .select("user_id", "event_id", "ts", "event_type")
+               .withColumn("island", F.sum(chg).over(wrun)))
+    return (islands.groupBy("user_id", "island", "event_type")
+            .agg(F.min("ts").alias("island_start"),
+                 F.max("ts").alias("island_end"),
+                 F.count(F.lit(1)).alias("n_events"))
+            .select("user_id", "island", "event_type",
+                    "island_start", "island_end", "n_events"))
+
+
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (Spark 3.4+ named parameter markers — the
+    injection-safe templating surface): ``:min_price`` / ``:prio``
+    bind server-side; the oracle states the same query with the
+    literals inlined, pinning that binding is pure substitution."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderstatus, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders
+        WHERE o_totalprice > :min_price AND o_orderpriority = :prio
+        GROUP BY o_orderstatus
+        """,
+        args={"min_price": 5000, "prio": "1-URGENT"})

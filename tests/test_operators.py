@@ -2108,3 +2108,73 @@ def test_try_arith_nulls_exactly_on_error_conditions(spark):
             assert r.near_max_add == 9223372036854775805 + r.l_linenumber
         assert (r.shifted_key is None) == (r.l_orderkey >= 2)
         assert r.pos_label == {1: "first", 2: "second"}.get(r.l_linenumber)
+
+
+def test_value_islands_partition_events_and_alternate(spark):
+    """Islands tile each user's timeline: island ids are 1..k in time
+    order, adjacent islands carry DIFFERENT event types, and island
+    sizes sum to the user's event count."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.relational import (
+        events_value_islands,
+    )
+
+    rows = events_value_islands(spark, SF_SMALL).collect()
+    ev_counts = {r.user_id: r.n for r in
+                 read_parquet_table(spark, SF_SMALL, "events")
+                 .groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+                 .collect()}
+    per_user = {}
+    for r in rows:
+        per_user.setdefault(r.user_id, []).append(r)
+    assert set(per_user) == set(ev_counts)
+    for uid, islands in per_user.items():
+        islands.sort(key=lambda r: r.island)
+        assert [r.island for r in islands] == list(
+            range(1, len(islands) + 1))
+        assert sum(r.n_events for r in islands) == ev_counts[uid]
+        for a, b in zip(islands, islands[1:]):
+            assert a.event_type != b.event_type
+            assert a.island_end <= b.island_start
+
+
+def test_parameterized_sql_binds_like_literals(spark):
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.relational import (
+        sql_parameterized,
+    )
+
+    got = {r.o_orderstatus: (r.n_orders, r.total_price)
+           for r in sql_parameterized(spark, SF_SMALL).collect()}
+    orders = read_parquet_table(spark, SF_SMALL, "orders")
+    want = {r.o_orderstatus: (r.n, r.t)
+            for r in orders
+            .where((F.col("o_totalprice") > 5000)
+                   & (F.col("o_orderpriority") == "1-URGENT"))
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("o_totalprice"), 2).alias("t")).collect()}
+    assert got == want and got
+
+
+def test_ml_minhash_finds_planted_near_dups(spark, tmp_path):
+    """MLlib MinHashLSH interop: planted high-overlap documents are
+    recovered as candidate pairs with low jaccard distance."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        ml_minhash_lsh_pairs,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog while rain "
+            "falls softly on the quiet green meadow near the river")
+    rows = [
+        (0, base, "en", "web"),
+        (1, base + " tonight", "en", "web"),          # near-dup of 0
+        (2, "completely different content about spark query engines "
+            "and distributed columnar execution at massive scale "
+            "with adaptive partitioning", "en", "web"),
+        (3, base.replace("quick", "swift"), "en", "web"),  # near-dup of 0
+    ]
+    sf_dir = _write_documents(spark, tmp_path, rows)
+    got = {(r.id_a, r.id_b): r.jaccard_dist
+           for r in ml_minhash_lsh_pairs(spark, sf_dir).collect()}
+    assert (0, 1) in got and got[(0, 1)] < 0.3
+    assert (0, 3) in got
+    assert not any({a, b} & {2} for a, b in got)
