@@ -427,3 +427,54 @@ def test_native_runtime_bloom_filter_injected(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_dynamic_partition_pruning_executes(spark, tmp_path):
+    """Dynamic partition pruning — the partition-layout payoff at
+    100 TB: a date-partitioned fact joined to a FILTERED dim must
+    prune fact partitions at runtime (the filter's matching dates are
+    only known after the dim is read, so the pruning expression is a
+    dynamic subquery fed by the reused broadcast).  Gate: the fact
+    scan's PartitionFilters carry a dynamicpruning expression, and the
+    result equals the statically-filtered join."""
+    from pyspark.sql import functions as F
+
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.sources.layout import (
+        add_date_partition,
+        write_partitioned,
+    )
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.sources.tables import (
+        read_parquet_table,
+    )
+
+    events = read_parquet_table(spark, SF_SMALL, "events")
+    part = add_date_partition(events, "ts")
+    path = str(tmp_path / "events_by_date")
+    write_partitioned(part, path, ["event_date"])
+
+    fact = spark.read.parquet(path)
+    dates = [r.event_date for r in
+             fact.select("event_date").distinct().orderBy("event_date")
+             .limit(2).collect()]
+    all_dates = [r.event_date for r in
+                 fact.select("event_date").distinct().collect()]
+    dim_path = str(tmp_path / "dim_dates")
+    spark.createDataFrame(
+        [(d, "active" if d in dates else "inactive")
+         for d in all_dates],
+        "event_date: string, status: string").write.parquet(dim_path)
+    dim = spark.read.parquet(dim_path).where(F.col("status") == "active")
+    # the matching dates are only known after the dim filter runs, so
+    # static pruning is impossible — the fact scan must prune via the
+    # dynamic subquery fed by the reused broadcast
+    joined = fact.join(dim, "event_date").groupBy("event_date").agg(
+        F.count(F.lit(1)).alias("n"))
+
+    got = {r.event_date: r.n for r in joined.collect()}
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    want = {r.event_date: r.n for r in
+            fact.where(F.col("event_date").isin(dates))
+            .groupBy("event_date").agg(F.count(F.lit(1)).alias("n"))
+            .collect()}
+    assert got == want and set(got) == set(dates)
