@@ -1580,3 +1580,22 @@ def ml_langid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").cast("long").alias("gate_en"),
         F.col("prediction").cast("long").alias("pred_en"),
         F.round(vector_to_array(F.col("probability"))[1], 3).alias("p_en"))
+
+
+def text_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation (the chunking granularity below
+    ``text_chunking``'s token windows): split on terminal punctuation
+    runs, emit (doc_id, sentence_idx, sentence, n_sent_tokens) — the
+    unit for sentence-level dedup/quality filters.  RE2-safe pattern
+    (no lookbehind) shared verbatim with the oracle; posexplode
+    fanout, zero Python."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    sents = F.filter(
+        F.transform(F.split(F.col("text"), r"[.!?]+\s*"), F.trim),
+        lambda s: s != "")
+    return (documents
+            .select("doc_id",
+                    F.posexplode(sents).alias("sentence_idx", "sentence"))
+            .withColumn("n_sent_tokens",
+                        F.size(F.split(F.col("sentence"), r"\s+"))
+                        .cast("long")))

@@ -2585,6 +2585,33 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM u
         """,
     ),
+    "text_sentence_split": QuerySpec(
+        X.text_sentence_split,
+        r"""
+        WITH s AS (
+            SELECT doc_id,
+                   list_filter(list_transform(
+                       string_split_regex(text, '[.!?]+\s*'), x -> trim(x)),
+                       x -> x <> '') AS sents
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(generate_subscripts(sents, 1) - 1 AS INT)
+                   AS sentence_idx,
+               unnest(sents) AS sentence,
+               CAST(len(string_split_regex(unnest(sents), '\s+'))
+                    AS BIGINT) AS n_sent_tokens
+        FROM s
+        """,
+    ),
+    "scalar_aes_roundtrip": QuerySpec(
+        R.scalar_aes_roundtrip,
+        """
+        SELECT doc_id, true AS roundtrip_ok,
+               CAST(28 AS BIGINT) AS framing_overhead
+        FROM documents
+        """,
+    ),
     "events_value_islands": QuerySpec(
         R.events_value_islands,
         """

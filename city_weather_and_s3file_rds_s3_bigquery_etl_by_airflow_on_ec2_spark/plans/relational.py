@@ -2040,3 +2040,29 @@ def window_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("o_totalprice")
                             / F.col("grand_total"), 9)
                      .alias("grand_share")))
+
+
+def scalar_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level encryption surface (``aes_encrypt``/``aes_decrypt``,
+    GCM): every document body encrypts and decrypts back byte-exact,
+    and the GCM framing overhead (12-byte IV + 16-byte tag) is visible
+    in the ciphertext length — the at-rest PII-column pattern.  The IV
+    is random per call, so the CIPHERTEXT is not a cross-engine oracle
+    target; the round-trip identity and exact framing arithmetic ARE,
+    which is what the oracle states."""
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql("""
+        WITH enc AS (
+            SELECT doc_id, text,
+                   aes_encrypt(text, '0123456789abcdef0123456789abcdef',
+                               'GCM') AS cipher
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(aes_decrypt(cipher,
+                                '0123456789abcdef0123456789abcdef',
+                                'GCM') AS STRING) = text AS roundtrip_ok,
+               octet_length(cipher) - octet_length(encode(text, 'UTF-8'))
+                   AS framing_overhead
+        FROM enc
+    """)

@@ -2222,3 +2222,43 @@ def test_percent_of_total_shares_sum_to_one(spark):
     assert math.isclose(grand, 1.0, abs_tol=1e-4)
     for c, s in per_cust.items():
         assert math.isclose(s, 1.0, abs_tol=1e-3), (c, s)
+
+
+def test_sentence_split_fanout_on_planted_punctuation(spark, tmp_path):
+    """The lake's synthetic texts carry no terminal punctuation (the
+    oracle-checked 1-sentence-per-doc result is correct there); this
+    planted fixture proves the actual fanout: multi-sentence docs
+    split on ./!/? runs with trimmed bodies and per-sentence token
+    counts."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        text_sentence_split,
+    )
+
+    rows = [
+        (0, "First sentence here. Second one! Third... and fourth?",
+         "en", "web"),
+        (1, "No terminal punctuation at all", "en", "web"),
+        (2, "Trailing dot.", "en", "web"),
+    ]
+    sf_dir = _write_documents(spark, tmp_path, rows)
+    got = {}
+    for r in text_sentence_split(spark, sf_dir).collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.sentence_idx, r.sentence, r.n_sent_tokens))
+    for v in got.values():
+        v.sort()
+    assert got[0] == [(0, "First sentence here", 3), (1, "Second one", 2),
+                      (2, "Third", 1), (3, "and fourth", 2)]
+    assert got[1] == [(0, "No terminal punctuation at all", 5)]
+    assert got[2] == [(0, "Trailing dot", 2)]
+
+
+def test_aes_roundtrip_is_identity_with_gcm_framing(spark):
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.relational import (
+        scalar_aes_roundtrip,
+    )
+
+    rows = scalar_aes_roundtrip(spark, SF_SMALL).collect()
+    assert rows
+    assert all(r.roundtrip_ok for r in rows)
+    assert all(r.framing_overhead == 28 for r in rows)
