@@ -1599,3 +1599,50 @@ def text_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("n_sent_tokens",
                         F.size(F.split(F.col("sentence"), r"\s+"))
                         .cast("long")))
+
+
+def corpus_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup savings report — the decision artifact a corpus owner
+    reads before picking a method: for exact normalization dedup and
+    for near-dup clustering (deterministic Jaccard edges), how many
+    documents and tokens would be removed keeping one canonical doc
+    per group, as absolute counts and corpus share.  Composes the
+    oracle-checked building blocks (exact groups, cluster assign), so
+    the rollup itself is fully oracle-checked — unlike sampling-based
+    estimates this IS the exact answer at any scale: two hash-agg
+    shuffles plus the O(diameter) cluster rounds already measured
+    sublinear."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    tok = documents.select(
+        "doc_id", TX.token_count("text").alias("n_toks"),
+        F.lower(F.trim(F.col("text"))).alias("norm"))
+    tot = tok.agg(F.count(F.lit(1)).alias("nd"),
+                  F.sum("n_toks").alias("nt"))
+
+    ex_groups = tok.groupBy("norm").agg(
+        F.count(F.lit(1)).alias("cnt"), F.max("n_toks").alias("n"))
+    ex = ex_groups.agg(
+        F.coalesce(F.sum(F.col("cnt") - 1), F.lit(0)).alias("docs_removed"),
+        F.coalesce(F.sum((F.col("cnt") - 1) * F.col("n")), F.lit(0))
+         .alias("tokens_removed"))
+
+    clusters = D.dedup_clusters(
+        documents.select("doc_id"), deterministic_jaccard_edges(documents))
+    jr = (clusters.join(tok, "doc_id")
+          .where(F.col("doc_id") != F.col("cluster_id"))
+          .agg(F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("docs_removed"),
+               F.coalesce(F.sum("n_toks"), F.lit(0))
+                .alias("tokens_removed")))
+
+    out = (ex.select(F.lit("exact").alias("method"), "docs_removed",
+                     "tokens_removed")
+           .unionByName(jr.select(F.lit("jaccard").alias("method"),
+                                  "docs_removed", "tokens_removed")))
+    return (out.crossJoin(F.broadcast(tot))
+            .select("method",
+                    F.col("docs_removed").cast("long"),
+                    F.col("tokens_removed").cast("long"),
+                    F.round(F.col("docs_removed") / F.col("nd"), 6)
+                     .alias("pct_docs"),
+                    F.round(F.col("tokens_removed") / F.col("nt"), 6)
+                     .alias("pct_tokens")))

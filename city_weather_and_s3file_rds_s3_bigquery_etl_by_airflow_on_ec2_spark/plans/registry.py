@@ -2585,6 +2585,78 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM u
         """,
     ),
+    "window_rolling_median": QuerySpec(
+        R.window_rolling_median,
+        """
+        SELECT event_id, user_id, ts, value,
+               round(median(value) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS BETWEEN 4 PRECEDING
+                                              AND CURRENT ROW), 4)
+                   AS rolling_median
+        FROM events
+        """,
+    ),
+    "corpus_dedup_savings": QuerySpec(
+        X.corpus_dedup_savings,
+        f"""
+        WITH RECURSIVE t AS (
+            SELECT doc_id, lang, n_chars // 16 AS len_band,
+                   list_distinct({_TOKS}) AS tokset
+            FROM documents
+        ), pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM t a JOIN t b
+              ON a.lang = b.lang AND a.len_band = b.len_band
+             AND a.doc_id < b.doc_id
+            WHERE round(CAST(len(list_intersect(a.tokset, b.tokset))
+                             AS DOUBLE)
+                        / len(list_distinct(list_concat(a.tokset,
+                                                        b.tokset))),
+                        4) >= 0.4
+        ), edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION ALL
+            SELECT id_b AS src, id_a AS dst FROM pairs
+        ), reach AS (
+            SELECT doc_id AS id, doc_id AS root FROM documents
+            UNION
+            SELECT e.dst AS id, r.root
+            FROM reach r JOIN edges e ON e.src = r.id
+        ), jac AS (
+            SELECT id AS doc_id, min(root) AS cluster_id
+            FROM reach GROUP BY id
+        ), tok AS (
+            SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_toks,
+                   lower(trim(text)) AS norm
+            FROM documents
+        ), tot AS (
+            SELECT count(*) AS nd, CAST(sum(n_toks) AS BIGINT) AS nt
+            FROM tok
+        ), ex AS (
+            SELECT CAST(coalesce(sum(cnt - 1), 0) AS BIGINT)
+                       AS docs_removed,
+                   CAST(coalesce(sum((cnt - 1) * n), 0) AS BIGINT)
+                       AS tokens_removed
+            FROM (SELECT count(*) AS cnt, max(n_toks) AS n
+                  FROM tok GROUP BY norm)
+        ), jr AS (
+            SELECT CAST(count(*) AS BIGINT) AS docs_removed,
+                   CAST(coalesce(sum(n_toks), 0) AS BIGINT)
+                       AS tokens_removed
+            FROM jac JOIN tok USING (doc_id)
+            WHERE doc_id <> cluster_id
+        ), u AS (
+            SELECT 'exact' AS method, docs_removed, tokens_removed FROM ex
+            UNION ALL
+            SELECT 'jaccard' AS method, docs_removed, tokens_removed FROM jr
+        )
+        SELECT method, docs_removed, tokens_removed,
+               round(CAST(docs_removed AS DOUBLE) / nd, 6) AS pct_docs,
+               round(CAST(tokens_removed AS DOUBLE) / nt, 6) AS pct_tokens
+        FROM u CROSS JOIN tot
+        """,
+    ),
     "text_sentence_split": QuerySpec(
         X.text_sentence_split,
         r"""

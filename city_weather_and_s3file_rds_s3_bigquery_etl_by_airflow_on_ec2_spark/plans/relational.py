@@ -2066,3 +2066,26 @@ def scalar_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS framing_overhead
         FROM enc
     """)
+
+
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT rolling median over the last 5 same-user events (the
+    robust-smoothing window a monitoring pipeline runs where a rolling
+    MEAN would chase outliers).  Spark has no exact median window
+    function, so the frame's values ride a bounded collect_list →
+    array_sort → middle/average-of-middles expression — constant
+    per-row cost (frame ≤ 5), one keyed window shuffle, no UDF.
+    DuckDB's native windowed ``median`` (average-of-middles on even
+    counts, same convention) is the oracle."""
+    (events,) = _t(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-4, 0))
+    vals = F.array_sort(F.collect_list(F.col("value")).over(w))
+    n = F.size(vals)
+    mid = F.element_at(vals, ((n + 1) / 2).cast("int"))
+    mid2 = (F.element_at(vals, (n / 2).cast("int"))
+            + F.element_at(vals, (n / 2 + 1).cast("int"))) / 2
+    med = F.when(n % 2 == 1, mid).otherwise(mid2)
+    return events.select(
+        "event_id", "user_id", "ts", "value",
+        F.round(med, 4).alias("rolling_median"))

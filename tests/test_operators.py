@@ -2262,3 +2262,48 @@ def test_aes_roundtrip_is_identity_with_gcm_framing(spark):
     assert rows
     assert all(r.roundtrip_ok for r in rows)
     assert all(r.framing_overhead == 28 for r in rows)
+
+
+def test_rolling_median_matches_python_recomputation(spark):
+    import statistics
+
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.relational import (
+        window_rolling_median,
+    )
+
+    got = {r.event_id: r.rolling_median
+           for r in window_rolling_median(spark, SF_SMALL).collect()}
+    ev = sorted(
+        ((r.user_id, r.ts, r.event_id, r.value) for r in
+         read_parquet_table(spark, SF_SMALL, "events")
+         .select("user_id", "ts", "event_id", "value").collect()))
+    per_user = {}
+    for uid, ts, eid, v in ev:
+        hist = per_user.setdefault(uid, [])
+        hist.append(v)
+        want = round(statistics.median(hist[-5:]), 4)
+        assert abs(got[eid] - want) < 1e-9, (eid, got[eid], want)
+
+
+def test_dedup_savings_report_counts_planted_dups(spark, tmp_path):
+    """On a fixture with one exact-dup pair and one near-dup cluster
+    the report counts docs/tokens removed per method exactly."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        corpus_dedup_savings,
+    )
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    rows = [
+        (0, base, "en", "web"),
+        (1, base, "en", "web"),                       # exact dup of 0
+        (2, base + " extra", "en", "web"),            # near-dup of 0/1
+        (3, "totally disjoint words here about engines and pipelines "
+            "running at very large scale today", "en", "web"),
+    ]
+    sf_dir = _write_documents(spark, tmp_path, rows)
+    got = {r.method: (r.docs_removed, r.tokens_removed)
+           for r in corpus_dedup_savings(spark, sf_dir).collect()}
+    assert got["exact"] == (1, 20)
+    # near-dup cluster {0,1,2}: keep 0, remove 1 (20 toks) + 2 (21)
+    assert got["jaccard"] == (2, 41)
