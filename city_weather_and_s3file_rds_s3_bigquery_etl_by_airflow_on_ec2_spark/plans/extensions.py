@@ -1646,3 +1646,53 @@ def corpus_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("pct_docs"),
                     F.round(F.col("tokens_removed") / F.col("nt"), 6)
                      .alias("pct_tokens")))
+
+
+def corpus_loader_pipeline(spark: SparkSession, sf_dir: str,
+                           budget: int = 2000,
+                           seq_len: int = 128) -> DataFrame:
+    """Capstone #2 (the loader-side sibling of
+    ``corpus_clean_pipeline``): quality-greedy token-budget SELECTION →
+    fixed-length sequence PACKING with cross-boundary splitting →
+    deterministic epoch-0 SHUFFLE of the packed sequences, composed as
+    ONE lineage and oracle-replayed end-to-end in SQL — i.e. the
+    pretraining dataloader's whole batch plan, produced inside the
+    engine.  Per sequence: how many docs contribute, how many tokens
+    it holds (the last may be ragged), and its epoch-0 load order.
+
+    Plan: two two-phase prefix sums (selection cut, token offsets) +
+    expression fanout + one 128-token-group aggregate + one serial_id
+    pass over the hash order — composition adds NO shuffle beyond the
+    stages' own, and every stage was already measured sublinear at the
+    10× lake (BENCH_scale_r05.json)."""
+    from ..operators.ids import serial_id
+    from ..operators.packing import prefix_sum
+    (documents,) = _t(spark, sf_dir, "documents")
+    t = documents.select(
+        "doc_id",
+        TX.quality_score("text").alias("quality"),
+        TX.token_count("text").alias("n_toks"),
+    ).withColumn("neg_q", -F.col("quality"))
+    sel = (prefix_sum(t, "n_toks", ["neg_q", "doc_id"], out_col="sel_cum")
+           .where(F.col("sel_cum") - F.col("n_toks") < budget)
+           .select("doc_id", "n_toks"))
+
+    ps = prefix_sum(sel, "n_toks", ["doc_id"], out_col="cum")
+    L = F.lit(seq_len).cast("long")
+    start = F.col("cum") - F.col("n_toks")
+    end = F.col("cum")
+    segs = ps.select(
+        "doc_id", start.alias("tok_start"), end.alias("tok_end"),
+        F.explode(F.sequence(F.floor(start / L),
+                             F.floor((end - 1) / L))).alias("seq_id"))
+    seg_tokens = (F.least(F.col("tok_end"), (F.col("seq_id") + 1) * L)
+                  - F.greatest(F.col("tok_start"), F.col("seq_id") * L))
+    seqs = (segs.groupBy("seq_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(seg_tokens).cast("long").alias("n_seq_tokens")))
+
+    skey = (F.col("seq_id") * F.lit(2654435761)) % F.lit(4294967296)
+    ranked = serial_id(seqs.withColumn("skey", skey),
+                       ["skey", "seq_id"], id_col="shuffle_rank")
+    return ranked.select(F.col("seq_id").cast("long").alias("seq_id"),
+                         "shuffle_rank", "n_docs", "n_seq_tokens")

@@ -2585,6 +2585,50 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM u
         """,
     ),
+    "corpus_loader_pipeline": QuerySpec(
+        X.corpus_loader_pipeline,
+        f"""
+        WITH q AS (
+            SELECT doc_id,
+                   round(0.5 * least({_STOP_RATIO} * 4.0, 1.0)
+                         + 0.3 * least(CAST(len({_TOKS}) AS DOUBLE) / 50.0,
+                                       1.0)
+                         + 0.2 * (1.0 - least({_PUNCT_RATIO} * 10.0, 1.0)),
+                         4) AS quality,
+                   CAST(len({_TOKS}) AS BIGINT) AS n_toks
+            FROM documents
+        ), selcut AS (
+            SELECT doc_id, n_toks,
+                   CAST(sum(n_toks) OVER (ORDER BY quality DESC, doc_id)
+                        AS BIGINT) AS sel_cum
+            FROM q
+        ), sel AS (
+            SELECT doc_id, n_toks FROM selcut
+            WHERE sel_cum - n_toks < 2000
+        ), c AS (
+            SELECT doc_id, n_toks,
+                   CAST(sum(n_toks) OVER (ORDER BY doc_id) AS BIGINT) AS cum
+            FROM sel
+        ), segs AS (
+            SELECT doc_id, cum - n_toks AS tok_start, cum AS tok_end,
+                   unnest(generate_series((cum - n_toks) // 128,
+                                          (cum - 1) // 128)) AS seq_id
+            FROM c
+        ), seqs AS (
+            SELECT seq_id, count(*) AS n_docs,
+                   CAST(sum(least(tok_end, (seq_id + 1) * 128)
+                            - greatest(tok_start, seq_id * 128))
+                        AS BIGINT) AS n_seq_tokens
+            FROM segs GROUP BY seq_id
+        )
+        SELECT CAST(seq_id AS BIGINT) AS seq_id,
+               CAST(row_number() OVER (
+                        ORDER BY (seq_id * 2654435761) % 4294967296,
+                                 seq_id) AS BIGINT) AS shuffle_rank,
+               n_docs, n_seq_tokens
+        FROM seqs
+        """,
+    ),
     "window_rolling_median": QuerySpec(
         R.window_rolling_median,
         """

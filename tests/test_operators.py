@@ -2307,3 +2307,42 @@ def test_dedup_savings_report_counts_planted_dups(spark, tmp_path):
     assert got["exact"] == (1, 20)
     # near-dup cluster {0,1,2}: keep 0, remove 1 (20 toks) + 2 (21)
     assert got["jaccard"] == (2, 41)
+
+
+def test_loader_pipeline_composition_invariants(spark):
+    """Capstone #2: the packed sequences tile the SELECTED token
+    stream (dense seq ids, every sequence full at 128 except the
+    last), and the shuffle rank is a dense permutation of the
+    sequences."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.functions.text import (
+        quality_score,
+        token_count,
+    )
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        corpus_loader_pipeline,
+    )
+
+    rows = sorted(corpus_loader_pipeline(spark, SF_SMALL).collect(),
+                  key=lambda r: r.seq_id)
+    assert rows
+    assert [r.seq_id for r in rows] == list(range(len(rows)))
+    for r in rows[:-1]:
+        assert r.n_seq_tokens == 128
+    assert 1 <= rows[-1].n_seq_tokens <= 128
+    assert sorted(r.shuffle_rank for r in rows) == list(
+        range(1, len(rows) + 1))
+    assert all(r.n_docs >= 1 for r in rows)
+
+    # total packed tokens == the budget-selected token mass,
+    # recomputed independently
+    docs = read_parquet_table(spark, SF_SMALL, "documents")
+    qn = sorted(((r.q, r.doc_id, r.n) for r in
+                 docs.select("doc_id", quality_score("text").alias("q"),
+                             token_count("text").alias("n")).collect()),
+                key=lambda x: (-x[0], x[1]))
+    kept, cum = 0, 0
+    for q, d, n in qn:
+        if cum < 2000:
+            kept += n
+        cum += n
+    assert sum(r.n_seq_tokens for r in rows) == kept
