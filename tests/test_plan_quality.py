@@ -478,3 +478,30 @@ def test_dynamic_partition_pruning_executes(spark, tmp_path):
             .groupBy("event_date").agg(F.count(F.lit(1)).alias("n"))
             .collect()}
     assert got == want and set(got) == set(dates)
+
+
+def test_ann_range_search_has_zero_exchange(spark):
+    """Radius search must be a pure broadcast-map plan: NO Exchange of
+    any kind (top-k at least repartitions the reduced candidates; the
+    range cut is just a filter, so anything that shuffles here is a
+    planning regression)."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        ann_range_search,
+    )
+
+    plan = _plan(ann_range_search(spark, SF_SMALL))
+    data_exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange" in ln and "BroadcastExchange" not in ln]
+    assert not data_exchanges, data_exchanges
+
+
+def test_loader_pipeline_no_single_partition(spark):
+    """The capstone composes two prefix sums + serial_id — none of
+    which may fall back to a single-partition global window."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        corpus_loader_pipeline,
+    )
+
+    plan = _plan(corpus_loader_pipeline(spark, SF_SMALL))
+    assert "SinglePartition" not in plan
