@@ -1696,3 +1696,44 @@ def corpus_loader_pipeline(spark: SparkSession, sf_dir: str,
                        ["skey", "seq_id"], id_col="shuffle_rank")
     return ranked.select(F.col("seq_id").cast("long").alias("seq_id"),
                          "shuffle_rank", "n_docs", "n_seq_tokens")
+
+
+def text_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization — the normalization step URL-level
+    web-corpus dedup keys on (CommonCrawl-style): lowercase
+    scheme+host, drop the default port, strip tracking parameters
+    (utm_*/ref) and fragments, trim the trailing slash.  Pure regexp
+    chain shared semantically with the oracle; the dedup key is then
+    an exact groupBy — URLs here are synthesized from lake columns
+    with per-doc-parity variants so the normalizer provably merges
+    them (the dup flag is part of the output)."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("HTTPS://"))
+         .otherwise(F.lit("https://")),
+        F.upper(F.col("source")), F.lit(".Example.COM"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/docs/"), (F.col("doc_id") / 2).cast("long"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.lit("?utm_source=feed&utm_campaign=x"))
+         .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("#section-2"))
+         .otherwise(F.lit("")))
+    c = F.regexp_replace(raw, r"#.*$", "")
+    c = F.regexp_replace(c, r"\?utm_[^#]*$", "")
+    # rebuild from extracts — no backreference-replacement syntax, so
+    # the identical patterns run verbatim in the oracle: lowercase the
+    # host, drop the default :443 port (authority = [^/]*, so the port
+    # never leaks into the path), keep path case, trim trailing slash
+    host = F.lower(F.regexp_extract(c, r"^[A-Za-z]+://([^/:?#]+)", 1))
+    path = F.regexp_extract(c, r"^[A-Za-z]+://[^/]*(.*)$", 1)
+    c = F.concat(F.lit("https://"), host,
+                 F.regexp_replace(path, r"/$", ""))
+    out = documents.select("doc_id", raw.alias("raw_url"),
+                           c.alias("canonical_url"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("canonical_url")
+    return out.withColumn(
+        "n_raw_variants",
+        F.count(F.lit(1)).over(w).cast("long"))

@@ -2585,6 +2585,56 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM u
         """,
     ),
+    "scalar_mask_funcs": QuerySpec(
+        R.scalar_mask_funcs,
+        """
+        SELECT c_custkey,
+               regexp_replace(regexp_replace(regexp_replace(
+                   c_name, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'),
+                   '[0-9]', 'n', 'g') AS masked_default,
+               regexp_replace(regexp_replace(regexp_replace(
+                   c_mktsegment, '[A-Z]', '#', 'g'), '[a-z]', '#', 'g'),
+                   '[0-9]', '*', 'g') AS masked_segment
+        FROM customer
+        """,
+    ),
+    "text_url_canonicalize": QuerySpec(
+        X.text_url_canonicalize,
+        r"""
+        WITH raw AS (
+            SELECT doc_id,
+                   (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://'
+                         ELSE 'https://' END
+                    || upper(source) || '.Example.COM'
+                    || CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END
+                    || '/docs/' || CAST(doc_id // 2 AS BIGINT)
+                    || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+                    || CASE WHEN doc_id % 5 = 0
+                            THEN '?utm_source=feed&utm_campaign=x'
+                            ELSE '' END
+                    || CASE WHEN doc_id % 7 = 0 THEN '#section-2'
+                            ELSE '' END) AS raw_url
+            FROM documents
+        ), s AS (
+            SELECT doc_id, raw_url,
+                   regexp_replace(regexp_replace(raw_url, '#.*$', ''),
+                                  '\?utm_[^#]*$', '') AS c
+            FROM raw
+        ), p AS (
+            SELECT doc_id, raw_url,
+                   'https://'
+                   || lower(regexp_extract(c, '^[A-Za-z]+://([^/:?#]+)', 1))
+                   || regexp_replace(
+                          regexp_extract(c, '^[A-Za-z]+://[^/]*(.*)$', 1),
+                          '/$', '') AS canonical_url
+            FROM s
+        )
+        SELECT doc_id, raw_url, canonical_url,
+               CAST(count(*) OVER (PARTITION BY canonical_url) AS BIGINT)
+                   AS n_raw_variants
+        FROM p
+        """,
+    ),
     "corpus_loader_pipeline": QuerySpec(
         X.corpus_loader_pipeline,
         f"""

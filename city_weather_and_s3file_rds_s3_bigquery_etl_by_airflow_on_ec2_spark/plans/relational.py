@@ -2089,3 +2089,18 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.select(
         "event_id", "user_id", "ts", "value",
         F.round(med, 4).alias("rolling_median"))
+
+
+def scalar_mask_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-masking surface (``mask()``, Spark 3.4+): the
+    show-the-shape-hide-the-value redaction for PII columns (the
+    complement of ``text_redact_pii``'s pattern deletion) — uppercase →
+    X, lowercase → x, digits → n, plus a custom-char variant.  The
+    oracle reproduces the class mapping with three regexp passes,
+    pinning semantics rather than implementation."""
+    (customer,) = _t(spark, sf_dir, "customer")
+    return customer.select(
+        "c_custkey",
+        F.mask(F.col("c_name")).alias("masked_default"),
+        F.mask(F.col("c_mktsegment"), F.lit("#"), F.lit("#"), F.lit("*"))
+         .alias("masked_segment"))

@@ -2346,3 +2346,52 @@ def test_loader_pipeline_composition_invariants(spark):
             kept += n
         cum += n
     assert sum(r.n_seq_tokens for r in rows) == kept
+
+
+def test_url_canonicalize_merges_parity_variants(spark, tmp_path):
+    """Doc pairs (2k, 2k+1) synthesize scheme-case / port / trailing-
+    slash / tracking-param variants of the SAME logical URL when they
+    share a source — planted same-source fixture proves the merge."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        text_url_canonicalize,
+    )
+
+    # surface invariants on the real lake (its cycling sources mean no
+    # two synthesized raw URLs share a canonical form there)
+    for r in text_url_canonicalize(spark, SF_SMALL).collect():
+        assert r.canonical_url.startswith("https://")
+        assert ".example.com" in r.canonical_url
+        assert ":443" not in r.canonical_url
+        assert "utm_" not in r.canonical_url
+        assert "#" not in r.canonical_url
+        assert not r.canonical_url.endswith("/")
+
+
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        text_url_canonicalize as _canon,
+    )
+
+    rows4 = [(i, f"document body {i}", "en", "web") for i in range(4)]
+    sf_dir = _write_documents(spark, tmp_path, rows4)
+    out = {r.doc_id: r for r in _canon(spark, sf_dir).collect()}
+    assert out[0].canonical_url == out[1].canonical_url
+    assert out[2].canonical_url == out[3].canonical_url
+    assert out[0].canonical_url != out[2].canonical_url
+    assert out[0].raw_url != out[1].raw_url
+    assert all(out[i].n_raw_variants == 2 for i in range(4))
+
+
+def test_mask_preserves_shape_hides_values(spark):
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.relational import (
+        scalar_mask_funcs,
+    )
+
+    rows = scalar_mask_funcs(spark, SF_SMALL).collect()
+    names = {r.c_custkey: (r.c_name, r.c_mktsegment) for r in
+             read_parquet_table(spark, SF_SMALL, "customer").collect()}
+    for r in rows:
+        name, seg = names[r.c_custkey]
+        assert len(r.masked_default) == len(name)
+        assert not any(ch.isalnum() and ch not in "Xxn"
+                       for ch in r.masked_default)
+        assert len(r.masked_segment) == len(seg)
