@@ -1574,6 +1574,18 @@ def ml_langid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     lr = LogisticRegression(maxIter=50, regParam=0.0,
                             featuresCol="features", labelCol="label")
     model = lr.fit(feats)
+    # Drop the training summary before scoring: it pins the
+    # SparkSession into the model, and a session whose
+    # ObservationManager is live (any df.observe() earlier in the
+    # process — e.g. the observed_counts entry) is not
+    # java-serializable, so transform's task closure would fail with
+    # NotSerializableException. Scala package-private setSummary is
+    # public at the JVM level, so py4j can clear it directly.
+    try:
+        model._java_obj.setSummary(
+            spark.sparkContext._jvm.scala.Option.empty())
+    except Exception:
+        pass  # summary layout changed — transform may still work
     scored = model.transform(feats)
     return scored.select(
         "doc_id",
