@@ -1749,3 +1749,22 @@ def text_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn(
         "n_raw_variants",
         F.count(F.lit(1)).over(w).cast("long"))
+
+
+def text_content_uuid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-derived UUID (the RFC-4122 version-5
+    SHAPE over the document sha — stable across engines and
+    re-ingestions, unlike ``uuid()``): the canonical doc-id scheme for
+    corpus lineage, formatted 8-4-4-4-12 with version/variant nibbles
+    pinned.  Pure string expressions; the oracle reproduces the same
+    slicing over the same sha256."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    h = F.sha2(F.col("text"), 256)
+    uuid5ish = F.concat_ws(
+        "-",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.concat(F.lit("5"), F.substring(h, 14, 3)),
+        F.concat(F.lit("8"), F.substring(h, 18, 3)),
+        F.substring(h, 21, 12))
+    return documents.select("doc_id", uuid5ish.alias("content_uuid"))

@@ -2585,6 +2585,26 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM u
         """,
     ),
+    "sql_identifier_clause": QuerySpec(
+        R.sql_identifier_clause,
+        """
+        SELECT o_orderpriority, count(*) AS n_orders,
+               round(max(o_totalprice), 2) AS max_price
+        FROM orders GROUP BY o_orderpriority
+        """,
+    ),
+    "text_content_uuid": QuerySpec(
+        X.text_content_uuid,
+        """
+        WITH h AS (SELECT doc_id, sha256(text) AS x FROM documents)
+        SELECT doc_id,
+               substr(x, 1, 8) || '-' || substr(x, 9, 4) || '-'
+               || '5' || substr(x, 14, 3) || '-'
+               || '8' || substr(x, 18, 3) || '-'
+               || substr(x, 21, 12) AS content_uuid
+        FROM h
+        """,
+    ),
     "scalar_mask_funcs": QuerySpec(
         R.scalar_mask_funcs,
         """

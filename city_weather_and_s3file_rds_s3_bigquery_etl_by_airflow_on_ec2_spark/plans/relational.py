@@ -2104,3 +2104,22 @@ def scalar_mask_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.mask(F.col("c_name")).alias("masked_default"),
         F.mask(F.col("c_mktsegment"), F.lit("#"), F.lit("#"), F.lit("*"))
          .alias("masked_segment"))
+
+
+def sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``IDENTIFIER(:param)`` (Spark 3.4+): SQL-injection-safe DYNAMIC
+    table/column references — the templating companion of
+    ``sql_parameterized`` for the identifier position, which plain
+    parameter markers cannot occupy.  Resolves at analysis time to the
+    same scan as the literal name (the oracle states the literal
+    form)."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               round(max(IDENTIFIER(:col)), 2) AS max_price
+        FROM IDENTIFIER(:tab)
+        GROUP BY o_orderpriority
+        """,
+        args={"tab": "orders", "col": "o_totalprice"})

@@ -2395,3 +2395,25 @@ def test_mask_preserves_shape_hides_values(spark):
         assert not any(ch.isalnum() and ch not in "Xxn"
                        for ch in r.masked_default)
         assert len(r.masked_segment) == len(seg)
+
+
+def test_content_uuid_shape_and_stability(spark):
+    import re
+    import uuid as _uuid
+
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        text_content_uuid,
+    )
+
+    rows = text_content_uuid(spark, SF_SMALL).collect()
+    pat = re.compile(
+        r"^[0-9a-f]{8}-[0-9a-f]{4}-5[0-9a-f]{3}-8[0-9a-f]{3}-[0-9a-f]{12}$")
+    seen = set()
+    for r in rows:
+        assert pat.match(r.content_uuid), r.content_uuid
+        _uuid.UUID(r.content_uuid)  # parses as a real UUID
+        seen.add(r.content_uuid)
+    assert len(seen) == len(rows)  # distinct texts -> distinct ids
+    again = {r.doc_id: r.content_uuid
+             for r in text_content_uuid(spark, SF_SMALL).collect()}
+    assert again == {r.doc_id: r.content_uuid for r in rows}
