@@ -1768,3 +1768,148 @@ def text_content_uuid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("8"), F.substring(h, 18, 3)),
         F.substring(h, 21, 12))
     return documents.select("doc_id", uuid5ish.alias("content_uuid"))
+
+
+def corpus_dsir_weights(spark: SparkSession, sf_dir: str,
+                        n_buckets: int = 64,
+                        target_quality: float = 0.6) -> DataFrame:
+    """DSIR importance weights (Data Selection via Importance
+    Resampling, Xie et al., NeurIPS 2023): score every raw document by
+    how target-like its hashed n-gram profile is,
+    ``log w(x) = sum_b c_x[b] * (log p_tgt[b] - log p_raw[b])`` over
+    ``n_buckets`` hashed unigram+bigram features with add-one
+    smoothing.  The "target domain" here is the corpus' own
+    high-quality slice (``quality_score >= target_quality`` — the
+    deterministic gate this engine already oracle-proves elsewhere),
+    so the whole operator is closed-form and bit-reproducible: the
+    feature hash is the cross-engine polynomial rolling hash
+    (``text_feature_hashing``'s), NOT an engine-private hash.
+
+    Plan shape (the 100-TB story): one (doc, bucket) map-side-combined
+    shuffle builds per-doc sparse features; the bucket marginals for
+    raw AND target collapse out of the SAME census via conditional
+    sums (no second pass over the corpus); the lambda table is
+    ``n_buckets`` rows — broadcast by construction — and the final
+    per-doc reduce is a second combine on doc_id.  Nothing scales with
+    vocabulary; per-bucket products are cast to DECIMAL(28,12) before
+    summing so cross-partition addition order cannot perturb double
+    bits (r5 rule)."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    toks = F.transform(TX.tokens("text"), lambda t: F.lower(t))
+    bi_pairs = F.arrays_zip(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))).alias("w1"),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))).alias("w2"))
+    grams = F.concat(
+        toks,
+        F.transform(bi_pairs,
+                    lambda p: F.concat_ws(" ", p["w1"], p["w2"])))
+    base = documents.select(
+        "doc_id",
+        (TX.quality_score("text") >= F.lit(target_quality)).alias("is_tgt"),
+        F.explode(grams).alias("gram"))
+    feat = base.select(
+        "doc_id", "is_tgt",
+        (TX.rolling_hash(F.col("gram")) % F.lit(n_buckets)).alias("bucket"))
+    doc_feat = feat.groupBy("doc_id", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    marg = feat.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("raw_cnt"),
+        F.sum(F.when(F.col("is_tgt"), 1).otherwise(0)).alias("tgt_cnt"))
+    tot = marg.agg(F.sum("raw_cnt").alias("r_tot"),
+                   F.sum("tgt_cnt").alias("t_tot"))
+    lam = (marg.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (F.log((F.col("tgt_cnt") + 1).cast("double")
+               / (F.col("t_tot") + n_buckets).cast("double"))
+         - F.log((F.col("raw_cnt") + 1).cast("double")
+                 / (F.col("r_tot") + n_buckets).cast("double")))
+        .alias("lam")))
+    scored = doc_feat.join(F.broadcast(lam), "bucket").select(
+        "doc_id", "cnt",
+        (F.col("cnt") * F.col("lam")).cast("decimal(28,12)").alias("w"))
+    return scored.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_grams"),
+        F.round(F.sum("w").cast("double"), 6).alias("log_weight"))
+
+
+def text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): rank the
+    corpus by unigram-LM NLL per token (``text_unigram_logprob``'s
+    oracle-proven score) and split it into head / middle / tail
+    thirds — the standard triage that keeps "head" for pretraining and
+    drops or down-samples "tail".
+
+    The global rank does NOT use a partitionless window: it rides the
+    two-phase ``operators.ids.serial_id`` (quantile-bucketed ranges +
+    per-bucket window + broadcast offsets), and the tertile label is
+    closed-form arithmetic ``((rank-1)*3) div n`` on a broadcast doc
+    count — so both the score and the split cost one extra
+    metadata-sized pass over the already-computed scores."""
+    from ..operators.ids import serial_id
+    scores = text_unigram_logprob(spark, sf_dir)
+    ranked = serial_id(scores, ["nll_per_token", "doc_id"], id_col="rnk")
+    n = scores.agg(F.count(F.lit(1)).alias("n_docs"))
+    tertile = F.floor((F.col("rnk") - 1) * 3 / F.col("n_docs"))
+    label = (F.when(tertile == 0, "head")
+             .when(tertile == 1, "middle")
+             .otherwise("tail"))
+    return (ranked.crossJoin(F.broadcast(n))
+            .select("doc_id", "n_tokens", "nll_per_token",
+                    label.alias("ppl_bucket")))
+
+
+def text_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One deterministic BPE merge iteration over the token stream
+    (Sennrich et al. 2016, at token granularity): census all adjacent
+    token pairs, pick the most frequent (count desc, then lexicographic
+    a, b — a total order), and apply the merge to every document with
+    the standard greedy left-to-right scan.
+
+    Self-pairs (a == b) are EXCLUDED from the census: greedy merging
+    of a run of identical tokens consumes floor(run/2) pairs —
+    run-length semantics the closed-form verifier below cannot
+    express — while for a != b adjacent occurrences can never overlap,
+    so ``n_merges == #{i : t[i]=a and t[i+1]=b}`` exactly.  That
+    identity is the cross-check: the Spark side REALLY executes the
+    stateful fold (an ``aggregate`` lambda that rebuilds each token
+    array, merging pairs as it scans), returns ``size`` of the rebuilt
+    array, and the DuckDB oracle recomputes ``n_after`` arithmetically
+    — if the fold ever merged wrongly, the entry would hash-mismatch.
+
+    Plan: the census is one map-side-combined (a,b) shuffle; the
+    winning pair is a 1-row broadcast; the merge itself is a
+    zero-shuffle per-row expression (executor-local, O(doc length))."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    toks = F.transform(TX.tokens("text"), lambda t: F.lower(t))
+    d = documents.select("doc_id", toks.alias("toks"))
+    pairs = F.arrays_zip(
+        F.slice(F.col("toks"), 1,
+                F.greatest(F.size("toks") - 1, F.lit(0))).alias("w1"),
+        F.slice(F.col("toks"), 2,
+                F.greatest(F.size("toks") - 1, F.lit(0))).alias("w2"))
+    census = (d.select(F.explode(pairs).alias("p"))
+              .select(F.col("p.w1").alias("a"), F.col("p.w2").alias("b"))
+              .where(F.col("a") != F.col("b"))
+              .groupBy("a", "b").agg(F.count(F.lit(1)).alias("cnt"))
+              .orderBy(F.col("cnt").desc(), "a", "b").limit(1))
+    # merged symbol: "a␞b" (symbol-for-record-separator glyph) —
+    # can never equal a raw whitespace-delimited token, so the fold's
+    # "last element is a raw `a`" test stays sound after a merge
+    merged_sym = F.concat(F.col("a"), F.lit("␞"), F.col("b"))
+    empty = F.array().cast("array<string>")
+    fold = F.aggregate(
+        F.col("toks"), empty,
+        lambda acc, t: F.when(
+            # try_element_at: NULL (not an ANSI error) on the empty
+            # accumulator, and NULL == a is falsy in the when-guard
+            (F.try_element_at(acc, F.lit(-1)) == F.col("a"))
+            & (t == F.col("b")),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged_sym))
+        ).otherwise(F.concat(acc, F.array(t))))
+    out = d.crossJoin(F.broadcast(census)).select(
+        "doc_id", F.col("a").alias("pair_a"), F.col("b").alias("pair_b"),
+        F.size("toks").cast("long").alias("n_before"),
+        F.size(fold).cast("long").alias("n_after"))
+    return out.select(
+        "doc_id", "pair_a", "pair_b", "n_before",
+        (F.col("n_before") - F.col("n_after")).alias("n_merges"), "n_after")

@@ -3068,6 +3068,151 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM lineitem WHERE l_quantity < 10
         """,
     ),
+    "corpus_dsir_weights": QuerySpec(
+        X.corpus_dsir_weights,
+        f"""
+        WITH tk AS (
+            SELECT doc_id,
+                   list_transform({_TOKS}, t -> lower(t)) AS toks,
+                   round(0.5 * least({_STOP_RATIO} * 4.0, 1.0)
+                         + 0.3 * least(CAST(len({_TOKS}) AS DOUBLE) / 50.0,
+                                       1.0)
+                         + 0.2 * (1.0 - least({_PUNCT_RATIO} * 10.0, 1.0)),
+                         4) >= 0.6 AS is_tgt
+            FROM documents
+        ), grams AS (
+            SELECT doc_id, is_tgt,
+                   unnest(list_concat(toks,
+                       list_transform(range(1, len(toks)),
+                                      i -> toks[i] || ' ' || toks[i+1])))
+                       AS gram
+            FROM tk
+        ), feat AS (
+            SELECT doc_id, is_tgt,
+                   list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                           list_transform(range(1, length(gram) + 1),
+                               i -> CAST(ascii(substr(gram, i, 1))
+                                         AS BIGINT))),
+                       (acc, c) -> (acc * 31 + c) % 1000000007) % 64
+                       AS bucket
+            FROM grams
+        ), doc_feat AS (
+            SELECT doc_id, bucket, count(*) AS cnt
+            FROM feat GROUP BY doc_id, bucket
+        ), marg AS (
+            SELECT bucket, count(*) AS raw_cnt,
+                   sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS tgt_cnt
+            FROM feat GROUP BY bucket
+        ), tot AS (
+            SELECT sum(raw_cnt) AS r_tot, sum(tgt_cnt) AS t_tot FROM marg
+        ), lam AS (
+            SELECT bucket,
+                   ln(CAST(tgt_cnt + 1 AS DOUBLE)
+                      / CAST(t_tot + 64 AS DOUBLE))
+                   - ln(CAST(raw_cnt + 1 AS DOUBLE)
+                        / CAST(r_tot + 64 AS DOUBLE)) AS lam
+            FROM marg CROSS JOIN tot
+        )
+        SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams,
+               round(CAST(sum(CAST(cnt * lam AS DECIMAL(28,12)))
+                          AS DOUBLE), 6) AS log_weight
+        FROM doc_feat JOIN lam USING (bucket)
+        GROUP BY doc_id
+        """,
+    ),
+    "text_ppl_buckets": QuerySpec(
+        X.text_ppl_buckets,
+        f"""
+        WITH tok AS (
+            SELECT doc_id, lower(unnest({_TOKS})) AS tok FROM documents
+        ), f AS (
+            SELECT tok, count(*) AS cnt FROM tok GROUP BY tok
+        ), s AS (
+            SELECT sum(cnt) AS n_total, count(*) AS n_vocab FROM f
+        ), sc AS (
+            SELECT t.doc_id,
+                   CAST(ln(CAST(f.cnt + 1 AS DOUBLE)
+                           / (CAST(s.n_total AS DOUBLE)
+                              + CAST(s.n_vocab AS DOUBLE)))
+                        AS DECIMAL(28,12)) AS lp
+            FROM tok t JOIN f USING (tok) CROSS JOIN s
+        ), nll AS (
+            SELECT doc_id, count(*) AS n_tokens,
+                   round(-CAST(sum(lp) AS DOUBLE) / count(*), 4)
+                       AS nll_per_token
+            FROM sc GROUP BY doc_id
+        ), r AS (
+            SELECT doc_id, n_tokens, nll_per_token,
+                   row_number() OVER (ORDER BY nll_per_token, doc_id)
+                       AS rnk,
+                   count(*) OVER () AS n_docs
+            FROM nll
+        )
+        SELECT doc_id, n_tokens, nll_per_token,
+               CASE ((rnk - 1) * 3) // n_docs
+                    WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+                    ELSE 'tail' END AS ppl_bucket
+        FROM r
+        """,
+    ),
+    "text_bpe_merge_step": QuerySpec(
+        X.text_bpe_merge_step,
+        f"""
+        WITH d AS (
+            SELECT doc_id, list_transform({_TOKS}, t -> lower(t)) AS tk
+            FROM documents
+        ), pr AS (
+            SELECT tk[i] AS a, tk[i+1] AS b
+            FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM d)
+            WHERE tk[i] <> tk[i+1]
+        ), top AS (
+            SELECT a, b FROM pr GROUP BY a, b
+            ORDER BY count(*) DESC, a, b LIMIT 1
+        ), merged AS (
+            SELECT doc_id, a, b, CAST(len(tk) AS BIGINT) AS n_before,
+                   CAST(len(list_filter(range(1, len(tk)),
+                            i -> tk[i] = a AND tk[i+1] = b))
+                        AS BIGINT) AS n_merges
+            FROM d CROSS JOIN top
+        )
+        SELECT doc_id, a AS pair_a, b AS pair_b, n_before, n_merges,
+               n_before - n_merges AS n_after
+        FROM merged
+        """,
+    ),
+    "table_expectations": QuerySpec(
+        R.table_expectations,
+        """
+        WITH m AS (
+            SELECT count(*) AS n_rows,
+                   sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                       AS null_cust,
+                   count(DISTINCT o_orderkey) AS distinct_keys,
+                   min(o_totalprice) AS min_price,
+                   sum(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                            THEN 1 ELSE 0 END) AS bad_status
+            FROM orders
+        ), o AS (
+            SELECT count(*) AS n_orphans FROM orders
+            WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        )
+        SELECT 'row_count_min_10' AS check_name,
+               round(CAST(n_rows AS DOUBLE), 2) AS metric,
+               n_rows >= 10 AS passed FROM m
+        UNION ALL SELECT 'custkey_complete',
+               round(CAST(null_cust AS DOUBLE), 2), null_cust = 0 FROM m
+        UNION ALL SELECT 'orderkey_unique',
+               round(CAST(distinct_keys AS DOUBLE), 2),
+               distinct_keys = n_rows FROM m
+        UNION ALL SELECT 'totalprice_positive',
+               round(CAST(min_price AS DOUBLE), 2), min_price > 0 FROM m
+        UNION ALL SELECT 'status_in_domain',
+               round(CAST(bad_status AS DOUBLE), 2), bad_status = 0 FROM m
+        UNION ALL SELECT 'custkey_fk_integrity',
+               round(CAST(n_orphans AS DOUBLE), 2), n_orphans = 0 FROM o
+        """,
+    ),
 }
 
 # The driver's per-round correctness snapshot covers only the FIRST 50

@@ -2123,3 +2123,56 @@ def sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """,
         args={"tab": "orders", "col": "o_totalprice"})
+
+
+def table_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectation suite (the Deequ/Great-
+    Expectations contract shape, distinct from ``table_profile``'s
+    unopinionated metrics): each check is (name, measured metric,
+    pass/fail), evaluated over the orders table plus one referential-
+    integrity check against customer.
+
+    Checks: minimum row count, o_custkey completeness, o_orderkey
+    uniqueness, o_totalprice positivity, o_orderstatus domain
+    membership, and orphaned-FK count (orders.o_custkey not in
+    customer).  All single-table metrics come from ONE aggregate over
+    ONE scan (the uniqueness check is the only exact count-distinct —
+    swap for approx_count_distinct at 100 TB, same assertion shape);
+    the FK check is a key-projected left-anti join whose keyless count
+    partial-aggregates map-side.  The two 1-row results cross-join
+    (broadcast, trivially) and unpivot into the tall report via one
+    explode of literal structs — no extra scan, no driver loop."""
+    orders, customer = _t(spark, sf_dir, "orders", "customer")
+    m = orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("null_cust"),
+        F.count_distinct(F.col("o_orderkey")).alias("distinct_keys"),
+        F.min("o_totalprice").alias("min_price"),
+        F.count(F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1))
+         .alias("bad_status"))
+    orphans = (orders.select("o_custkey")
+               .join(customer.select(F.col("c_custkey").alias("o_custkey")),
+                     "o_custkey", "left_anti")
+               .agg(F.count(F.lit(1)).alias("n_orphans")))
+    one = m.crossJoin(F.broadcast(orphans))
+
+    def _check(name: str, metric, passed):
+        return F.struct(
+            F.lit(name).alias("check_name"),
+            F.round(metric.cast("double"), 2).alias("metric"),
+            passed.alias("passed"))
+
+    checks = F.array(
+        _check("row_count_min_10", F.col("n_rows"), F.col("n_rows") >= 10),
+        _check("custkey_complete", F.col("null_cust"),
+               F.col("null_cust") == 0),
+        _check("orderkey_unique", F.col("distinct_keys"),
+               F.col("distinct_keys") == F.col("n_rows")),
+        _check("totalprice_positive", F.col("min_price"),
+               F.col("min_price") > 0),
+        _check("status_in_domain", F.col("bad_status"),
+               F.col("bad_status") == 0),
+        _check("custkey_fk_integrity", F.col("n_orphans"),
+               F.col("n_orphans") == 0))
+    return (one.select(F.explode(checks).alias("c"))
+            .select("c.check_name", "c.metric", "c.passed"))

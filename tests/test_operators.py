@@ -2417,3 +2417,190 @@ def test_content_uuid_shape_and_stability(spark):
     again = {r.doc_id: r.content_uuid
              for r in text_content_uuid(spark, SF_SMALL).collect()}
     assert again == {r.doc_id: r.content_uuid for r in rows}
+
+
+# ------------------------------------------------- r5d6: DSIR / BPE / DQ —
+
+def test_bpe_merge_step_matches_python_greedy(spark):
+    """The Spark-side aggregate() fold must agree with a plain Python
+    greedy left-to-right BPE merge on every document (the oracle only
+    checks the a!=b closed form; this pins the fold itself)."""
+    import re
+
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        text_bpe_merge_step,
+    )
+    out = {r["doc_id"]: r for r in
+           text_bpe_merge_step(spark, SF_SMALL).collect()}
+    docs = read_parquet_table(spark, SF_SMALL, "documents") \
+        .select("doc_id", "text").collect()
+    assert out
+    a = next(iter(out.values()))["pair_a"]
+    b = next(iter(out.values()))["pair_b"]
+    assert a != b
+
+    def greedy_merge(toks, a, b):
+        res = []
+        for t in toks:
+            if res and res[-1] == a and t == b:
+                res[-1] = a + "␞" + b
+            else:
+                res.append(t)
+        return res
+
+    for r in docs:
+        toks = [t.lower() for t in re.split(r"\s+", r["text"].strip())]
+        merged = greedy_merge(toks, a, b)
+        got = out[r["doc_id"]]
+        assert got["n_before"] == len(toks)
+        assert got["n_after"] == len(merged), r["doc_id"]
+        assert got["n_merges"] == len(toks) - len(merged)
+
+
+def test_bpe_merge_step_pair_is_corpus_argmax(spark):
+    """The chosen pair is the most frequent adjacent a!=b pair under
+    the deterministic (count desc, a, b) total order."""
+    from collections import Counter
+    import re
+
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        text_bpe_merge_step,
+    )
+    row = text_bpe_merge_step(spark, SF_SMALL).first()
+    docs = read_parquet_table(spark, SF_SMALL, "documents") \
+        .select("text").collect()
+    c = Counter()
+    for r in docs:
+        toks = [t.lower() for t in re.split(r"\s+", r["text"].strip())]
+        for x, y in zip(toks, toks[1:]):
+            if x != y:
+                c[(x, y)] += 1
+    best = min(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+    assert (row["pair_a"], row["pair_b"]) == best
+
+
+def test_dsir_weights_match_python_reference(spark):
+    """corpus_dsir_weights equals a from-scratch pure-Python DSIR
+    implementation (hashed unigram+bigram features, add-one smoothing,
+    the shared rolling hash) on every document."""
+    import math
+    import re
+
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        corpus_dsir_weights,
+    )
+    got = {r["doc_id"]: r for r in
+           corpus_dsir_weights(spark, SF_SMALL).collect()}
+    docs = read_parquet_table(spark, SF_SMALL, "documents") \
+        .select("doc_id", "text").collect()
+
+    STOP = {"the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+            "that", "for", "on", "with", "as", "at", "by", "this", "be",
+            "are"}
+
+    def toks(text):
+        return [t.lower() for t in re.split(r"\s+", text.strip())]
+
+    def quality(text):
+        tk = toks(text)
+        stop = sum(1 for t in tk if t in STOP) / len(tk)
+        punct = len(re.sub(r"[A-Za-z0-9\s]", "", text)) / len(text)
+        return round(0.5 * min(stop * 4.0, 1.0)
+                     + 0.3 * min(len(tk) / 50.0, 1.0)
+                     + 0.2 * (1.0 - min(punct * 10.0, 1.0)), 4)
+
+    def rhash(s):
+        h = 0
+        for ch in re.sub(r"\s+", " ", s.strip()):
+            h = (h * 31 + ord(ch)) % 1_000_000_007
+        return h
+
+    raw = [0] * 64
+    tgt = [0] * 64
+    per_doc = {}
+    for r in docs:
+        tk = toks(r["text"])
+        grams = tk + [f"{x} {y}" for x, y in zip(tk, tk[1:])]
+        counts = {}
+        for g in grams:
+            bkt = rhash(g) % 64
+            counts[bkt] = counts.get(bkt, 0) + 1
+        per_doc[r["doc_id"]] = counts
+        is_t = quality(r["text"]) >= 0.6
+        for bkt, c in counts.items():
+            raw[bkt] += c
+            if is_t:
+                tgt[bkt] += c
+    R, T = sum(raw), sum(tgt)
+    lam = [math.log((tgt[b] + 1) / (T + 64))
+           - math.log((raw[b] + 1) / (R + 64)) for b in range(64)]
+    for doc_id, counts in per_doc.items():
+        w = sum(c * lam[b] for b, c in counts.items())
+        assert got[doc_id]["n_grams"] == sum(counts.values())
+        assert got[doc_id]["log_weight"] == pytest.approx(w, abs=1e-4)
+
+
+def test_ppl_buckets_are_balanced_and_ordered(spark):
+    """Tertiles are ntile-balanced (sizes differ by at most 1) and
+    ordered: every head NLL <= every middle NLL <= every tail NLL."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        text_ppl_buckets,
+    )
+    rows = text_ppl_buckets(spark, SF_SMALL).collect()
+    by = {"head": [], "middle": [], "tail": []}
+    for r in rows:
+        by[r["ppl_bucket"]].append(r["nll_per_token"])
+    sizes = [len(v) for v in by.values()]
+    assert max(sizes) - min(sizes) <= 1
+    assert max(by["head"]) <= min(by["middle"])
+    assert max(by["middle"]) <= min(by["tail"])
+
+
+def test_table_expectations_all_pass_on_clean_data(spark):
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.relational import (
+        table_expectations,
+    )
+    rows = table_expectations(spark, SF_SMALL).collect()
+    assert len(rows) == 6
+    assert all(r["passed"] for r in rows)
+
+
+def test_table_expectations_catch_planted_violations(spark, tmp_path):
+    """Corrupt a copy of the lake (null FK, duplicated PK, orphan
+    custkey, bogus status) and the right checks — and only those —
+    must flip to failed."""
+    from pyspark.sql import types as T
+
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.relational import (
+        table_expectations,
+    )
+    orders = read_parquet_table(spark, SF_SMALL, "orders")
+    first = orders.first()
+    bad_rows = [
+        # duplicate PK + orphan custkey
+        (first["o_orderkey"], -999, "O", 10.0),
+        # null custkey + out-of-domain status
+        (first["o_orderkey"] + 10**9, None, "X", 20.0),
+    ]
+    schema = T.StructType([
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_custkey", T.LongType()),
+        T.StructField("o_orderstatus", T.StringType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+    ])
+    extra = spark.createDataFrame(bad_rows, schema)
+    broken = orders.select(*[f.name for f in schema.fields]).unionAll(extra)
+    lake = str(tmp_path / "broken_lake")
+    broken.coalesce(1).write.parquet(f"{lake}/orders.parquet")
+    read_parquet_table(spark, SF_SMALL, "customer") \
+        .coalesce(1).write.parquet(f"{lake}/customer.parquet")
+    got = {r["check_name"]: r["passed"]
+           for r in table_expectations(spark, lake).collect()}
+    assert got == {
+        "row_count_min_10": True,
+        "custkey_complete": False,
+        "orderkey_unique": False,
+        "totalprice_positive": True,
+        "status_in_domain": False,
+        "custkey_fk_integrity": False,
+    }
