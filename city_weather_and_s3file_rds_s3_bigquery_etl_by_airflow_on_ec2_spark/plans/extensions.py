@@ -1913,3 +1913,31 @@ def text_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "pair_a", "pair_b", "n_before",
         (F.col("n_before") - F.col("n_after")).alias("n_merges"), "n_after")
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment scores C(A,B)=|A∩B|/|A| on the verified
+    near-dup pair set — the measure that catches doc-inside-doc
+    duplication (quote farms, boilerplate wrappers) which symmetric
+    Jaccard under-reports: a short doc fully embedded in a long one
+    has high containment but low Jaccard.
+
+    Candidates are ``dedup_token_jaccard``'s deterministic PPJoin
+    pairs (already oracle-proven), so this entry adds the containment
+    arithmetic: re-attach each side's distinct token set and divide
+    the intersection by EACH side's size.  Two keyed joins against a
+    pair set that is tiny relative to the corpus (AQE broadcasts it);
+    the set intersection is executor-local array math."""
+    pairs = dedup_token_jaccard(spark, sf_dir)
+    (documents,) = _t(spark, sf_dir, "documents")
+    t = documents.select(
+        "doc_id", F.array_distinct(TX.tokens("text")).alias("tokset"))
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    return (pairs
+            .join(t.select(F.col("doc_id").alias("id_a"),
+                           F.col("tokset").alias("sa")), "id_a")
+            .join(t.select(F.col("doc_id").alias("id_b"),
+                           F.col("tokset").alias("sb")), "id_b")
+            .select("id_a", "id_b", "jaccard",
+                    F.round(inter / F.size("sa"), 4).alias("containment_a"),
+                    F.round(inter / F.size("sb"), 4).alias("containment_b")))

@@ -3213,6 +3213,98 @@ REGISTRY: dict[str, QuerySpec] = {
                round(CAST(n_orphans AS DOUBLE), 2), n_orphans = 0 FROM o
         """,
     ),
+    "events_attribution": QuerySpec(
+        R.events_attribution,
+        """
+        WITH m AS (
+            SELECT event_id, user_id, ts, value, event_type,
+                   CASE WHEN event_type IN ('view','click','signup')
+                        THEN event_type END AS touch
+            FROM events
+        ), w AS (
+            SELECT event_id, user_id, ts, value, event_type,
+                   first_value(touch IGNORE NULLS) OVER win AS first_touch,
+                   last_value(touch IGNORE NULLS) OVER win AS last_touch,
+                   CAST(count(touch) OVER win AS BIGINT)
+                       AS n_prior_touches
+            FROM m
+            WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING)
+        )
+        SELECT event_id, user_id, ts, value,
+               first_touch, last_touch, n_prior_touches
+        FROM w WHERE event_type = 'purchase'
+        """,
+    ),
+    "window_nth_value": QuerySpec(
+        R.window_nth_value,
+        """
+        SELECT l_orderkey, l_linenumber,
+               round(nth_value(l_extendedprice, 2) OVER w, 2)
+                   AS second_line_price,
+               first_value(CASE WHEN l_discount <> 0 THEN l_discount END
+                           IGNORE NULLS) OVER w AS first_nz_discount,
+               last_value(CASE WHEN l_discount <> 0 THEN l_discount END
+                          IGNORE NULLS) OVER w AS last_nz_discount
+        FROM lineitem
+        WINDOW w AS (PARTITION BY l_orderkey
+                     ORDER BY l_linenumber, l_extendedprice
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND UNBOUNDED FOLLOWING)
+        """,
+    ),
+    "scalar_time_type": QuerySpec(
+        R.scalar_time_type,
+        """
+        SELECT event_id,
+               CAST(date_trunc('second', ts) AS TIME) AS event_time,
+               CAST(date_trunc('hour', ts) AS TIME) AS hour_bucket,
+               CAST(date_trunc('second', ts) AS TIME) >= TIME '09:00:00'
+               AND CAST(date_trunc('second', ts) AS TIME) < TIME '17:00:00'
+                   AS business_hours,
+               CAST(floor(date_diff('second', TIME '09:00:00',
+                          CAST(date_trunc('second', ts) AS TIME)) / 60.0)
+                    AS BIGINT) AS mins_since_nine
+        FROM events
+        """,
+    ),
+    "sql_execute_immediate": QuerySpec(
+        R.sql_execute_immediate,
+        """
+        SELECT o_orderstatus, count(*) AS n_orders,
+               round(avg(o_totalprice), 2) AS avg_price
+        FROM orders WHERE o_totalprice > 1000.0 GROUP BY o_orderstatus
+        """,
+    ),
+    "dedup_containment": QuerySpec(
+        X.dedup_containment,
+        f"""
+        WITH t AS (
+            SELECT doc_id, lang, n_chars // 16 AS len_band,
+                   list_distinct({_TOKS}) AS tokset
+            FROM documents
+        ), pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(CAST(len(list_intersect(a.tokset, b.tokset))
+                              AS DOUBLE)
+                         / len(list_distinct(list_concat(a.tokset,
+                                                         b.tokset))),
+                         4) AS jaccard,
+                   round(CAST(len(list_intersect(a.tokset, b.tokset))
+                              AS DOUBLE) / len(a.tokset), 4)
+                       AS containment_a,
+                   round(CAST(len(list_intersect(a.tokset, b.tokset))
+                              AS DOUBLE) / len(b.tokset), 4)
+                       AS containment_b
+            FROM t a JOIN t b
+              ON a.lang = b.lang AND a.len_band = b.len_band
+             AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b, jaccard, containment_a, containment_b
+        FROM pairs WHERE jaccard >= 0.4
+        """,
+    ),
 }
 
 # The driver's per-round correctness snapshot covers only the FIRST 50

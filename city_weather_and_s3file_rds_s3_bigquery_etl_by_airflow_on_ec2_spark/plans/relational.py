@@ -2176,3 +2176,100 @@ def table_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
                F.col("n_orphans") == 0))
     return (one.select(F.explode(checks).alias("c"))
             .select("c.check_name", "c.metric", "c.passed"))
+
+
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch / last-touch conversion attribution: for every
+    purchase event, which touch (view / click / signup) opened the
+    user's path and which one immediately preceded the conversion —
+    the standard marketing-attribution query, and a second consumer of
+    IGNORE-NULLS window semantics beyond ``window_gapfill_locf``.
+
+    One per-user ordered window with a ROWS UNBOUNDED
+    PRECEDING..1 PRECEDING frame: ``first``/``last`` with
+    ignorenulls=True skip the non-touch events (purchases/errors)
+    without a self-join against the touch subset; purchases with no
+    prior touch surface as NULL (kept — they are the 'direct'
+    bucket).  No global funnel; per-user keys, AQE handles hot
+    users."""
+    (events,) = _t(spark, sf_dir, "events")
+    touch = F.when(
+        F.col("event_type").isin("view", "click", "signup"),
+        F.col("event_type"))
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    marked = events.select(
+        "event_id", "user_id", "ts", "event_type", "value",
+        touch.alias("touch"))
+    out = marked.select(
+        "event_id", "user_id", "ts", "value",
+        F.first("touch", ignorenulls=True).over(w).alias("first_touch"),
+        F.last("touch", ignorenulls=True).over(w).alias("last_touch"),
+        F.count("touch").over(w).cast("long").alias("n_prior_touches"),
+        F.col("event_type"))
+    return (out.where(F.col("event_type") == "purchase")
+            .select("event_id", "user_id", "ts", "value",
+                    "first_touch", "last_touch", "n_prior_touches"))
+
+
+def window_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value + IGNORE-NULLS first/last over a full-partition
+    frame: per order, the second line's price and the first/last
+    non-zero discount — the window surface (SQL:2011 nth_value,
+    IGNORE NULLS) not yet covered by the lag/lead/rank entries.
+
+    This lake's l_linenumber is NOT unique within an order (synthetic
+    data), so the window orders by (l_linenumber, l_extendedprice) —
+    verified unique — to make nth/first/last deterministic."""
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    w = (Window.partitionBy("l_orderkey")
+         .orderBy("l_linenumber", "l_extendedprice")
+         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    nz_disc = F.when(F.col("l_discount") != 0.0, F.col("l_discount"))
+    return lineitem.select(
+        "l_orderkey", "l_linenumber",
+        F.round(F.nth_value("l_extendedprice", 2).over(w), 2)
+         .alias("second_line_price"),
+        F.first(nz_disc, ignorenulls=True).over(w).alias("first_nz_discount"),
+        F.last(nz_disc, ignorenulls=True).over(w).alias("last_nz_discount"))
+
+
+def scalar_time_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-typed columns (Spark 4.1 / SQL:2023 TIME WITHOUT TIME
+    ZONE): project the time-of-day out of event timestamps with
+    ``make_time``, bucket it to the hour, flag business hours, and
+    measure minutes since 09:00 — the clock-arithmetic surface that
+    previously required timestamp workarounds.  Whole-second
+    precision on both engines (the sub-second fraction is truncated
+    identically before construction)."""
+    (events,) = _t(spark, sf_dir, "events")
+    t = F.make_time(F.hour("ts"), F.minute("ts"), F.second("ts"))
+    nine = F.make_time(F.lit(9), F.lit(0), F.lit(0))
+    five = F.make_time(F.lit(17), F.lit(0), F.lit(0))
+    return events.select(
+        "event_id",
+        t.alias("event_time"),
+        F.make_time(F.hour("ts"), F.lit(0), F.lit(0)).alias("hour_bucket"),
+        ((t >= nine) & (t < five)).alias("business_hours"),
+        # exact second diff then floor-divide: DuckDB's date_diff
+        # counts boundary crossings, Spark's time_diff complete units —
+        # identical only at SECOND granularity on whole-second TIMEs
+        F.floor(F.time_diff(F.lit("SECOND"), nine, t) / 60)
+         .alias("mins_since_nine"))
+
+
+def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTE IMMEDIATE (Spark 4.0, SQL/PSM dynamic SQL): run a
+    query held in a session variable, with a USING parameter — the
+    dynamic-SQL companion of ``sql_parameterized`` (values) and
+    ``sql_identifier_clause`` (identifiers).  Resolves to the same
+    plan as the literal statement, which is what the oracle states."""
+    register_views(spark, sf_dir, ("orders",))
+    spark.sql("DECLARE OR REPLACE VARIABLE stmt STRING")
+    spark.sql("""
+        SET VAR stmt =
+        'SELECT o_orderstatus, count(*) AS n_orders,
+                round(avg(o_totalprice), 2) AS avg_price
+         FROM orders WHERE o_totalprice > ? GROUP BY o_orderstatus'
+    """)
+    return spark.sql("EXECUTE IMMEDIATE stmt USING 1000.0")

@@ -48,6 +48,7 @@ DEFAULT_CONFS: dict[str, str] = {
     # sources.tables._normalize_types (truncate to micros, matching
     # DuckDB's nanos→micros truncation).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.timeType.enabled": "true",
 }
 
 
@@ -61,6 +62,11 @@ DEFAULT_CONFS: dict[str, str] = {
 RUNTIME_REQUIRED_CONFS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # TIME (SQL:2023 time-without-time-zone) columns: Spark 4.1 gates
+    # the type behind a flag; the engine supports it first-class
+    # (plans/relational.scalar_time_type). Enable-only — no behavior
+    # change for plans that never produce a TIME value.
+    "spark.sql.timeType.enabled": "true",
 }
 
 

@@ -2604,3 +2604,88 @@ def test_table_expectations_catch_planted_violations(spark, tmp_path):
         "status_in_domain": False,
         "custkey_fk_integrity": False,
     }
+
+
+# ------------------------------------ r5d7: attribution / TIME / containment —
+
+def test_events_attribution_matches_python_replay(spark):
+    """first/last-touch attribution equals a straight Python replay of
+    each user's event history."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.relational import (
+        events_attribution,
+    )
+    got = {r["event_id"]: r for r in
+           events_attribution(spark, SF_SMALL).collect()}
+    events = sorted(
+        read_parquet_table(spark, SF_SMALL, "events")
+        .select("event_id", "user_id", "ts", "event_type").collect(),
+        key=lambda r: (r["user_id"], r["ts"], r["event_id"]))
+    touches = {}
+    expect = {}
+    for r in events:
+        u = r["user_id"]
+        hist = touches.setdefault(u, [])
+        if r["event_type"] == "purchase":
+            expect[r["event_id"]] = (
+                hist[0] if hist else None,
+                hist[-1] if hist else None,
+                len(hist))
+        if r["event_type"] in ("view", "click", "signup"):
+            hist.append(r["event_type"])
+    assert set(got) == set(expect)
+    for eid, (ft, lt, n) in expect.items():
+        g = got[eid]
+        assert (g["first_touch"], g["last_touch"],
+                g["n_prior_touches"]) == (ft, lt, n), eid
+
+
+def test_scalar_time_type_clock_arithmetic(spark):
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.relational import (
+        scalar_time_type,
+    )
+    rows = scalar_time_type(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows[:200]:
+        t = r["event_time"]
+        assert r["business_hours"] == (9 <= t.hour < 17)
+        assert r["hour_bucket"].hour == t.hour
+        assert r["hour_bucket"].minute == 0
+        secs = (t.hour - 9) * 3600 + t.minute * 60 + t.second
+        assert r["mins_since_nine"] == secs // 60 if secs >= 0 else True
+        if secs < 0:
+            import math
+            assert r["mins_since_nine"] == math.floor(secs / 60)
+
+
+def test_containment_bounds_and_planted_subset(spark, tmp_path):
+    """containment >= jaccard always; a planted doc fully inside a
+    same-band container scores containment_a == 1.0."""
+    from pyspark.sql import types as T
+
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        dedup_containment,
+    )
+    real = dedup_containment(spark, SF_SMALL).collect()
+    assert real
+    for r in real:
+        assert r["containment_a"] >= r["jaccard"] - 1e-9
+        assert r["containment_b"] >= r["jaccard"] - 1e-9
+
+    inner = "alpha beta gamma dd"        # 19 chars -> band 1
+    outer = inner + " zz"                # 21 chars -> band 1
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ])
+    lake = str(tmp_path / "cont_lake")
+    spark.createDataFrame(
+        [(1, inner, "en", "t", len(inner)), (2, outer, "en", "t", len(outer))],
+        schema).coalesce(1).write.parquet(f"{lake}/documents.parquet")
+    out = {(r["id_a"], r["id_b"]): r
+           for r in dedup_containment(spark, lake).collect()}
+    assert (1, 2) in out
+    assert out[(1, 2)]["containment_a"] == 1.0
+    assert out[(1, 2)]["containment_b"] == pytest.approx(0.8, abs=1e-9)
