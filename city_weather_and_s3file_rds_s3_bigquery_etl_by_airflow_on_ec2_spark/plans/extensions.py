@@ -1941,3 +1941,47 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("id_a", "id_b", "jaccard",
                     F.round(inter / F.size("sa"), 4).alias("containment_a"),
                     F.round(inter / F.size("sb"), 4).alias("containment_b")))
+
+
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the near-dup similarity graph — the
+    summary a dedup audit reads first (a heavy-tailed distribution
+    means hub documents / boilerplate; the PageRank and
+    connected-components entries consume the same edge set).  Edges
+    are ``dedup_token_jaccard``'s deterministic verified pairs, so the
+    whole statistic is oracle-exact.
+
+    Plan: symmetrize by unioning the two endpoint projections (no
+    join), one combine on node id for degrees, one combine on degree
+    for the histogram — two metadata-sized shuffles after the pair
+    generation."""
+    pairs = dedup_token_jaccard(spark, sf_dir)
+    nodes = (pairs.select(F.col("id_a").alias("doc_id"))
+             .unionAll(pairs.select(F.col("id_b").alias("doc_id"))))
+    deg = nodes.groupBy("doc_id").agg(F.count(F.lit(1)).alias("degree"))
+    return (deg.groupBy("degree")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .select("degree", "n_docs"))
+
+
+def text_vocab_table(spark: SparkSession, sf_dir: str,
+                     min_freq: int = 5) -> DataFrame:
+    """Frequency-ranked vocabulary table: corpus token census,
+    frequency floor, then DENSE contiguous ``vocab_id`` by
+    (freq desc, token) — the id-assignment step every tokenizer
+    training run ends with (ids must be stable, gap-free, and
+    reproducible across engines/runs).
+
+    The id does NOT come from a partitionless row_number: it rides the
+    two-phase ``operators.ids.serial_id`` over (-freq, token), so at a
+    real vocabulary scale (millions of types) the ranking is still a
+    bucketed window plus broadcast offsets."""
+    from ..operators.ids import serial_id
+    (documents,) = _t(spark, sf_dir, "documents")
+    freq = (documents.select(F.explode(TX.tokens("text")).alias("t"))
+            .select(F.lower(F.col("t")).alias("token"))
+            .groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+            .where(F.col("freq") >= min_freq)
+            .withColumn("neg_freq", -F.col("freq")))
+    ranked = serial_id(freq, ["neg_freq", "token"], id_col="vocab_id")
+    return ranked.select("vocab_id", "token", "freq")

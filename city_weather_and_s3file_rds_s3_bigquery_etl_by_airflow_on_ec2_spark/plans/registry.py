@@ -3305,6 +3305,68 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM pairs WHERE jaccard >= 0.4
         """,
     ),
+    "join_asof_tolerance": QuerySpec(
+        R.join_asof_tolerance,
+        """
+        WITH r AS (
+            SELECT o_custkey AS user_id, o_orderdate,
+                   max(o_orderkey) AS last_orderkey
+            FROM orders GROUP BY o_custkey, o_orderdate
+        )
+        SELECT e.event_id, e.user_id, e.ts,
+               CASE WHEN date_diff('day', CAST(r.o_orderdate AS DATE),
+                                   CAST(e.ts AS DATE)) <= 30
+                    THEN r.last_orderkey END AS last_orderkey,
+               CASE WHEN date_diff('day', CAST(r.o_orderdate AS DATE),
+                                   CAST(e.ts AS DATE)) <= 30
+                    THEN r.o_orderdate END AS matched_date
+        FROM events e ASOF LEFT JOIN r
+          ON e.user_id = r.user_id AND e.ts >= r.o_orderdate
+        """,
+    ),
+    "graph_degree_stats": QuerySpec(
+        X.graph_degree_stats,
+        f"""
+        WITH t AS (
+            SELECT doc_id, lang, n_chars // 16 AS len_band,
+                   list_distinct({_TOKS}) AS tokset
+            FROM documents
+        ), pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(CAST(len(list_intersect(a.tokset, b.tokset))
+                              AS DOUBLE)
+                         / len(list_distinct(list_concat(a.tokset,
+                                                         b.tokset))),
+                         4) AS jaccard
+            FROM t a JOIN t b
+              ON a.lang = b.lang AND a.len_band = b.len_band
+             AND a.doc_id < b.doc_id
+        ), e AS (
+            SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.4
+        ), nodes AS (
+            SELECT id_a AS doc_id FROM e
+            UNION ALL SELECT id_b FROM e
+        ), deg AS (
+            SELECT doc_id, count(*) AS degree FROM nodes GROUP BY doc_id
+        )
+        SELECT degree, count(*) AS n_docs FROM deg GROUP BY degree
+        """,
+    ),
+    "text_vocab_table": QuerySpec(
+        X.text_vocab_table,
+        f"""
+        WITH tok AS (
+            SELECT lower(unnest({_TOKS})) AS token FROM documents
+        ), f AS (
+            SELECT token, count(*) AS freq FROM tok GROUP BY token
+            HAVING count(*) >= 5
+        )
+        SELECT CAST(row_number() OVER (ORDER BY freq DESC, token)
+                    AS BIGINT) AS vocab_id,
+               token, freq
+        FROM f
+        """,
+    ),
 }
 
 # The driver's per-round correctness snapshot covers only the FIRST 50

@@ -2273,3 +2273,34 @@ def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
          FROM orders WHERE o_totalprice > ? GROUP BY o_orderstatus'
     """)
     return spark.sql("EXECUTE IMMEDIATE stmt USING 1000.0")
+
+
+def join_asof_tolerance(spark: SparkSession, sf_dir: str,
+                        tolerance_days: int = 30) -> DataFrame:
+    """As-of join WITH TOLERANCE (pandas ``merge_asof(tolerance=...)``
+    semantics): every event keeps its row, carries the customer's
+    latest order at event time, but the match is NULLed when it is
+    staler than ``tolerance_days`` — the freshness-bounded variant
+    that point-in-time feature stores require (a 2-year-old "latest
+    order" must not leak into a training feature).
+
+    Same union+window carry as ``operators.joins.asof_join`` (no UDF,
+    no range explosion); tolerance is a pure post-filter on the
+    carried match time, so the plan is identical to the unbounded
+    as-of plus one map-side conditional."""
+    events, orders = _t(spark, sf_dir, "events", "orders")
+    right = (orders.groupBy("o_custkey", "o_orderdate")
+             .agg(F.max("o_orderkey").alias("last_orderkey"))
+             .withColumnRenamed("o_custkey", "user_id")
+             .withColumn("matched_date", F.col("o_orderdate")))
+    out = asof_join(
+        events.select("event_id", "user_id", "ts"),
+        right, on="user_id", left_time="ts", right_time="o_orderdate",
+        payload_cols=["last_orderkey", "matched_date"],
+    )
+    fresh = (F.datediff(F.to_date("ts"), F.col("matched_date"))
+             <= tolerance_days)
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.when(fresh, F.col("last_orderkey")).alias("last_orderkey"),
+        F.when(fresh, F.col("matched_date")).alias("matched_date"))

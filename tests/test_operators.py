@@ -2689,3 +2689,53 @@ def test_containment_bounds_and_planted_subset(spark, tmp_path):
     assert (1, 2) in out
     assert out[(1, 2)]["containment_a"] == 1.0
     assert out[(1, 2)]["containment_b"] == pytest.approx(0.8, abs=1e-9)
+
+
+def test_asof_tolerance_nulls_stale_matches_only(spark):
+    """Tolerance variant == unbounded as-of with stale matches nulled;
+    everything within tolerance carries the identical payload."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.relational import (
+        join_asof_events_orders,
+        join_asof_tolerance,
+    )
+    unbounded = {r["event_id"]: r
+                 for r in join_asof_events_orders(spark, SF_SMALL).collect()}
+    tol = {r["event_id"]: r
+           for r in join_asof_tolerance(spark, SF_SMALL).collect()}
+    nulled = 0
+    for eid, t in tol.items():
+        if eid not in unbounded:       # no match at all -> stays null
+            assert t["last_orderkey"] is None
+            continue
+        u = unbounded[eid]
+        days = (t["ts"].date() - u["ts"].date()).days  # same ts
+        assert days == 0
+        if t["last_orderkey"] is None:
+            nulled += 1
+            assert t["matched_date"] is None
+        else:
+            assert t["last_orderkey"] == u["last_orderkey"]
+            assert (t["ts"].date() - t["matched_date"].date()).days <= 30
+    assert nulled > 0   # the tolerance actually bites on this lake
+
+
+def test_degree_stats_mass_conservation(spark):
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        dedup_token_jaccard,
+        graph_degree_stats,
+    )
+    n_pairs = dedup_token_jaccard(spark, SF_SMALL).count()
+    hist = graph_degree_stats(spark, SF_SMALL).collect()
+    assert sum(r["degree"] * r["n_docs"] for r in hist) == 2 * n_pairs
+
+
+def test_vocab_table_dense_ids_and_monotone_freq(spark):
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        text_vocab_table,
+    )
+    rows = sorted(text_vocab_table(spark, SF_SMALL).collect(),
+                  key=lambda r: r["vocab_id"])
+    assert [r["vocab_id"] for r in rows] == list(range(1, len(rows) + 1))
+    freqs = [r["freq"] for r in rows]
+    assert freqs == sorted(freqs, reverse=True)
+    assert min(freqs) >= 5
