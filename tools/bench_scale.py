@@ -57,6 +57,9 @@ SCALE_QUERIES = [
     # r5d addition: sequence packing — prefix-sum + boundary fanout;
     # the training-loader shape whose naive plan is a global window
     "corpus_seq_pack",
+    # r5d6 addition: DSIR importance weights — the hashed-ngram census
+    # + broadcast-λ shape; must stay linear in the token stream
+    "corpus_dsir_weights",
 ]
 
 
