@@ -1803,18 +1803,29 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str,
         toks,
         F.transform(bi_pairs,
                     lambda p: F.concat_ws(" ", p["w1"], p["w2"])))
-    base = documents.select(
+    # The target flag is deliberately NOT projected alongside the
+    # explode: CollapseProject would inline the quality expression
+    # (stopword ArrayFilter + two regexes over the FULL text) into the
+    # post-generate projection and re-evaluate it once per GRAM row —
+    # measured as a 2-cpu multi-minute straggler at the sf1 lake.
+    # Instead the per-doc flag is computed once on the 1-row-per-doc
+    # side and joined back onto the already-combined (doc, bucket)
+    # census, which is ~3x smaller than the gram stream.
+    feat = documents.select(
+        "doc_id", F.explode(grams).alias("gram")
+    ).select(
         "doc_id",
-        (TX.quality_score("text") >= F.lit(target_quality)).alias("is_tgt"),
-        F.explode(grams).alias("gram"))
-    feat = base.select(
-        "doc_id", "is_tgt",
         (TX.rolling_hash(F.col("gram")) % F.lit(n_buckets)).alias("bucket"))
     doc_feat = feat.groupBy("doc_id", "bucket").agg(
         F.count(F.lit(1)).alias("cnt"))
-    marg = feat.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("raw_cnt"),
-        F.sum(F.when(F.col("is_tgt"), 1).otherwise(0)).alias("tgt_cnt"))
+    flags = documents.select(
+        "doc_id",
+        (TX.quality_score("text") >= F.lit(target_quality)).alias("is_tgt"))
+    marg = (doc_feat.join(flags, "doc_id")
+            .groupBy("bucket").agg(
+                F.sum("cnt").alias("raw_cnt"),
+                F.sum(F.when(F.col("is_tgt"), F.col("cnt")).otherwise(0))
+                 .alias("tgt_cnt")))
     tot = marg.agg(F.sum("raw_cnt").alias("r_tot"),
                    F.sum("tgt_cnt").alias("t_tot"))
     lam = (marg.crossJoin(F.broadcast(tot)).select(
@@ -1985,3 +1996,80 @@ def text_vocab_table(spark: SparkSession, sf_dir: str,
             .withColumn("neg_freq", -F.col("freq")))
     ranked = serial_id(freq, ["neg_freq", "token"], id_col="vocab_id")
     return ranked.select("vocab_id", "token", "freq")
+
+
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model scoring with add-one smoothing — one
+    Markov order above ``text_unigram_logprob`` (the KenLM-direction
+    upgrade of the CCNet perplexity filter):
+    ``P(b|a) = (c(ab)+1) / (c(a)+|V|)``, per-document mean NLL over
+    its bigrams.  Documents with fewer than 2 tokens have no bigrams
+    and are excluded (mirrored in the oracle).
+
+    Plan: the bigram census is one map-side-combined (a,b) shuffle and
+    the unigram census one (a) shuffle; the scoring stream re-joins
+    both (AQE broadcasts the vocabulary sides at our scale, degrades
+    to hash joins keyed on the gram — never quadratic); |V| rides in
+    as a broadcast scalar.  Per-bigram log-probs go through
+    DECIMAL(28,12) before the per-doc sum (r5 bit-exactness rule)."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    toks = F.transform(TX.tokens("text"), lambda t: F.lower(t))
+    d = documents.select("doc_id", toks.alias("tk")) \
+                 .where(F.size("tk") >= 2)
+    pairs = F.arrays_zip(
+        F.slice(F.col("tk"), 1,
+                F.greatest(F.size("tk") - 1, F.lit(0))).alias("a"),
+        F.slice(F.col("tk"), 2,
+                F.greatest(F.size("tk") - 1, F.lit(0))).alias("b"))
+    bg = (d.select("doc_id", F.explode(pairs).alias("p"))
+          .select("doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b")))
+    c_ab = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    uni = (documents.select(F.explode(toks).alias("a"))
+           .groupBy("a").agg(F.count(F.lit(1)).alias("c_a")))
+    vocab = uni.agg(F.count(F.lit(1)).alias("v"))
+    lp = F.log((F.col("c_ab") + 1).cast("double")
+               / (F.col("c_a") + F.col("v")).cast("double"))
+    scored = (bg.join(c_ab, ["a", "b"]).join(uni, "a")
+              .crossJoin(F.broadcast(vocab))
+              .select("doc_id", lp.cast("decimal(28,12)").alias("lp")))
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(-(F.sum("lp").cast("double")) / F.count(F.lit(1)), 4)
+         .alias("nll_per_bigram"))
+
+
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine ANN quality report: recall@k of every approximate
+    index family (RP-LSH, IVF, PQ-ADC) against the exact brute-force
+    top-k, as a 3-row table — the evaluation a retrieval stack runs
+    before trading exactness for speed (rows-only: the approximate
+    methods are hash/seed-dependent by design; the per-method recall
+    floors are pinned in tests).
+
+    Plan: the exact baseline computes ONCE; each method joins its
+    (q_id, vec_id) hits against it (tiny keyed joins on the top-k
+    result sets, not the corpus) and aggregates a per-query recall
+    mean.  The loop is over the 3 METHOD NAMES — driver-side plan
+    construction, not data movement."""
+    exact = ann_cosine_topk(spark, sf_dir).select("q_id", "vec_id")
+    n_exact = exact.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    methods = {"lsh": ann_lsh_topk, "ivf": ann_ivf_topk,
+               "pq": ann_pq_topk}
+    outs = []
+    for name, fn in sorted(methods.items()):
+        ap = fn(spark, sf_dir).select("q_id", "vec_id")
+        hits = (exact.join(ap, ["q_id", "vec_id"])
+                .groupBy("q_id").agg(F.count(F.lit(1)).alias("n_hit")))
+        per_q = (n_exact.join(hits, "q_id", "left")
+                 .select("q_id", F.coalesce(F.col("n_hit"), F.lit(0))
+                         .alias("n_hit"), "n_exact"))
+        outs.append(per_q.agg(
+            F.round(F.avg(F.col("n_hit") / F.col("n_exact")), 4)
+             .alias("mean_recall"),
+            F.count(F.lit(1)).cast("long").alias("n_queries"))
+            .select(F.lit(name).alias("method"),
+                    "mean_recall", "n_queries"))
+    rep = outs[0]
+    for o in outs[1:]:
+        rep = rep.unionAll(o)
+    return rep

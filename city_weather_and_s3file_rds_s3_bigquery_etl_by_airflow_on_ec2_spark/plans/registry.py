@@ -3367,6 +3367,39 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM f
         """,
     ),
+    "text_bigram_logprob": QuerySpec(
+        X.text_bigram_logprob,
+        f"""
+        WITH tk AS (
+            SELECT doc_id, list_transform({_TOKS}, t -> lower(t)) AS toks
+            FROM documents
+        ), bg AS (
+            SELECT doc_id, toks[i] AS a, toks[i+1] AS b
+            FROM (SELECT doc_id, toks,
+                         unnest(range(1, len(toks))) AS i
+                  FROM tk WHERE len(toks) >= 2)
+        ), cab AS (
+            SELECT a, b, count(*) AS c_ab FROM bg GROUP BY a, b
+        ), uni AS (
+            SELECT lower(unnest({_TOKS})) AS a FROM documents
+        ), ca AS (
+            SELECT a, count(*) AS c_a FROM uni GROUP BY a
+        ), v AS (
+            SELECT count(*) AS v FROM ca
+        ), sc AS (
+            SELECT bg.doc_id,
+                   CAST(ln(CAST(cab.c_ab + 1 AS DOUBLE)
+                           / CAST(ca.c_a + v.v AS DOUBLE))
+                        AS DECIMAL(28,12)) AS lp
+            FROM bg JOIN cab USING (a, b) JOIN ca USING (a) CROSS JOIN v
+        )
+        SELECT doc_id, count(*) AS n_bigrams,
+               round(-CAST(sum(lp) AS DOUBLE) / count(*), 4)
+                   AS nll_per_bigram
+        FROM sc GROUP BY doc_id
+        """,
+    ),
+    "ann_recall_report": QuerySpec(X.ann_recall_report, None),
 }
 
 # The driver's per-round correctness snapshot covers only the FIRST 50

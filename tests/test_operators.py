@@ -2739,3 +2739,55 @@ def test_vocab_table_dense_ids_and_monotone_freq(spark):
     freqs = [r["freq"] for r in rows]
     assert freqs == sorted(freqs, reverse=True)
     assert min(freqs) >= 5
+
+
+def test_bigram_logprob_matches_python_reference(spark):
+    """text_bigram_logprob equals a from-scratch add-one-smoothed
+    bigram LM on every multi-token document."""
+    import math
+    import re
+
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        text_bigram_logprob,
+    )
+    got = {r["doc_id"]: r for r in
+           text_bigram_logprob(spark, SF_SMALL).collect()}
+    docs = read_parquet_table(spark, SF_SMALL, "documents") \
+        .select("doc_id", "text").collect()
+    c_a, c_ab = {}, {}
+    toks_by_doc = {}
+    for r in docs:
+        tk = [t.lower() for t in re.split(r"\s+", r["text"].strip())]
+        toks_by_doc[r["doc_id"]] = tk
+        for a in tk:
+            c_a[a] = c_a.get(a, 0) + 1
+        for a, b in zip(tk, tk[1:]):
+            c_ab[(a, b)] = c_ab.get((a, b), 0) + 1
+    V = len(c_a)
+    n_checked = 0
+    for doc_id, tk in toks_by_doc.items():
+        if len(tk) < 2:
+            assert doc_id not in got
+            continue
+        nll = -sum(math.log((c_ab[(a, b)] + 1) / (c_a[a] + V))
+                   for a, b in zip(tk, tk[1:])) / (len(tk) - 1)
+        assert got[doc_id]["n_bigrams"] == len(tk) - 1
+        assert got[doc_id]["nll_per_bigram"] == pytest.approx(nll, abs=1e-3)
+        n_checked += 1
+    assert n_checked == len(got)
+
+
+def test_ann_recall_report_floors(spark):
+    """The in-engine recall report agrees with the per-method recall
+    floors the individual operator tests pin."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        ann_recall_report,
+    )
+    rows = {r["method"]: r for r in ann_recall_report(spark, SF_SMALL).collect()}
+    assert set(rows) == {"lsh", "ivf", "pq"}
+    for r in rows.values():
+        assert r["n_queries"] == 20
+        assert 0.0 < r["mean_recall"] <= 1.0
+    assert rows["lsh"]["mean_recall"] >= 0.6
+    assert rows["pq"]["mean_recall"] >= 0.5
+    assert rows["ivf"]["mean_recall"] >= 0.2
