@@ -2073,3 +2073,52 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         rep = rep.unionAll(o)
     return rep
+
+
+def join_spatial_grid_radius(spark: SparkSession, sf_dir: str,
+                             radius: float = 0.05) -> DataFrame:
+    """Grid-blocked spatial radius self-join: all point pairs within
+    ``radius`` in the (dim0, dim1) plane of the embedding space — the
+    classic fixed-grid spatial join (cell size = radius, each left
+    point probes its 3x3 cell neighborhood).  Distance <= r bounds the
+    per-axis cell delta to {-1,0,1}, so the 9-offset fanout is
+    COMPLETE: every qualifying pair is found exactly once (the
+    offset is determined by the two cells), no dedup pass needed.
+
+    Plan shape (the 100-TB story): a 9x fanout of one side then a pure
+    equi-join on the (cell_x, cell_y) composite key — hash-partitioned
+    both sides, never an n² cross product and never a theta-join; the
+    exact distance test is a map-side filter on the matched cells.
+    Density skew (a hot cell) is ordinary equi-join skew — AQE's
+    skew-join split applies as-is."""
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    r = F.lit(float(radius))
+    v = as_double(F.col("embedding"))
+    pts = embeddings.select(
+        "vec_id",
+        F.element_at(v, 1).alias("x"),
+        F.element_at(v, 2).alias("y"))
+    pts = pts.select(
+        "vec_id", "x", "y",
+        F.floor(F.col("x") / r).alias("cx"),
+        F.floor(F.col("y") / r).alias("cy"))
+    offsets = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
+    a9 = (pts.select(
+            F.col("vec_id").alias("id_a"),
+            F.col("x").alias("xa"), F.col("y").alias("ya"),
+            "cx", "cy", F.explode(offsets).alias("o"))
+          .select("id_a", "xa", "ya",
+                  (F.col("cx") + F.col("o.dx")).alias("cxb"),
+                  (F.col("cy") + F.col("o.dy")).alias("cyb")))
+    b = pts.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("x").alias("xb"), F.col("y").alias("yb"),
+        F.col("cx").alias("cxb"), F.col("cy").alias("cyb"))
+    dx = F.col("xa") - F.col("xb")
+    dy = F.col("ya") - F.col("yb")
+    dist = F.sqrt(dx * dx + dy * dy)
+    return (a9.join(b, ["cxb", "cyb"])
+            .where((F.col("id_a") < F.col("id_b")) & (dist <= r))
+            .select("id_a", "id_b", F.round(dist, 6).alias("dist")))

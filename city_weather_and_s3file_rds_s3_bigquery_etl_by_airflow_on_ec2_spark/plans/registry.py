@@ -3400,6 +3400,34 @@ REGISTRY: dict[str, QuerySpec] = {
         """,
     ),
     "ann_recall_report": QuerySpec(X.ann_recall_report, None),
+    "join_spatial_grid_radius": QuerySpec(
+        X.join_spatial_grid_radius,
+        """
+        WITH p AS (
+            SELECT vec_id,
+                   CAST(embedding[1] AS DOUBLE) AS x,
+                   CAST(embedding[2] AS DOUBLE) AS y,
+                   CAST(floor(CAST(embedding[1] AS DOUBLE) / 0.05)
+                        AS BIGINT) AS cx,
+                   CAST(floor(CAST(embedding[2] AS DOUBLE) / 0.05)
+                        AS BIGINT) AS cy
+            FROM embeddings
+        ), a9 AS (
+            SELECT vec_id AS id_a, x AS xa, y AS ya,
+                   cx + dx AS cxb, cy + dy AS cyb
+            FROM p,
+                 (SELECT unnest([-1, 0, 1]) AS dx) dxs,
+                 (SELECT unnest([-1, 0, 1]) AS dy) dys
+        )
+        SELECT id_a, b.vec_id AS id_b,
+               round(sqrt((xa - b.x) * (xa - b.x)
+                          + (ya - b.y) * (ya - b.y)), 6) AS dist
+        FROM a9 JOIN p b ON a9.cxb = b.cx AND a9.cyb = b.cy
+        WHERE id_a < b.vec_id
+          AND sqrt((xa - b.x) * (xa - b.x)
+                   + (ya - b.y) * (ya - b.y)) <= 0.05
+        """,
+    ),
 }
 
 # The driver's per-round correctness snapshot covers only the FIRST 50

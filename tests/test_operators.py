@@ -2791,3 +2791,28 @@ def test_ann_recall_report_floors(spark):
     assert rows["lsh"]["mean_recall"] >= 0.6
     assert rows["pq"]["mean_recall"] >= 0.5
     assert rows["ivf"]["mean_recall"] >= 0.2
+
+
+def test_spatial_grid_radius_complete_vs_brute_force(spark):
+    """The 3x3-cell grid join finds EXACTLY the brute-force pair set
+    (completeness: dist <= r bounds cell deltas to {-1,0,1}; unicity:
+    the offset is determined by the two cells)."""
+    import math
+
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        join_spatial_grid_radius,
+    )
+    got = {(r["id_a"], r["id_b"]): r["dist"]
+           for r in join_spatial_grid_radius(spark, SF_SMALL).collect()}
+    pts = [(r["vec_id"], float(r["embedding"][0]), float(r["embedding"][1]))
+           for r in read_parquet_table(spark, SF_SMALL, "embeddings")
+           .select("vec_id", "embedding").collect()]
+    expect = {}
+    for i, (ida, xa, ya) in enumerate(pts):
+        for idb, xb, yb in pts[i + 1:]:
+            d = math.sqrt((xa - xb) ** 2 + (ya - yb) ** 2)
+            if d <= 0.05:
+                k = (min(ida, idb), max(ida, idb))
+                expect[k] = round(d, 6)
+    assert got == expect
+    assert len(got) > 0
