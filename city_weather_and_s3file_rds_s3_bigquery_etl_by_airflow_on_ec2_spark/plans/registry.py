@@ -3428,6 +3428,54 @@ REGISTRY: dict[str, QuerySpec] = {
                    + (ya - b.y) * (ya - b.y)) <= 0.05
         """,
     ),
+    "text_trigram_langid": QuerySpec(
+        X.text_trigram_langid,
+        r"""
+        WITH d AS (
+            SELECT doc_id, lang AS true_lang,
+                   lower(regexp_replace(trim(text), '\s+', ' ', 'g'))
+                       AS nt
+            FROM documents
+            WHERE length(lower(regexp_replace(trim(text), '\s+', ' ',
+                                              'g'))) >= 3
+        ), tri AS (
+            SELECT doc_id, true_lang, substr(nt, i, 3) AS tri
+            FROM (SELECT doc_id, true_lang, nt,
+                         unnest(range(1, length(nt) - 1)) AS i
+                  FROM d)
+        ), prof AS (
+            SELECT true_lang AS lang, tri, count(*) AS c
+            FROM tri GROUP BY 1, 2
+        ), totals AS (
+            SELECT lang, sum(c) AS t FROM prof GROUP BY lang
+        ), vocab AS (
+            SELECT count(DISTINCT tri) AS v FROM prof
+        ), fan AS (
+            SELECT t.doc_id, t.true_lang, t.tri, l.lang, l.t
+            FROM tri t CROSS JOIN totals l
+        ), scored AS (
+            SELECT f.doc_id, f.true_lang, f.lang,
+                   CAST(ln(CAST(coalesce(p.c, 0) + 1 AS DOUBLE)
+                           / CAST(f.t + v.v AS DOUBLE))
+                        AS DECIMAL(28,12)) AS lp
+            FROM fan f
+            LEFT JOIN prof p ON f.lang = p.lang AND f.tri = p.tri
+            CROSS JOIN vocab v
+        ), per_lang AS (
+            SELECT doc_id, true_lang, lang,
+                   -CAST(sum(lp) AS DOUBLE) / count(*) AS nll
+            FROM scored GROUP BY doc_id, true_lang, lang
+        ), r AS (
+            SELECT doc_id, true_lang, lang, nll,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY nll, lang) AS rn
+            FROM per_lang
+        )
+        SELECT doc_id, true_lang, lang AS pred_lang,
+               round(nll, 4) AS nll_per_tri
+        FROM r WHERE rn = 1
+        """,
+    ),
 }
 
 # The driver's per-round correctness snapshot covers only the FIRST 50

@@ -2816,3 +2816,47 @@ def test_spatial_grid_radius_complete_vs_brute_force(spark):
                 expect[k] = round(d, 6)
     assert got == expect
     assert len(got) > 0
+
+
+def test_trigram_langid_beats_majority_and_separates_planted(spark, tmp_path):
+    """On the shared-vocabulary synthetic corpus the trigram LM must
+    at least beat the majority-class baseline (the raw-lang ceiling is
+    documented on ml_langid_classifier); on a planted lake with
+    disjoint character distributions it must be perfect."""
+    from collections import Counter
+
+    from pyspark.sql import types as T
+
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        text_trigram_langid,
+    )
+    rows = text_trigram_langid(spark, SF_SMALL).collect()
+    acc = sum(1 for r in rows if r["pred_lang"] == r["true_lang"]) / len(rows)
+    majority = max(Counter(r["true_lang"] for r in rows).values()) / len(rows)
+    assert acc > majority
+    # argmin consistency: the predicted NLL is the per-doc minimum, so
+    # re-scoring under the true language can never be lower for docs
+    # predicted correctly (trivially) — spot-check instead that every
+    # prediction is one of the trained languages
+    langs = {r["true_lang"] for r in rows}
+    assert {r["pred_lang"] for r in rows} <= langs
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ])
+    docs = []
+    for i in range(10):
+        ta = " ".join(["abc cab bca"] * 5) + f" a{i}"
+        tb = " ".join(["xyz zyx yxz"] * 5) + f" x{i}"
+        docs.append((2 * i, ta, "aa", "t", len(ta)))
+        docs.append((2 * i + 1, tb, "bb", "t", len(tb)))
+    lake = str(tmp_path / "langid_lake")
+    spark.createDataFrame(docs, schema).coalesce(1) \
+        .write.parquet(f"{lake}/documents.parquet")
+    out = text_trigram_langid(spark, lake).collect()
+    assert len(out) == 20
+    assert all(r["pred_lang"] == r["true_lang"] for r in out)
