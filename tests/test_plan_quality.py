@@ -257,10 +257,15 @@ def test_no_unjustified_single_partition_suite_wide(spark):
             child = lines[i + 1] if i + 1 < len(lines) else ""
             # ADVICE r3: keyless SortAggregate prints 'key=[]'
             # (singular) while HashAggregate prints 'keys=[]'; match
-            # both spellings for all three aggregate operators
+            # both spellings for all three aggregate operators.
+            # r5d10: a keyless aggregate child is one-row-per-partition
+            # regardless of which phase prints first — partial_*,
+            # merge_* (the count-distinct two-phase interleaves
+            # merge_+partial_), or an empty function list (count(*)
+            # planned as row-count partials) are all metadata-sized.
             ok = re.search(
                 r"(?:Hash|Sort|ObjectHash)?Aggregate\((?:keys|key)=\[\], "
-                r"functions=\[partial_", child)
+                r"functions=\[(?:partial_|merge_|\])", child)
             if not ok:
                 offenders[name] = line.strip() + " || child: " + child.strip()
                 break
