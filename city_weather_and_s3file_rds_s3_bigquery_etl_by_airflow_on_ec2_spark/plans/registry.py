@@ -3476,6 +3476,28 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM r WHERE rn = 1
         """,
     ),
+    "window_ewma": QuerySpec(
+        R.window_ewma,
+        """
+        WITH w AS (
+            SELECT event_id, event_type, ts, value,
+                   list(value) OVER (PARTITION BY event_type
+                                     ORDER BY ts, event_id
+                                     ROWS BETWEEN 9 PRECEDING
+                                              AND CURRENT ROW) AS arr
+            FROM events
+        )
+        SELECT event_id, event_type, ts, value,
+               round(CAST(list_reduce(
+                         list_prepend(CAST(0 AS DECIMAL(28,12)),
+                             list_transform(arr, (x, i) ->
+                                 CAST(x * pow(0.5, len(arr) - i)
+                                      AS DECIMAL(28,12)))),
+                         (acc, t) -> acc + t) AS DOUBLE)
+                     / (2 - pow(2, 1 - len(arr))), 4) AS ewma_10
+        FROM w
+        """,
+    ),
 }
 
 # The driver's per-round correctness snapshot covers only the FIRST 50

@@ -2304,3 +2304,44 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str,
         "event_id", "user_id", "ts",
         F.when(fresh, F.col("last_orderkey")).alias("last_orderkey"),
         F.when(fresh, F.col("matched_date")).alias("matched_date"))
+
+
+def window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average over each event type's
+    value stream (bounded 10-row window, alpha = 0.5) — the standard
+    time-series smoother next to the plain rolling mean
+    (``window_time_range_rolling``).
+
+    alpha is deliberately 1/2: the weights (1/2)^j are EXACT binary
+    doubles and scaling by a power of two only shifts the exponent, so
+    both engines produce bit-identical terms; the only remaining
+    hazard — cross-partition addition order — is closed by the usual
+    DECIMAL(28,12) term cast before summation.  The normalizer
+    sum_{{j<n}} (1/2)^j = 2 - 2^(1-n) is closed-form.
+
+    Plan: one per-type window (4 partitions, AQE handles the skew),
+    collect_list over a ROWS 9-PRECEDING frame (bounded: <= 10
+    elements per row), then pure array arithmetic — no UDF, no
+    second shuffle."""
+    (events,) = _t(spark, sf_dir, "events")
+    w = (Window.partitionBy("event_type").orderBy("ts", "event_id")
+         .rowsBetween(-9, Window.currentRow))
+    arr = F.collect_list(F.col("value")).over(w)
+    n = F.size("arr")
+    # element i (1-based, oldest first) gets weight (1/2)^(n-i)
+    terms = F.zip_with(
+        F.col("arr"),
+        F.sequence(F.lit(1), n),
+        lambda x, i: (x * F.pow(F.lit(0.5), (n - i).cast("double")))
+        .cast("decimal(28,12)"))
+    denom = F.lit(2.0) - F.pow(F.lit(2.0), (F.lit(1) - n).cast("double"))
+    # the merge lambda must return the accumulator type exactly —
+    # decimal addition widens (28,12)+(28,12) -> (29,12), so cast back
+    # (scale unchanged: no value change, ample precision headroom)
+    ewma = (F.aggregate(terms, F.lit(0).cast("decimal(28,12)"),
+                        lambda acc, t: (acc + t).cast("decimal(28,12)"))
+            .cast("double") / denom)
+    return (events.select("event_id", "event_type", "ts", "value")
+            .withColumn("arr", arr)
+            .select("event_id", "event_type", "ts", "value",
+                    F.round(ewma, 4).alias("ewma_10")))

@@ -2860,3 +2860,28 @@ def test_trigram_langid_beats_majority_and_separates_planted(spark, tmp_path):
     out = text_trigram_langid(spark, lake).collect()
     assert len(out) == 20
     assert all(r["pred_lang"] == r["true_lang"] for r in out)
+
+
+def test_window_ewma_matches_python_reference(spark):
+    """Bit-stable alpha=0.5 EWMA equals a direct Python computation of
+    the normalized 10-row exponential smoother."""
+    from collections import defaultdict
+
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.relational import (
+        window_ewma,
+    )
+    got = {r["event_id"]: r["ewma_10"]
+           for r in window_ewma(spark, SF_SMALL).collect()}
+    events = sorted(
+        read_parquet_table(spark, SF_SMALL, "events")
+        .select("event_id", "event_type", "ts", "value").collect(),
+        key=lambda r: (r["event_type"], r["ts"], r["event_id"]))
+    hist = defaultdict(list)
+    for r in events:
+        h = hist[r["event_type"]]
+        h.append(r["value"])
+        win = h[-10:]
+        n = len(win)
+        num = sum(x * 0.5 ** (n - i) for i, x in enumerate(win, start=1))
+        den = 2 - 2.0 ** (1 - n)
+        assert got[r["event_id"]] == pytest.approx(num / den, abs=1e-3)
