@@ -510,3 +510,31 @@ def test_loader_pipeline_no_single_partition(spark):
 
     plan = _plan(corpus_loader_pipeline(spark, SF_SMALL))
     assert "SinglePartition" not in plan
+
+
+def test_spatial_grid_join_is_pure_equi_join(spark):
+    """The grid radius join must plan as a hash/merge EQUI-join on the
+    cell key — never a cartesian product or nested-loop theta join
+    (the shapes the grid blocking exists to avoid)."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        join_spatial_grid_radius,
+    )
+
+    plan = _plan(join_spatial_grid_radius(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_window_ewma_single_keyed_exchange(spark):
+    """EWMA is one per-type window: exactly one data exchange, hash-
+    partitioned on event_type, and no SinglePartition anywhere."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.relational import (
+        window_ewma,
+    )
+
+    plan = _plan(window_ewma(spark, SF_SMALL))
+    assert "SinglePartition" not in plan
+    exchanges = [ln for ln in plan.splitlines()
+                 if "Exchange" in ln and "BroadcastExchange" not in ln]
+    assert len(exchanges) == 1, exchanges
+    assert "event_type" in exchanges[0]
