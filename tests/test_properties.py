@@ -117,3 +117,52 @@ def test_asof_forward_matches_pandas(spark, lrows, rrows):
     want = {int(r.lid): (None if pd.isna(r.payload) else int(r.payload))
             for r in want_df.itertuples()}
     assert got == want
+
+
+# ------------------------------------------------ spatial grid join —
+
+pt_rows = st.lists(
+    st.tuples(
+        st.floats(min_value=-2.0, max_value=2.0,
+                  allow_nan=False, allow_infinity=False, width=32),
+        st.floats(min_value=-2.0, max_value=2.0,
+                  allow_nan=False, allow_infinity=False, width=32)),
+    min_size=2, max_size=25)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(pts=pt_rows)
+def test_spatial_grid_join_matches_brute_force_property(spark, tmp_path_factory, pts):
+    """For ARBITRARY point sets (including cell-boundary and negative
+    coordinates) the grid-blocked radius join equals the O(n²) brute
+    force — completeness and unicity of the 3x3 fanout."""
+    import math
+
+    from pyspark.sql import types as T
+
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        join_spatial_grid_radius,
+    )
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ])
+    rows = [(i, [x, y, 0.0], 0) for i, (x, y) in enumerate(pts)]
+    lake = str(tmp_path_factory.mktemp("grid") / "lake")
+    spark.createDataFrame(rows, schema).coalesce(1) \
+        .write.mode("overwrite").parquet(f"{lake}/embeddings.parquet")
+    r = 0.3
+    got = {(q["id_a"], q["id_b"]): q["dist"]
+           for q in join_spatial_grid_radius(spark, lake, radius=r).collect()}
+    cast = [(i, float(pd.Series([x], dtype="float32")[0]),
+             float(pd.Series([y], dtype="float32")[0]))
+            for i, (x, y) in enumerate(pts)]
+    expect = {}
+    for i, (ida, xa, ya) in enumerate(cast):
+        for idb, xb, yb in cast[i + 1:]:
+            d = math.sqrt((xa - xb) ** 2 + (ya - yb) ** 2)
+            if d <= r:
+                expect[(min(ida, idb), max(ida, idb))] = round(d, 6)
+    assert got == expect
