@@ -2176,3 +2176,73 @@ def text_trigram_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "true_lang",
                     F.col("lang").alias("pred_lang"),
                     F.round(F.col("nll"), 4).alias("nll_per_tri")))
+
+
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's
+    distinct 5-gram spans that occur NOWHERE else in the corpus — the
+    complement of ``text_ngram_dup_spans``'s duplicate census, read
+    per document: low novelty means the document is assembled from
+    corpus-repeated spans (boilerplate / template / memorization
+    risk), the triage signal Lee et al. 2021 motivates.
+
+    Plan: one distinct (doc, gram) census, one gram-keyed
+    doc-frequency aggregate, and a rejoin on the gram (map-side
+    combine everywhere, AQE broadcasts the df table only if it is
+    small — the join itself is hash-keyed, never quadratic)."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 5),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 5)))
+    dg = (documents.where(F.size(toks) >= 5)
+          .select("doc_id", F.explode(grams).alias("gram"))
+          .distinct())
+    df_g = dg.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("doc_freq"))
+    return (dg.join(df_g, "gram")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_distinct_grams"),
+                 F.sum(F.when(F.col("doc_freq") == 1, 1).otherwise(0))
+                  .alias("n_novel"),
+                 F.round(
+                     F.sum(F.when(F.col("doc_freq") == 1, 1).otherwise(0))
+                     / F.count(F.lit(1)), 4).alias("novelty_ratio")))
+
+
+def embedding_outlier_knn(spark: SparkSession, sf_dir: str,
+                          k: int = 5) -> DataFrame:
+    """k-NN-distance outlier scoring for embeddings: each vector's
+    score is 1 − mean cosine similarity to its k nearest neighbors
+    WITHIN its label block — vectors far from everything in their own
+    cluster are mislabeled/corrupt-embedding candidates (the distance-
+    based outlier family; the embedding-pipeline data-quality
+    complement of ``events_anomaly_zscore``).
+
+    Plan: the label block bounds the pair quadratic exactly like
+    ``dedup_embedding_cosine``/SemDeDup — block size is a data
+    constant, block count scales with the corpus — and the top-k mean
+    is a per-vector window over the blocked pairs (rank <= k with
+    (sim desc, neighbor id) tiebreak for determinism)."""
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    from pyspark.sql import Window
+    e = embeddings.select("vec_id", "label",
+                          as_double(F.col("embedding")).alias("v"))
+    a = e.select(F.col("vec_id").alias("id_a"), "label",
+                 F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"),
+                 F.col("label").alias("label_b"), F.col("v").alias("vb"))
+    cos = dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(dot(F.col("va"), F.col("va")))
+        * F.sqrt(dot(F.col("vb"), F.col("vb"))))
+    pairs = (a.join(b, (F.col("label") == F.col("label_b"))
+                    & (F.col("id_a") != F.col("id_b")))
+             .select("id_a", "label", "id_b", cos.alias("sim")))
+    w = Window.partitionBy("id_a").orderBy(F.col("sim").desc(), "id_b")
+    topk = pairs.withColumn("rn", F.row_number().over(w)) \
+                .where(F.col("rn") <= k)
+    mean_sim = (F.sum(F.col("sim").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1)))
+    return (topk.groupBy(F.col("id_a").alias("vec_id"), "label")
+            .agg(F.round(F.lit(1.0) - mean_sim, 4)
+                 .alias("knn_outlier_score")))

@@ -3498,6 +3498,58 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM w
         """,
     ),
+    "text_ngram_novelty": QuerySpec(
+        X.text_ngram_novelty,
+        f"""
+        WITH t AS (
+            SELECT doc_id, {_TOKS} AS toks FROM documents
+        ), dg AS (
+            SELECT DISTINCT doc_id, gram FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(1, len(toks) - 3),
+                           i -> array_to_string(list_slice(toks, i, i + 4),
+                                                ' '))) AS gram
+                FROM t WHERE len(toks) >= 5)
+        ), dfg AS (
+            SELECT gram, count(*) AS doc_freq FROM dg GROUP BY gram
+        )
+        SELECT doc_id,
+               count(*) AS n_distinct_grams,
+               CAST(sum(CASE WHEN doc_freq = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel,
+               round(CAST(sum(CASE WHEN doc_freq = 1 THEN 1 ELSE 0 END)
+                          AS DOUBLE) / count(*), 4) AS novelty_ratio
+        FROM dg JOIN dfg USING (gram)
+        GROUP BY doc_id
+        """,
+    ),
+    "embedding_outlier_knn": QuerySpec(
+        X.embedding_outlier_knn,
+        """
+        WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        pairs AS (
+            SELECT a.vec_id AS id_a, a.label, b.vec_id AS id_b,
+                   list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(b.v, b.v))) AS sim
+            FROM e a JOIN e b
+              ON a.label = b.label AND a.vec_id <> b.vec_id
+        ), topk AS (
+            SELECT id_a, label, sim,
+                   row_number() OVER (PARTITION BY id_a
+                                      ORDER BY sim DESC, id_b) AS rn
+            FROM pairs
+        )
+        SELECT id_a AS vec_id, label,
+               round(1.0 - CAST(sum(CAST(sim AS DECIMAL(28,12)))
+                                AS DOUBLE) / count(*), 4)
+                   AS knn_outlier_score
+        FROM topk WHERE rn <= 5
+        GROUP BY id_a, label
+        """,
+    ),
 }
 
 # The driver's per-round correctness snapshot covers only the FIRST 50

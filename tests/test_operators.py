@@ -2885,3 +2885,60 @@ def test_window_ewma_matches_python_reference(spark):
         num = sum(x * 0.5 ** (n - i) for i, x in enumerate(win, start=1))
         den = 2 - 2.0 ** (1 - n)
         assert got[r["event_id"]] == pytest.approx(num / den, abs=1e-3)
+
+
+def test_ngram_novelty_planted_extremes(spark, tmp_path):
+    """A doc duplicated verbatim scores novelty 0 (all spans shared);
+    a unique-vocabulary doc scores 1.0."""
+    from pyspark.sql import types as T
+
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        text_ngram_novelty,
+    )
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ])
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    unique = "uno dos tres cuatro cinco seis siete ocho"
+    docs = [(1, shared, "en", "t", len(shared)),
+            (2, shared, "en", "t", len(shared)),
+            (3, unique, "en", "t", len(unique))]
+    lake = str(tmp_path / "nov_lake")
+    spark.createDataFrame(docs, schema).coalesce(1) \
+        .write.parquet(f"{lake}/documents.parquet")
+    out = {r["doc_id"]: r for r in text_ngram_novelty(spark, lake).collect()}
+    assert out[1]["novelty_ratio"] == 0.0
+    assert out[2]["novelty_ratio"] == 0.0
+    assert out[3]["novelty_ratio"] == 1.0
+    assert out[3]["n_novel"] == out[3]["n_distinct_grams"] == 4
+
+
+def test_embedding_outlier_knn_flags_planted_orthogonal(spark, tmp_path):
+    """An orthogonal vector planted into a tight same-label cluster
+    gets the block's highest kNN outlier score."""
+    from pyspark.sql import types as T
+
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        embedding_outlier_knn,
+    )
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ])
+    rows = []
+    for i in range(8):   # tight cluster near e1
+        rows.append((i, [1.0, 0.01 * i, 0.0, 0.0], 0))
+    rows.append((99, [0.0, 0.0, 1.0, 0.0], 0))   # orthogonal outlier
+    lake = str(tmp_path / "knn_lake")
+    spark.createDataFrame(rows, schema).coalesce(1) \
+        .write.parquet(f"{lake}/embeddings.parquet")
+    out = {r["vec_id"]: r["knn_outlier_score"]
+           for r in embedding_outlier_knn(spark, lake).collect()}
+    assert max(out, key=out.get) == 99
+    assert out[99] > 0.9
+    assert all(v < 0.1 for k, v in out.items() if k != 99)
