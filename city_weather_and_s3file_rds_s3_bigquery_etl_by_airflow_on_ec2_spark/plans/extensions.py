@@ -1891,7 +1891,13 @@ def text_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     winning pair is a 1-row broadcast; the merge itself is a
     zero-shuffle per-row expression (executor-local, O(doc length))."""
     (documents,) = _t(spark, sf_dir, "documents")
-    toks = F.transform(TX.tokens("text"), lambda t: F.lower(t))
+    # Drop any raw token containing the ␞ sentinel BEFORE the census and
+    # the fold (oracle filters identically): a literal "a␞b" token would
+    # otherwise make the fold's last-element test match a merged symbol
+    # and silently break the fold-vs-closed-form identity (ADVICE r5 #2).
+    toks = F.filter(
+        F.transform(TX.tokens("text"), lambda t: F.lower(t)),
+        lambda t: ~t.contains("␞"))
     d = documents.select("doc_id", toks.alias("toks"))
     pairs = F.arrays_zip(
         F.slice(F.col("toks"), 1,

@@ -3160,7 +3160,10 @@ REGISTRY: dict[str, QuerySpec] = {
         X.text_bpe_merge_step,
         f"""
         WITH d AS (
-            SELECT doc_id, list_transform({_TOKS}, t -> lower(t)) AS tk
+            -- same ␞-token filter as the Spark side (sentinel safety)
+            SELECT doc_id,
+                   list_filter(list_transform({_TOKS}, t -> lower(t)),
+                               t -> NOT contains(t, '␞')) AS tk
             FROM documents
         ), pr AS (
             SELECT tk[i] AS a, tk[i+1] AS b
@@ -3194,8 +3197,12 @@ REGISTRY: dict[str, QuerySpec] = {
                             THEN 1 ELSE 0 END) AS bad_status
             FROM orders
         ), o AS (
-            SELECT count(*) AS n_orphans FROM orders
-            WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+            -- NOT EXISTS (not NOT IN): matches the Spark left_anti join's
+            -- NULL semantics — a NULL o_custkey counts as an orphan and a
+            -- NULL c_custkey can't suppress the whole check (ADVICE r5 #1).
+            SELECT count(*) AS n_orphans FROM orders o2
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o2.o_custkey)
         )
         SELECT 'row_count_min_10' AS check_name,
                round(CAST(n_rows AS DOUBLE), 2) AS metric,
@@ -3249,7 +3256,7 @@ REGISTRY: dict[str, QuerySpec] = {
                           IGNORE NULLS) OVER w AS last_nz_discount
         FROM lineitem
         WINDOW w AS (PARTITION BY l_orderkey
-                     ORDER BY l_linenumber, l_extendedprice
+                     ORDER BY l_linenumber, l_extendedprice, l_discount
                      ROWS BETWEEN UNBOUNDED PRECEDING
                               AND UNBOUNDED FOLLOWING)
         """,

@@ -15,6 +15,8 @@ so the selected row set is engine-independent.
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2219,11 +2221,14 @@ def window_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     IGNORE NULLS) not yet covered by the lag/lead/rank entries.
 
     This lake's l_linenumber is NOT unique within an order (synthetic
-    data), so the window orders by (l_linenumber, l_extendedprice) —
-    verified unique — to make nth/first/last deterministic."""
+    data), so the window orders by (l_linenumber, l_extendedprice,
+    l_discount): the first two are unique on today's lakes, and
+    l_discount is the belt-and-suspenders tiebreak that keeps
+    first/last non-zero discount engine-deterministic even if a
+    regenerated lake introduces price ties (ADVICE r5 #3)."""
     (lineitem,) = _t(spark, sf_dir, "lineitem")
     w = (Window.partitionBy("l_orderkey")
-         .orderBy("l_linenumber", "l_extendedprice")
+         .orderBy("l_linenumber", "l_extendedprice", "l_discount")
          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
     nz_disc = F.when(F.col("l_discount") != 0.0, F.col("l_discount"))
     return lineitem.select(
@@ -2263,16 +2268,24 @@ def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
     query held in a session variable, with a USING parameter — the
     dynamic-SQL companion of ``sql_parameterized`` (values) and
     ``sql_identifier_clause`` (identifiers).  Resolves to the same
-    plan as the literal statement, which is what the oracle states."""
+    plan as the literal statement, which is what the oracle states.
+
+    The statement variable is entry-scoped (``exec_imm_stmt_<uuid>``),
+    never a shared name: concurrent registry entries on one
+    SparkSession can't interleave SET VAR / EXECUTE IMMEDIATE and run
+    each other's statement (ADVICE r5 #4)."""
     register_views(spark, sf_dir, ("orders",))
-    spark.sql("DECLARE OR REPLACE VARIABLE stmt STRING")
-    spark.sql("""
-        SET VAR stmt =
+    var = f"exec_imm_stmt_{uuid.uuid4().hex}"
+    spark.sql(f"DECLARE OR REPLACE VARIABLE {var} STRING")
+    spark.sql(f"""
+        SET VAR {var} =
         'SELECT o_orderstatus, count(*) AS n_orders,
                 round(avg(o_totalprice), 2) AS avg_price
          FROM orders WHERE o_totalprice > ? GROUP BY o_orderstatus'
     """)
-    return spark.sql("EXECUTE IMMEDIATE stmt USING 1000.0")
+    out = spark.sql(f"EXECUTE IMMEDIATE {var} USING 1000.0")
+    spark.sql(f"DROP TEMPORARY VARIABLE IF EXISTS {var}")
+    return out
 
 
 def join_asof_tolerance(spark: SparkSession, sf_dir: str,
