@@ -57,6 +57,10 @@ def main() -> None:
         "events_tumbling_hour", "events_sessionize",
         "streaming_tumbling_hour", "dedup_minhash_lsh",
         "dedup_token_jaccard", "ann_cosine_topk", "text_token_stats",
+        # r6 additions (VERDICT r5 #2): the r5d heavyweights join the
+        # headline so gram-census / prefix-sum regressions are caught by
+        # the per-round artifact, not only the sf1 scale tool
+        "corpus_dsir_weights", "corpus_loader_pipeline",
     ]
     fns = bench_queries()
     assert set(order) == set(fns), (

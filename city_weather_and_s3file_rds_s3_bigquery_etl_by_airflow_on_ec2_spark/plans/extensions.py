@@ -30,6 +30,7 @@ def _t(spark: SparkSession, sf_dir: str, *names: str):
 # ------------------------------------------------------------------- dedup —
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate collapse on the raw text key: keep min doc_id per identical body, report multiplicity (one hash-agg shuffle)."""
     (documents,) = _t(spark, sf_dir, "documents")
     return D.exact_dedup(documents.select("doc_id", "text"),
                          key_cols=["text"], id_col="doc_id") \
@@ -37,6 +38,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on sha256(text): shuffles 32-byte digests instead of document bodies -- the at-scale exact-dedup variant."""
     (documents,) = _t(spark, sf_dir, "documents")
     return D.hash_dedup(documents, "text", "doc_id")
 
@@ -98,6 +100,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm statistics (avg/min/max) and dimension check over the embedding table -- pure expression vector math."""
     (embeddings,) = _t(spark, sf_dir, "embeddings")
     v = as_double(F.col("embedding"))
     return (
@@ -134,6 +137,7 @@ def embedding_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------------- text analysis —
 
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token census: token count, mean token length, and stopword ratio, all as Catalyst expressions."""
     (documents,) = _t(spark, sf_dir, "documents")
     return documents.select(
         "doc_id",
@@ -144,6 +148,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite per-document quality score (length, punctuation, stopword signals) -- the C4/Gopher-style cheap filter stage."""
     (documents,) = _t(spark, sf_dir, "documents")
     return documents.select(
         "doc_id", "lang",
@@ -152,6 +157,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-overlap language identification per document, returned beside the lake's true label for accuracy audits."""
     (documents,) = _t(spark, sf_dir, "documents")
     return documents.select(
         "doc_id",
@@ -161,6 +167,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two document fingerprints per row: sha256 content hash and a base-31 rolling hash (polynomial over code points)."""
     (documents,) = _t(spark, sf_dir, "documents")
     return documents.select(
         "doc_id",
@@ -574,6 +581,16 @@ def text_ngram_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.countDistinct("doc_id").alias("n_docs"),
                  F.count(F.lit(1)).alias("n_occurrences"))
             .where(F.col("n_docs") >= 2))
+
+
+def dedup_keep_best_deterministic(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Canonical-survivor selection over the DETERMINISTIC exact-Jaccard
+    edge set: per near-dup cluster keep the best-quality member (doc_id
+    tiebreak) and report cluster size -- the oracle-checkable variant of
+    :func:`dedup_keep_best` (whose default LSH edges are probabilistic)."""
+    return dedup_keep_best(spark, sf_dir,
+                           edges_fn=deterministic_jaccard_edges)
 
 
 def dedup_keep_best(spark: SparkSession, sf_dir: str,

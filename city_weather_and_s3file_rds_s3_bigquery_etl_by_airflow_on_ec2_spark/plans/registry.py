@@ -1244,8 +1244,7 @@ REGISTRY: dict[str, QuerySpec] = {
     # whose probabilistic recall no SQL oracle can reproduce
     # (VERDICT r4 #3).
     "dedup_keep_best": QuerySpec(
-        lambda spark, sf_dir: X.dedup_keep_best(
-            spark, sf_dir, edges_fn=X.deterministic_jaccard_edges),
+        X.dedup_keep_best_deterministic,
         f"""
         WITH RECURSIVE t AS (
             SELECT doc_id, lang, n_chars // 16 AS len_band,
@@ -2698,6 +2697,7 @@ REGISTRY: dict[str, QuerySpec] = {
                n_docs, n_seq_tokens
         FROM seqs
         """,
+        bench=True,   # r5 verdict #2: heavyweight capstone in the headline
     ),
     "window_rolling_median": QuerySpec(
         R.window_rolling_median,
@@ -3120,6 +3120,9 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM doc_feat JOIN lam USING (bucket)
         GROUP BY doc_id
         """,
+        bench=True,   # r5 verdict #2: the repo's most expensive query at
+        # sf1 (gram census + per-bucket weights) belongs in the per-round
+        # headline artifact, not only the scale tool
     ),
     "text_ppl_buckets": QuerySpec(
         X.text_ppl_buckets,

@@ -127,6 +127,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def agg_stats_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag price statistics (min/max/avg/stddev), exact distinct part count, and row count -- the multi-aggregate stats surface in one hash aggregate."""
     (lineitem,) = _t(spark, sf_dir, "lineitem")
     return lineitem.groupBy("l_returnflag").agg(
         F.round(F.min("l_extendedprice"), 2).alias("min_price"),
@@ -139,6 +140,7 @@ def agg_stats_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT custkey) per order priority via Spark's two-phase expand-plus-aggregate distinct rewrite."""
     (orders,) = _t(spark, sf_dir, "orders")
     return orders.groupBy("o_orderpriority").agg(
         F.countDistinct("o_custkey").alias("ndv_cust"),
@@ -156,6 +158,7 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (region, nation) on the broadcast customer-nation join: hierarchical subtotals plus grand total with GROUPING-consistent nulls."""
     customer, nation = _t(spark, sf_dir, "customer", "nation")
     return (
         customer.join(F.broadcast(nation),
@@ -167,6 +170,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all four grouping combinations materialized in one Expand pass."""
     (lineitem,) = _t(spark, sf_dir, "lineitem")
     return lineitem.cube("l_returnflag", "l_linestatus").agg(
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
@@ -175,6 +179,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((flag), (status), ()) -- the general form that rollup and cube desugar to."""
     register_views(spark, sf_dir, ("lineitem",))
     return spark.sql("""
         SELECT l_returnflag, l_linestatus,
@@ -251,6 +256,7 @@ def join_5way_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def join_left_outer_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer join of customers to their large orders then per-customer aggregate: preserved-side rows survive with zeroed/NULL-coalesced aggregates."""
     customer, orders = _t(spark, sf_dir, "customer", "orders")
     big = orders.where(F.col("o_totalprice") > 400000.0)
     return (
@@ -280,6 +286,7 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join of high-balance customers against per-customer finished-order counts: unmatched rows from BOTH sides preserved, keys coalesced."""
     customer, orders = _t(spark, sf_dir, "customer", "orders")
     per_cust = (orders.where(F.col("o_orderstatus") == "F")
                 .groupBy("o_custkey")
@@ -297,6 +304,7 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit Cartesian product region x nation with a same-region flag -- the crossJoin surface (25x5 rows, bounded by construction)."""
     region, nation = _t(spark, sf_dir, "region", "nation")
     return (
         region.crossJoin(nation)
@@ -364,6 +372,7 @@ def join_range_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------------------- windows —
 
 def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer: row_number over a (custkey, price desc, key) window then rank filter -- the WindowGroupLimit shape."""
     (orders,) = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey"))
@@ -389,6 +398,7 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead over each user's time-ordered event stream: seconds since the previous event and the next event's type."""
     (events,) = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return events.select(
@@ -400,6 +410,7 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def window_rank_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank, dense_rank, and ntile(4) quartiles per brand ordered by retail price with a key tiebreak."""
     (part,) = _t(spark, sf_dir, "part")
     w = Window.partitionBy("p_brand").orderBy(
         F.col("p_retailprice").desc(), F.col("p_partkey"))
@@ -427,6 +438,7 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------- sorts & set ops —
 
 def sort_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global multi-key sort (status asc, date desc, key asc) with LIMIT 1000 -- planned as TakeOrderedAndProject, never a full sort."""
     (orders,) = _t(spark, sf_dir, "orders")
     return (orders.orderBy(F.col("o_orderstatus"),
                            F.col("o_orderdate").desc(),
@@ -436,6 +448,7 @@ def sort_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of two customer-key selections (bag semantics, duplicates kept -- no shuffle beyond the scans)."""
     customer, orders = _t(spark, sf_dir, "customer", "orders")
     hi_bal = customer.where(F.col("c_acctbal") > 9500.0).select(
         F.col("c_custkey").alias("custkey"))
@@ -445,10 +458,12 @@ def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION DISTINCT of the two key selections: union followed by one dedup hash aggregate."""
     return set_union_all(spark, sf_dir).distinct()
 
 
 def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (set semantics) of high-balance vs high-spend customer keys -- planned as a left-semi aggregate."""
     customer, orders = _t(spark, sf_dir, "customer", "orders")
     hi_bal = customer.where(F.col("c_acctbal") > 8000.0).select(
         F.col("c_custkey").alias("custkey"))
@@ -458,6 +473,7 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag-semantics difference) of the two customer-key selections."""
     customer, orders = _t(spark, sf_dir, "customer", "orders")
     hi_bal = customer.where(F.col("c_acctbal") > 8000.0).select(
         F.col("c_custkey").alias("custkey"))
@@ -467,6 +483,7 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT DISTINCT over a two-column projection: dedup as a partial-then-final hash aggregate on the projected key."""
     (customer,) = _t(spark, sf_dir, "customer")
     return customer.select("c_mktsegment", "c_nationkey").distinct()
 
@@ -474,6 +491,7 @@ def distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -------------------------------------------------------- scalar functions —
 
 def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar surface per customer: upper, substring, length, concat_ws, lpad, replace -- all whole-stage-codegen expressions."""
     (customer,) = _t(spark, sf_dir, "customer")
     return customer.select(
         "c_custkey",
@@ -489,6 +507,7 @@ def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar surface per order: year/month/day parts, dayofweek, date_trunc, datediff, unix_timestamp."""
     (orders,) = _t(spark, sf_dir, "orders")
     return orders.select(
         "o_orderkey",
@@ -504,6 +523,7 @@ def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def scalar_case_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN quantity bucketing plus math scalars (abs, ceil, floor, sqrt, pow) per lineitem row."""
     (lineitem,) = _t(spark, sf_dir, "lineitem")
     return lineitem.select(
         "l_orderkey", "l_linenumber",
@@ -532,6 +552,7 @@ def scalar_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def scalar_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional scalar surface: coalesce, nullif, greatest, least, and BETWEEN, per customer."""
     (customer,) = _t(spark, sf_dir, "customer")
     return customer.select(
         "c_custkey",
@@ -546,6 +567,7 @@ def scalar_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------- subqueries —
 
 def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery: orders priced above 1.9x the global average (subquery becomes a broadcast scalar)."""
     register_views(spark, sf_dir, ("orders",))
     return spark.sql("""
         SELECT o_orderkey, o_totalprice
@@ -555,6 +577,7 @@ def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN subquery -- customers with at least one very large order; Catalyst rewrites it to a left-semi join."""
     register_views(spark, sf_dir, ("customer", "orders"))
     return spark.sql("""
         SELECT c_custkey, c_mktsegment
@@ -565,6 +588,7 @@ def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def subquery_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS -- customers having a finished order over a threshold; decorrelated into a semi-join."""
     register_views(spark, sf_dir, ("customer", "orders"))
     return spark.sql("""
         SELECT c_custkey, c_acctbal
@@ -713,6 +737,7 @@ def agg_rollup_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def scalar_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp scalar surface per part: regexp_extract, regexp_replace, rlike, and regexp_extract_all word counting."""
     (part,) = _t(spark, sf_dir, "part")
     return part.select(
         "p_partkey",
