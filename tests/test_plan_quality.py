@@ -589,3 +589,51 @@ def test_window_ewma_single_keyed_exchange(spark):
                  if "Exchange" in ln and "BroadcastExchange" not in ln]
     assert len(exchanges) == 1, exchanges
     assert "event_type" in exchanges[0]
+
+
+def test_generate_entries_full_materialization_bounded(spark):
+    """VERDICT r5 #4: the corpus_dsir_weights scale-killer (CollapseProject
+    inlining a per-doc expression ABOVE the explode's Generate, re-running
+    it once per gram row) was invisible to .count() probes and found only
+    by a full collect.  Make that discovery a gate: sweep the registry for
+    every entry whose optimized plan contains a Generate (explode /
+    posexplode / inline / UDTF) and fully materialize each at sf0.01 under
+    a wall-clock ceiling.  A recompute-above-Generate regression multiplies
+    an entry's cost by the gram fanout (the r5 case was 20x), which blows
+    through the ceiling; healthy entries run well under it.
+
+    Streaming entries are excluded: their builders execute a real
+    micro-batch harness (timing measures the harness, not a plan shape)
+    and their batch-side twins are already in the sweep."""
+    import os
+    import time
+
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.registry import (
+        REGISTRY,
+    )
+
+    from .conftest import SF_MED
+
+    ceiling = float(os.environ.get("SPARK_GRAFT_GENERATE_CEILING_SEC", "30"))
+    found = []
+    for name, spec in sorted(REGISTRY.items()):
+        if name.startswith("streaming_"):
+            continue
+        df = spec.fn(spark, SF_MED)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        if "Generate" in plan:
+            found.append((name, df))
+    # the sweep must keep finding the known Generate-bearing families
+    # (shingling, dup spans, seq/shard packing, sentence split, ngrams);
+    # if this drops the discovery predicate broke, not the registry
+    assert len(found) >= 10, [n for n, _ in found]
+    slow = {}
+    for name, df in found:
+        t0 = time.perf_counter()
+        df.collect()
+        dt = time.perf_counter() - t0
+        if dt > ceiling:
+            slow[name] = round(dt, 1)
+    assert not slow, (
+        f"Generate-bearing entries blew the {ceiling}s full-materialization "
+        f"ceiling (recompute-above-Generate regression?): {slow}")
