@@ -3572,41 +3572,48 @@ REGISTRY: dict[str, QuerySpec] = {
 # future insertions anywhere in the literal above cannot silently push
 # an unchecked entry out of the window.
 _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
-    # Round-5 rotation (VERDICT r4 item #5): round 4's window covered
-    # the extension half; rotate back over the relational half (the r3
-    # list — all driver-green there in r3) per the alternation contract
-    # in README.md.  The half not in the window is covered by the
-    # committed CORRECTNESS_full_r{N}.json artifact every round.
-    # Two swaps vs the r3 relational window so the entries whose code
-    # CHANGED this round get fresh driver rows: text_repetition_score
-    # (scan capped at 512 tokens, VERDICT r4 #4) and dedup_keep_best
-    # (edge source parameterized, VERDICT r4 #3) replace
-    # scalar_json_extract and scalar_date_arith (both pass(d3) +
-    # bit-exact in every full artifact, untouched since round 1).
-    "flagship_weather_join", "ref_pipeline_golden", "serial_id_assignment",
-    "filter_project_pushdown", "topk_orders", "q1_pricing_summary",
-    # aggregation family
-    "agg_stats_by_returnflag", "agg_count_distinct", "agg_approx_distinct",
-    "agg_rollup", "agg_cube", "agg_grouping_sets", "agg_pivot",
-    "agg_median_percentile", "agg_salted_twophase", "agg_corr_covar",
-    "agg_bool", "agg_approx_quantile", "agg_having", "agg_collect_sorted",
-    "scalar_array_funcs",
-    # join family
-    "join_inner_3way_topk", "join_5way_star", "join_left_outer_agg",
-    "join_semi", "join_anti", "join_full_outer", "join_cross",
-    "join_theta_pairs", "join_asof_events_orders",
-    "join_composite_adjacent", "join_range_events",
-    # window family
-    "window_topk_per_group", "window_running_sum", "window_lag_lead",
-    "window_rank_ntile", "window_range_frame",
-    # sort / set ops / generators
-    "sort_multi_key", "set_union_all", "set_union_distinct",
-    "set_intersect", "set_except", "set_intersect_all",
-    "explode_variants", "distinct_projection",
-    # scalar surface
-    "scalar_string_funcs", "scalar_date_funcs", "scalar_case_math",
-    # r5-changed extension entries (see header note)
-    "text_repetition_score", "dedup_keep_best",
+    # Round-6 rotation (VERDICT r5 item #5): round 5's window covered
+    # the relational half; rotate to the §2.13 EXTENSION half,
+    # prioritizing the r5-born LLM-pipeline entries that have never had
+    # a driver row, plus every entry whose code changed THIS round so
+    # the changes get fresh driver-green rows: dedup_minhash_lsh and
+    # dedup_incremental_lsh (band-bucket skew cap), dedup_keep_best
+    # (named deterministic wrapper), table_expectations (NOT EXISTS
+    # oracle), text_bpe_merge_step (sentinel token filter),
+    # window_nth_value (l_discount tiebreak), sql_execute_immediate
+    # (entry-scoped variable).  The relational half not in the window
+    # is covered by the committed CORRECTNESS_full_r6.json artifact.
+    # 2 rows-only entries (both r6-changed dedup ops, probabilistic by
+    # design); the other 48 are oracle-checked.
+    "flagship_weather_join",
+    # dedup family (skew-cap round)
+    "dedup_minhash_lsh", "dedup_keep_best", "dedup_incremental_lsh",
+    "dedup_semdedup", "dedup_containment", "dedup_method_agreement",
+    "corpus_dedup_savings", "dedup_cluster_assign_star",
+    # similarity / embeddings
+    "ann_range_search", "embedding_quantize_int8", "embedding_whiten",
+    "embedding_outlier_knn", "embedding_kmeans_step",
+    # text analysis
+    "text_gopher_quality", "text_ngram_dup_spans", "text_line_dedup",
+    "text_tfidf_topk", "text_bigram_pmi", "text_bm25_topk",
+    "text_unigram_logprob", "text_bigram_logprob", "text_ppl_buckets",
+    "text_ngram_novelty", "text_sentence_split", "text_vocab_table",
+    "text_trigram_langid", "text_bpe_merge_step",
+    # corpus selection / packing
+    "corpus_clean_pipeline", "corpus_dsir_weights",
+    "corpus_loader_pipeline", "corpus_shard_pack", "corpus_seq_pack",
+    "corpus_token_budget_sample", "corpus_epoch_shuffle",
+    "corpus_train_val_split", "corpus_mixture_sample",
+    # graph
+    "graph_pagerank_step", "graph_triangle_count", "graph_degree_stats",
+    # multimodal
+    "multimodal_resize", "multimodal_frame_sample",
+    "multimodal_audio_energy",
+    # spatial / time-series / events
+    "join_spatial_grid_radius", "window_ewma", "events_attribution",
+    # r6-changed relational entries (see header note)
+    "table_expectations", "window_nth_value", "sql_execute_immediate",
+    "scalar_time_type",
 )
 assert set(_DRIVER_WINDOW_FIRST) <= set(REGISTRY), sorted(
     set(_DRIVER_WINDOW_FIRST) - set(REGISTRY))
