@@ -1700,7 +1700,17 @@ def corpus_loader_pipeline(spark: SparkSession, sf_dir: str,
     expression fanout + one 128-token-group aggregate + one serial_id
     pass over the hash order — composition adds NO shuffle beyond the
     stages' own, and every stage was already measured sublinear at the
-    10× lake (BENCH_scale_r05.json)."""
+    10× lake (BENCH_scale_r05.json).
+
+    The per-doc scoring relation ``t`` and the selection ``sel`` are
+    persisted (MEMORY_AND_DISK, narrow: 3-4 fixed-width cols per doc):
+    each prefix_sum triggers two eager metadata jobs plus the main
+    lineage, so without the cache the documents scan and its text
+    expressions re-run ~6× per invocation (measured 2.4× end-to-end at
+    sf0.1, r6) — and prefix_sum's contract requires a deterministic
+    (here: materialized) input anyway."""
+    from pyspark import StorageLevel
+
     from ..operators.ids import serial_id
     from ..operators.packing import prefix_sum
     (documents,) = _t(spark, sf_dir, "documents")
@@ -1709,9 +1719,11 @@ def corpus_loader_pipeline(spark: SparkSession, sf_dir: str,
         TX.quality_score("text").alias("quality"),
         TX.token_count("text").alias("n_toks"),
     ).withColumn("neg_q", -F.col("quality"))
+    t = t.persist(StorageLevel.MEMORY_AND_DISK)
     sel = (prefix_sum(t, "n_toks", ["neg_q", "doc_id"], out_col="sel_cum")
            .where(F.col("sel_cum") - F.col("n_toks") < budget)
-           .select("doc_id", "n_toks"))
+           .select("doc_id", "n_toks")
+           .persist(StorageLevel.MEMORY_AND_DISK))
 
     ps = prefix_sum(sel, "n_toks", ["doc_id"], out_col="cum")
     L = F.lit(seq_len).cast("long")
