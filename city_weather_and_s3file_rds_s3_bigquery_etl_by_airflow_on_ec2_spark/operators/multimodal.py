@@ -312,6 +312,46 @@ def sample_frames(df: DataFrame, frame_size: int = 256, stride: int = 4,
     return df.select(id_col, "media_bytes").mapInPandas(run, FRAME_SCHEMA)
 
 
+ARROW_META_SCHEMA = ("doc_id long, n_bytes long, n_frames long, "
+                     "odd_bytes boolean")
+
+
+def arrow_batch_meta(df: DataFrame, id_col: str = "doc_id",
+                     frame_size: int = 256) -> DataFrame:
+    """Payload metadata via ``mapInArrow`` — the Arrow-NATIVE batch
+    surface (§2.11's last family): the function receives
+    ``pyarrow.RecordBatch``es and answers with pure ``pyarrow.compute``
+    kernels, so payload bytes are never copied into pandas objects or
+    Python row loops — the cheapest possible Python-side pass over a
+    100 TB binary column (per-batch work is a handful of vectorized
+    C++ kernel calls).
+
+    Emits per payload: byte length, fixed-``frame_size`` frame count
+    (the chunk census ``sample_frames`` fans out to), and a parity
+    flag — all integer arithmetic, hence SQL-expressible and
+    oracle-checked end-to-end."""
+    if frame_size <= 0:
+        raise ValueError("frame_size must be positive")
+
+    def run(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for b in batches:
+            n = pc.cast(pc.binary_length(b.column("media_bytes")),
+                        pa.int64())
+            frames = pc.divide(pc.add(n, frame_size - 1),
+                               pa.scalar(frame_size, pa.int64()))
+            odd = pc.equal(pc.bit_wise_and(n, pa.scalar(1, pa.int64())),
+                           pa.scalar(1, pa.int64()))
+            yield pa.RecordBatch.from_arrays(
+                [b.column(id_col), n, frames, odd],
+                names=["doc_id", "n_bytes", "n_frames", "odd_bytes"])
+
+    return df.select(id_col, "media_bytes").mapInArrow(
+        run, ARROW_META_SCHEMA)
+
+
 WAV_RMS_SCHEMA = ("doc_id long, frame_idx long, sample_offset long, "
                   "n_samples long, rms double")
 

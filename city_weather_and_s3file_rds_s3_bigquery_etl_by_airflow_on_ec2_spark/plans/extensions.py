@@ -11,6 +11,9 @@ counterparts at small SF.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -203,6 +206,41 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("media_meta.n_bytes").alias("n_bytes"),
         F.col("media_meta.sha256").alias("payload_sha"),
     )
+
+
+def multimodal_arrow_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` payload metadata (operators/multimodal.py
+    ``arrow_batch_meta``): the Arrow-native batch surface — RecordBatch
+    in, pyarrow.compute kernels out, no pandas materialization — over
+    the wrapped binary column; byte/frame/parity census per payload,
+    fully SQL-expressible and oracle-checked."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    from ..operators.multimodal import arrow_batch_meta
+    return arrow_batch_meta(attach_media_columns(documents, "text"))
+
+
+def udf_scalar_iter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-of-series pandas UDF (SCALAR_ITER — the §2.11 family
+    for expensive per-task initialization: load a tokenizer/model ONCE
+    per executor task, then stream Arrow batches through it).  The
+    "expensive init" here is a compiled regex whose per-batch use
+    reproduces the engine's whitespace tokenization exactly, so the
+    entry is oracle-checked against the pure-expression token count —
+    proving the iterator UDF's batch loop, not just its signature."""
+    import re
+
+    (documents,) = _t(spark, sf_dir, "documents")
+
+    # NOTE: the Iterator[pd.Series] hints must resolve from MODULE
+    # globals (postponed annotations + pandas_udf signature inspection)
+    @F.pandas_udf("long")
+    def tok_count(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        pat = re.compile(r"\s+")          # once per task, not per batch
+        for s in batches:
+            yield s.map(lambda x: len(pat.split(x.strip())))
+
+    return documents.select(
+        "doc_id", tok_count(F.col("text")).alias("n_tokens"))
 
 
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:

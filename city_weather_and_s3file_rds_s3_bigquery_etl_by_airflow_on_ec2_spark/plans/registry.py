@@ -1299,6 +1299,42 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM documents
         """,
     ),
+    "multimodal_arrow_meta": QuerySpec(
+        X.multimodal_arrow_meta,
+        """
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               CAST((octet_length(encode(text)) + 255) // 256 AS BIGINT)
+                   AS n_frames,
+               octet_length(encode(text)) % 2 = 1 AS odd_bytes
+        FROM documents
+        """,
+    ),
+    "udf_scalar_iter_tokens": QuerySpec(
+        X.udf_scalar_iter_tokens,
+        f"""
+        SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+        FROM documents
+        """,
+    ),
+    "events_date_bin_downsample": QuerySpec(
+        R.events_date_bin_downsample,
+        """
+        WITH e AS (
+            SELECT time_bucket(INTERVAL '15 minutes', ts,
+                               TIMESTAMP '2023-12-31 23:05:00') AS bin_start,
+                   event_type, value,
+                   lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                   || lpad(CAST(event_id AS VARCHAR), 12, '0') AS okey
+            FROM events)
+        SELECT bin_start, event_type, count(*) AS n_events,
+               round(min(value), 4) AS low,
+               round(max(value), 4) AS high,
+               round(arg_min(value, okey), 4) AS open,
+               round(arg_max(value, okey), 4) AS close
+        FROM e GROUP BY bin_start, event_type
+        """,
+    ),
     "multimodal_decode_features": QuerySpec(
         X.multimodal_decode_features,
         """

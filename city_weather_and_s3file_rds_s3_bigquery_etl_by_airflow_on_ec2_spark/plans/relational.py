@@ -644,6 +644,42 @@ def events_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_date_bin_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom-origin time-bucket downsampling with OHLC rollup — the
+    TimescaleDB ``time_bucket(width, ts, origin)`` / OHLC-candle shape
+    (continuous-aggregate downsampling a metrics store runs): 15-minute
+    bins anchored at a NON-aligned origin (23:05, proving the origin
+    offset semantics rather than epoch alignment, which
+    ``events_tumbling_hour`` already covers), per (bin, event_type):
+    event count, low/high, and deterministic open/close picked by
+    ``min_by``/``max_by`` over a zero-padded (epoch-micros, event_id)
+    string key — a total order, so ties on ts cannot flip open/close
+    between engines.
+
+    Plan: bin start is pure epoch arithmetic (zero extra scan cost) and
+    the rollup is ONE map-side-combined hash aggregate — at 100 TB this
+    is the minimal possible downsampling plan (no window, no join)."""
+    (events,) = _t(spark, sf_dir, "events")
+    width_us = 15 * 60 * 1_000_000
+    origin_us = F.lit("2023-12-31 23:05:00").cast("timestamp")
+    o = F.unix_micros(origin_us)
+    bin_start = F.timestamp_micros(
+        o + F.floor((F.unix_micros(F.col("ts")) - o) / width_us)
+        .cast("long") * width_us)
+    okey = F.concat(
+        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"))
+    return (events
+            .select(bin_start.alias("bin_start"), "event_type", "value",
+                    okey.alias("okey"))
+            .groupBy("bin_start", "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.min("value"), 4).alias("low"),
+                 F.round(F.max("value"), 4).alias("high"),
+                 F.round(F.min_by("value", F.col("okey")), 4).alias("open"),
+                 F.round(F.max_by("value", F.col("okey")), 4).alias("close")))
+
+
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization (30-min gap) → per-user session stats."""
     (events,) = _t(spark, sf_dir, "events")
