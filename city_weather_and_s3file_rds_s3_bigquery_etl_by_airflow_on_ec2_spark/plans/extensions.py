@@ -1943,6 +1943,111 @@ def text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                     label.alias("ppl_bucket")))
 
 
+def table_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot diff (the change-data-feed shape a lakehouse MERGE
+    pipeline consumes): given two versions of a table, emit one row per
+    insert / update / delete with old and new values — here the "new"
+    snapshot is derived deterministically from the lake (drop keys
+    ≡0 mod 97, bump price on keys ≡0 mod 13, insert fresh keys shifted
+    by 10⁸ for keys ≡0 mod 101) so the diff is oracle-replayable.
+
+    Plan: ONE full-outer join on the primary key plus row-level
+    comparison — the minimal diff plan; at 100 TB both snapshots
+    shuffle once on the key (or zero times if both are bucketed by it,
+    `sources/layout.py`), and unchanged rows are dropped before any
+    downstream work."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    old = orders.select("o_orderkey", "o_totalprice")
+    modified = (orders.where(F.col("o_orderkey") % 97 != 0)
+                .select("o_orderkey",
+                        F.when(F.col("o_orderkey") % 13 == 0,
+                               F.round(F.col("o_totalprice") + 10.0, 2))
+                         .otherwise(F.col("o_totalprice"))
+                         .alias("o_totalprice")))
+    inserted = (orders.where(F.col("o_orderkey") % 101 == 0)
+                .select((F.col("o_orderkey") + 100_000_000)
+                        .alias("o_orderkey"), "o_totalprice"))
+    new = modified.unionByName(inserted)
+    o, n = old.alias("o"), new.alias("n")
+    j = o.join(n, F.col("o.o_orderkey") == F.col("n.o_orderkey"),
+               "full_outer")
+    change = (F.when(F.col("n.o_orderkey").isNull(), F.lit("delete"))
+              .when(F.col("o.o_orderkey").isNull(), F.lit("insert"))
+              .when(F.col("o.o_totalprice") != F.col("n.o_totalprice"),
+                    F.lit("update")))
+    return (j.select(
+        F.coalesce(F.col("o.o_orderkey"), F.col("n.o_orderkey"))
+         .alias("orderkey"),
+        change.alias("change_type"),
+        F.col("o.o_totalprice").alias("old_price"),
+        F.col("n.o_totalprice").alias("new_price"))
+        .where(F.col("change_type").isNotNull()))
+
+
+def text_bpe_train(spark: SparkSession, sf_dir: str,
+                   n_merges: int = 3) -> DataFrame:
+    """Iterative BPE merge TRAINING (Sennrich et al. 2016) at token
+    granularity: ``n_merges`` rounds of census → pick the most frequent
+    adjacent pair (count desc, then lexicographic — a total order) →
+    apply the merge corpus-wide, returning the learned merge table
+    (rank, pair_a, pair_b, freq).  The multi-step sibling of
+    ``text_bpe_merge_step``: later rounds can and do select pairs
+    involving SYMBOLS CREATED by earlier merges, which no single-pass
+    entry exercises.
+
+    Scale shape (how you'd really train a tokenizer on 100 TB): per
+    round, one map-side-combined (a,b) census shuffle + a driver-side
+    1-row argmax (the merge table lives on the driver — it is K rows);
+    the merge application is a zero-shuffle executor-local fold.  The
+    re-tokenized corpus is persisted each round and the previous
+    round's cache released, so round k costs one census over the
+    current corpus, not k chained recomputes.  Rows-only entry (a K-
+    step fold is not reasonably SQL-expressible); ground truth is a
+    pure-Python BPE trainer over the same lake in tests."""
+    from pyspark import StorageLevel
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.transform(TX.tokens("text"), lambda t: F.lower(t)),
+        lambda t: ~t.contains("␞"))      # sentinel guard, as merge_step
+    cur = documents.select("doc_id", toks.alias("toks")) \
+                   .persist(StorageLevel.MEMORY_AND_DISK)
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        pairs = F.arrays_zip(
+            F.slice(F.col("toks"), 1,
+                    F.greatest(F.size("toks") - 1, F.lit(0))).alias("w1"),
+            F.slice(F.col("toks"), 2,
+                    F.greatest(F.size("toks") - 1, F.lit(0))).alias("w2"))
+        top = (cur.select(F.explode(pairs).alias("p"))
+               .select(F.col("p.w1").alias("a"), F.col("p.w2").alias("b"))
+               .where(F.col("a") != F.col("b"))
+               .groupBy("a", "b").agg(F.count(F.lit(1)).alias("cnt"))
+               .orderBy(F.col("cnt").desc(), "a", "b").limit(1).collect())
+        if not top:
+            break
+        a, b, cnt = top[0].a, top[0].b, top[0].cnt
+        merges.append((rank, a, b, int(cnt)))
+        merged_sym = F.lit(f"{a}␞{b}")
+        empty = F.array().cast("array<string>")
+        fold = F.aggregate(
+            F.col("toks"), empty,
+            lambda acc, t: F.when(
+                (F.try_element_at(acc, F.lit(-1)) == F.lit(a))
+                & (t == F.lit(b)),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                         F.array(merged_sym))
+            ).otherwise(F.concat(acc, F.array(t))))
+        nxt = cur.select("doc_id", fold.alias("toks")) \
+                 .persist(StorageLevel.MEMORY_AND_DISK)
+        nxt.count()          # materialize before releasing the parent
+        cur.unpersist()
+        cur = nxt
+    cur.unpersist()
+    return spark.createDataFrame(
+        merges, "rank int, pair_a string, pair_b string, freq long")
+
+
 def text_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One deterministic BPE merge iteration over the token stream
     (Sennrich et al. 2016, at token granularity): census all adjacent

@@ -3195,6 +3195,33 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM r
         """,
     ),
+    "table_snapshot_diff": QuerySpec(
+        X.table_snapshot_diff,
+        """
+        WITH old_v AS (SELECT o_orderkey, o_totalprice FROM orders),
+        new_v AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 13 = 0
+                        THEN round(o_totalprice + 10.0, 2)
+                        ELSE o_totalprice END AS o_totalprice
+            FROM orders WHERE o_orderkey % 97 <> 0
+            UNION ALL
+            SELECT o_orderkey + 100000000, o_totalprice
+            FROM orders WHERE o_orderkey % 101 = 0)
+        SELECT * FROM (
+            SELECT coalesce(o.o_orderkey, n.o_orderkey) AS orderkey,
+                   CASE WHEN n.o_orderkey IS NULL THEN 'delete'
+                        WHEN o.o_orderkey IS NULL THEN 'insert'
+                        WHEN o.o_totalprice <> n.o_totalprice
+                        THEN 'update' END AS change_type,
+                   o.o_totalprice AS old_price,
+                   n.o_totalprice AS new_price
+            FROM old_v o FULL OUTER JOIN new_v n
+                 ON o.o_orderkey = n.o_orderkey)
+        WHERE change_type IS NOT NULL
+        """,
+    ),
+    "text_bpe_train": QuerySpec(X.text_bpe_train, None),
     "text_bpe_merge_step": QuerySpec(
         X.text_bpe_merge_step,
         f"""

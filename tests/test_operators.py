@@ -3093,3 +3093,68 @@ def test_real_media_codecs_on_planted_lake(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(Exception, match="WAV|wave"):
         wav_rms_energy(imgs).collect()
+
+
+def test_bpe_train_matches_python_reference(spark):
+    """text_bpe_train's K learned merges must equal a pure-Python BPE
+    trainer run over the same lake documents — including a round that
+    merges a SYMBOL CREATED by an earlier round, which the planted
+    corpus below forces (the single-step entry can't exercise that)."""
+    import re
+
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        text_bpe_train,
+    )
+
+    def py_bpe(texts, n_merges):
+        docs = [[t.lower() for t in re.split(r"\s+", x.strip())
+                 if t and "␞" not in t] for x in texts]
+        merges = []
+        for rank in range(n_merges):
+            census = {}
+            for d in docs:
+                for a, b in zip(d, d[1:]):
+                    if a != b:
+                        census[(a, b)] = census.get((a, b), 0) + 1
+            if not census:
+                break
+            (a, b), cnt = min(census.items(),
+                              key=lambda kv: (-kv[1], kv[0]))
+            merges.append((rank, a, b, cnt))
+            sym = f"{a}␞{b}"
+            out_docs = []
+            for d in docs:
+                out = []
+                for t in d:
+                    if out and out[-1] == a and t == b:
+                        out[-1] = sym
+                    else:
+                        out.append(t)
+                out_docs.append(out)
+            docs = out_docs
+        return merges
+
+    # lake check: 3 rounds over the real documents table
+    docs = read_parquet_table(spark, SF_SMALL, "documents")
+    texts = [r.text for r in docs.select("text").collect()]
+    got = [(r.rank, r.pair_a, r.pair_b, r.freq)
+           for r in text_bpe_train(spark, SF_SMALL, n_merges=3)
+           .orderBy("rank").collect()]
+    assert got == py_bpe(texts, 3)
+
+    # planted check: round 2 must merge the round-1 symbol with "c"
+    planted = ["a b c " * 5, "a b c a b", "x y"]
+    import pyspark.sql.types as T
+    pdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(planted)],
+        T.StructType([T.StructField("doc_id", T.LongType()),
+                      T.StructField("text", T.StringType())]))
+    import tempfile
+    with tempfile.TemporaryDirectory() as tmp:
+        pdf.write.parquet(f"{tmp}/documents.parquet")
+        got2 = [(r.rank, r.pair_a, r.pair_b, r.freq)
+                for r in text_bpe_train(spark, tmp, n_merges=2)
+                .orderBy("rank").collect()]
+    want2 = py_bpe(planted, 2)
+    assert got2 == want2
+    assert got2[1][1] == "a␞b"   # round 2 consumed round 1's symbol

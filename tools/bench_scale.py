@@ -60,6 +60,10 @@ SCALE_QUERIES = [
     # r5d6 addition: DSIR importance weights — the hashed-ngram census
     # + broadcast-λ shape; must stay linear in the token stream
     "corpus_dsir_weights",
+    # r6 addition: the full loader capstone (selection cut → sequence
+    # packing → epoch shuffle) now that its recompute bug is fixed —
+    # composition must stay sublinear, not only its stages
+    "corpus_loader_pipeline",
 ]
 
 
