@@ -243,6 +243,55 @@ def udf_scalar_iter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", tok_count(F.col("text")).alias("n_tokens"))
 
 
+def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str,
+                             frame_samples: int = 64) -> DataFrame:
+    """REAL audio container round-trip, oracle-checked end-to-end:
+    quantize each user's event values to 16-bit PCM, ENCODE a genuine
+    RIFF/WAVE payload per user (stdlib ``wave`` inside
+    ``applyInPandas``), then DECODE it back with
+    ``operators.multimodal.wav_rms_energy`` and emit per-frame RMS.
+    The DuckDB oracle recomputes the identical RMS straight from the
+    quantized values (row_number framing + sqrt(avg(s²))) — so a
+    single flipped byte anywhere in the RIFF header layout, PCM
+    little-endian packing, or frame arithmetic hash-mismatches the
+    entry.  This closes the gap the planted-lake test opened: the
+    audio tier is now exercised per-round by the driver gate, not only
+    by pytest.
+
+    Scale shape: one keyed shuffle groups samples per payload;
+    encode/decode run executor-local over Arrow batches; payload bytes
+    never shuffle after assembly."""
+    from ..operators.multimodal import wav_rms_energy
+
+    (events,) = _t(spark, sf_dir, "events")
+    q = F.greatest(F.lit(-32768.0),
+                   F.least(F.lit(32767.0),
+                           F.floor(F.col("value") * 10.0))).cast("int")
+    samples = events.select("user_id", "ts", "event_id", q.alias("s"))
+
+    def make_wav(pdf: pd.DataFrame) -> pd.DataFrame:
+        import io
+        import wave
+
+        pdf = pdf.sort_values(["ts", "event_id"])
+        pcm = pdf["s"].to_numpy().astype("<i2").tobytes()
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(pcm)
+        return pd.DataFrame({"doc_id": [int(pdf["user_id"].iloc[0])],
+                             "media_bytes": [buf.getvalue()]})
+
+    wavs = samples.groupBy("user_id").applyInPandas(
+        make_wav, "doc_id long, media_bytes binary")
+    out = wav_rms_energy(wavs, frame_samples=frame_samples)
+    return out.select(
+        F.col("doc_id").alias("user_id"), "frame_idx", "sample_offset",
+        "n_samples", F.round("rms", 4).alias("rms"))
+
+
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas decode/feature-extract plumbing pinned to the
     deterministic stub codec (``codec=None``): the DuckDB oracle

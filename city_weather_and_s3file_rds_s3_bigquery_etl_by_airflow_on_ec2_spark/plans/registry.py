@@ -1324,8 +1324,10 @@ REGISTRY: dict[str, QuerySpec] = {
             SELECT time_bucket(INTERVAL '15 minutes', ts,
                                TIMESTAMP '2023-12-31 23:05:00') AS bin_start,
                    event_type, value,
-                   lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
-                   || lpad(CAST(event_id AS VARCHAR), 12, '0') AS okey
+                   (epoch_us(ts) - epoch_us(time_bucket(
+                        INTERVAL '15 minutes', ts,
+                        TIMESTAMP '2023-12-31 23:05:00'))) * 8589934592
+                   + event_id AS okey
             FROM events)
         SELECT bin_start, event_type, count(*) AS n_events,
                round(min(value), 4) AS low,
@@ -1333,6 +1335,26 @@ REGISTRY: dict[str, QuerySpec] = {
                round(arg_min(value, okey), 4) AS open,
                round(arg_max(value, okey), 4) AS close
         FROM e GROUP BY bin_start, event_type
+        """,
+    ),
+    "multimodal_wav_roundtrip": QuerySpec(
+        X.multimodal_wav_roundtrip,
+        """
+        WITH s AS (
+            SELECT user_id,
+                   CAST(greatest(-32768.0,
+                        least(32767.0, floor(value * 10.0))) AS INTEGER)
+                       AS s,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) - 1 AS rn
+            FROM events)
+        SELECT user_id,
+               CAST(rn // 64 AS BIGINT) AS frame_idx,
+               CAST((rn // 64) * 64 AS BIGINT) AS sample_offset,
+               count(*) AS n_samples,
+               round(sqrt(avg(CAST(s AS DOUBLE) * s)), 4) AS rms
+        FROM s
+        GROUP BY user_id, rn // 64
         """,
     ),
     "multimodal_decode_features": QuerySpec(

@@ -652,9 +652,16 @@ def events_date_bin_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     offset semantics rather than epoch alignment, which
     ``events_tumbling_hour`` already covers), per (bin, event_type):
     event count, low/high, and deterministic open/close picked by
-    ``min_by``/``max_by`` over a zero-padded (epoch-micros, event_id)
-    string key — a total order, so ties on ts cannot flip open/close
-    between engines.
+    ``min_by``/``max_by`` over a compound BIGINT key — a total order,
+    so ties on ts cannot flip open/close between engines.
+
+    The ordering key packs (micros-within-bin, event_id) into one
+    int64: the intra-bin offset is < 9·10⁸ µs (30 bits), shifted left
+    33 bits, leaving event ids up to 2³³ — a fixed-width key ON
+    PURPOSE: a string/struct key would give ``min_by`` a variable-
+    width buffer and demote the whole rollup from HashAggregate to
+    SortAggregate (per-partition sort at 100 TB; plan-gated in
+    tests/test_plan_quality.py).
 
     Plan: bin start is pure epoch arithmetic (zero extra scan cost) and
     the rollup is ONE map-side-combined hash aggregate — at 100 TB this
@@ -663,12 +670,11 @@ def events_date_bin_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     width_us = 15 * 60 * 1_000_000
     origin_us = F.lit("2023-12-31 23:05:00").cast("timestamp")
     o = F.unix_micros(origin_us)
-    bin_start = F.timestamp_micros(
-        o + F.floor((F.unix_micros(F.col("ts")) - o) / width_us)
-        .cast("long") * width_us)
-    okey = F.concat(
-        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
-        F.lpad(F.col("event_id").cast("string"), 12, "0"))
+    bin_us = (o + F.floor((F.unix_micros(F.col("ts")) - o) / width_us)
+              .cast("long") * width_us)
+    bin_start = F.timestamp_micros(bin_us)
+    okey = ((F.unix_micros(F.col("ts")) - bin_us) * F.lit(2 ** 33)
+            + F.col("event_id"))
     return (events
             .select(bin_start.alias("bin_start"), "event_type", "value",
                     okey.alias("okey"))

@@ -637,3 +637,31 @@ def test_generate_entries_full_materialization_bounded(spark):
     assert not slow, (
         f"Generate-bearing entries blew the {ceiling}s full-materialization "
         f"ceiling (recompute-above-Generate regression?): {slow}")
+
+
+def test_date_bin_downsample_single_aggregate_shuffle(spark):
+    """events_date_bin_downsample must stay the minimal downsampling
+    plan: bin arithmetic in the scan projection, ONE keyed exchange
+    between partial and final hash aggregates — no window, no join."""
+    df = R.events_date_bin_downsample(spark, SF_SMALL)
+    plan = _plan(df)
+    assert "Window" not in plan and "Join" not in plan
+    exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert len(exchanges) == 1, exchanges
+    assert "bin_start" in exchanges[0]
+    assert plan.count("HashAggregate") >= 2   # partial + final
+
+
+def test_snapshot_diff_single_join_no_extra_exchange(spark):
+    """table_snapshot_diff is ONE full-outer key join: both snapshot
+    sides shuffle once on the key and nothing reshuffles after the
+    row-level comparison."""
+    df = X.table_snapshot_diff(spark, SF_SMALL)
+    plan = _plan(df)
+    assert "FullOuter" in plan or "full_outer" in plan.lower()
+    exchanges = [ln for ln in plan.splitlines()
+                 if "Exchange" in ln and "BroadcastExchange" not in ln]
+    # one hashpartitioning exchange per snapshot side, keyed on orderkey
+    assert len(exchanges) == 2, exchanges
+    for ln in exchanges:
+        assert "o_orderkey" in ln, ln
