@@ -114,6 +114,31 @@ def png_header_codec(raw: bytes) -> tuple[int, int]:
     return width, height
 
 
+def encode_png(width: int, height: int, gray: int = 0) -> bytes:
+    """Minimal spec-valid PNG encoder (PNG spec §11/§13: signature,
+    CRC'd IHDR, one zlib IDAT of filter-0 scanlines, IEND) for a solid
+    8-bit grayscale image — pure stdlib, executor-safe.  Exists so the
+    engine can MANUFACTURE genuine PNG payloads from lake columns and
+    round-trip them through the real IHDR decoder under the driver's
+    oracle gate (``multimodal_png_roundtrip``); a real vision pipeline
+    replaces it with actual image bytes, not this generator."""
+    import struct
+    import zlib
+
+    if width <= 0 or height <= 0:
+        raise ValueError("PNG dimensions must be positive")
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes([gray & 0xFF]) * width
+                   for _ in range(height))
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
 def _png_or_stub_codec(raw: bytes) -> tuple[int, int]:
     """Middle resolution tier: real dims for PNG payloads via the
     pure-Python CRC-verified IHDR parser, deterministic stub dims for

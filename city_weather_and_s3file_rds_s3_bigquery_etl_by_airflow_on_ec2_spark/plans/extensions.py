@@ -292,6 +292,52 @@ def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str,
         "n_samples", F.round("rms", 4).alias("rms"))
 
 
+def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image container round-trip, oracle-checked (the PNG sibling
+    of ``multimodal_wav_roundtrip``): manufacture a genuine spec-valid
+    PNG per document with dimensions derived from lake columns
+    (width = doc_id % 200 + 1, height = n_chars % 150 + 1), then decode
+    it back through the production resolution path's CRC-verified IHDR
+    parser and emit the dims it READ OUT OF THE BYTES.  The DuckDB
+    oracle recomputes the dims from the lake columns directly, so any
+    defect in the PNG byte layout, the CRC arithmetic, or the parser
+    hash-mismatches the entry per-round — the image codec tier is now
+    driver-gated, not only pytest-tested.
+
+    Scale shape: encode and decode both run inside one mapInPandas
+    task chain; payload bytes never shuffle."""
+    from collections.abc import Iterator as _It
+
+    from ..operators.multimodal import (
+        FEATURE_SCHEMA,
+        encode_png,
+        png_header_codec,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    src = documents.select(
+        "doc_id",
+        (F.col("doc_id") % 200 + 1).cast("int").alias("w"),
+        (F.col("n_chars") % 150 + 1).cast("int").alias("h"))
+
+    def run(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [encode_png(int(w), int(h), gray=int(d) % 256)
+                        for d, w, h in zip(pdf["doc_id"], pdf["w"],
+                                           pdf["h"])]
+            dims = [png_header_codec(p) for p in payloads]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "width": pd.Series([d[0] for d in dims], dtype="int32"),
+                "height": pd.Series([d[1] for d in dims], dtype="int32"),
+                "n_bytes": pd.Series([len(p) for p in payloads],
+                                     dtype="int64"),
+            })
+
+    return (src.mapInPandas(run, FEATURE_SCHEMA)
+            .select("doc_id", "width", "height"))
+
+
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas decode/feature-extract plumbing pinned to the
     deterministic stub codec (``codec=None``): the DuckDB oracle

@@ -1357,6 +1357,15 @@ REGISTRY: dict[str, QuerySpec] = {
         GROUP BY user_id, rn // 64
         """,
     ),
+    "multimodal_png_roundtrip": QuerySpec(
+        X.multimodal_png_roundtrip,
+        """
+        SELECT doc_id,
+               CAST(doc_id % 200 + 1 AS INTEGER) AS width,
+               CAST(n_chars % 150 + 1 AS INTEGER) AS height
+        FROM documents
+        """,
+    ),
     "multimodal_decode_features": QuerySpec(
         X.multimodal_decode_features,
         """
