@@ -47,19 +47,32 @@ _OFF = "__ps_off"
 
 def prefix_sum(df: DataFrame, weight_col: str, order_cols: list[str],
                out_col: str = "prefix_sum",
-               num_ranges: int | None = None) -> DataFrame:
+               num_ranges: int | None = None,
+               persist_input: bool = True) -> DataFrame:
     """Running total of ``weight_col`` ordered by ``order_cols``
     (inclusive of the current row) without a single-partition window.
 
     ``order_cols`` must be a total order; the leading order column must
     be numeric (it feeds the driver-side quantile sketch, exactly as in
     ``serial_id``).  Triggers two metadata-sized eager jobs (boundary
-    sketch + per-bucket weight sums).  The bucket-tagged input is NOT
-    persisted here — unlike serial_id's row-offset contract, a
-    recomputed deterministic upstream yields the same sums; callers
-    with nondeterministic upstreams must checkpoint first.
+    sketch + per-bucket weight sums).
+
+    ``persist_input`` (default True, r6 — the corpus_loader_pipeline
+    lesson in BASELINE.md): the input is persisted MEMORY_AND_DISK so
+    the sketch, the bucket sums, and the caller's main job share ONE
+    materialization instead of each dragging the full upstream lineage
+    (a 3× tax per call when the input projects expensive expressions).
+    Correctness never depended on it (a deterministic upstream yields
+    the same sums recomputed), so ``persist_input=False`` restores the
+    zero-cache behavior for callers that manage their own persistence;
+    genuinely nondeterministic upstreams must still checkpoint first —
+    a non-replicated cache block lost to executor failure is recomputed
+    from lineage.
     """
     spark = df.sparkSession
+    if persist_input:
+        from pyspark import StorageLevel
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
     n = num_ranges or _default_ranges(spark)
     lead = order_cols[0]
     lead_type = df.schema[lead].dataType

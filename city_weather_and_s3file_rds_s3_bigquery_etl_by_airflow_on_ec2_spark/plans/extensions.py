@@ -1835,15 +1835,12 @@ def corpus_loader_pipeline(spark: SparkSession, sf_dir: str,
     stages' own, and every stage was already measured sublinear at the
     10× lake (BENCH_scale_r05.json).
 
-    The per-doc scoring relation ``t`` and the selection ``sel`` are
-    persisted (MEMORY_AND_DISK, narrow: 3-4 fixed-width cols per doc):
-    each prefix_sum triggers two eager metadata jobs plus the main
-    lineage, so without the cache the documents scan and its text
-    expressions re-run ~6× per invocation (measured 2.4× end-to-end at
-    sf0.1, r6) — and prefix_sum's contract requires a deterministic
-    (here: materialized) input anyway."""
-    from pyspark import StorageLevel
-
+    Each prefix_sum triggers two eager metadata jobs plus the main
+    lineage, so without a cache the documents scan and its text
+    expressions re-ran ~6× per invocation (measured 2.4× end-to-end at
+    sf0.1, r6 — the BASELINE.md round-6 note).  ``prefix_sum`` now
+    persists its own input (MEMORY_AND_DISK), which covers both the
+    per-doc scoring relation and the selection."""
     from ..operators.ids import serial_id
     from ..operators.packing import prefix_sum
     (documents,) = _t(spark, sf_dir, "documents")
@@ -1852,11 +1849,9 @@ def corpus_loader_pipeline(spark: SparkSession, sf_dir: str,
         TX.quality_score("text").alias("quality"),
         TX.token_count("text").alias("n_toks"),
     ).withColumn("neg_q", -F.col("quality"))
-    t = t.persist(StorageLevel.MEMORY_AND_DISK)
     sel = (prefix_sum(t, "n_toks", ["neg_q", "doc_id"], out_col="sel_cum")
            .where(F.col("sel_cum") - F.col("n_toks") < budget)
-           .select("doc_id", "n_toks")
-           .persist(StorageLevel.MEMORY_AND_DISK))
+           .select("doc_id", "n_toks"))
 
     ps = prefix_sum(sel, "n_toks", ["doc_id"], out_col="cum")
     L = F.lit(seq_len).cast("long")
