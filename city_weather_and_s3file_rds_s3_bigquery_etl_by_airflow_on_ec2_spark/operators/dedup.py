@@ -165,6 +165,12 @@ def minhash_lsh_pairs_native(
     banded, sets = _minhash_banded(df, text_col, id_col, shingle_size,
                                    num_bands, rows_per_band, seed)
     if max_band_bucket is not None:
+        # persist the narrow band relation first (id + 2 numeric cols ×
+        # num_bands rows/doc): the width census and the anti-join would
+        # otherwise each re-derive the full shingle→minhash lineage —
+        # measured 1.9× end-to-end at sf0.1 without the cache
+        from pyspark import StorageLevel
+        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
         banded = cap_band_buckets(banded, max_band_bucket)
     cands = band_join_candidates(banded, id_col)
     return _verify_shingle_jaccard(cands, sets, id_col,
