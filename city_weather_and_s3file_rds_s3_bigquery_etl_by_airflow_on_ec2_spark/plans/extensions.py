@@ -1550,6 +1550,64 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.abs(F.col("zscore")) >= 2.0))
 
 
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) outlier flagging — the heavy-tail-safe
+    sibling of ``events_anomaly_zscore``: mean/σ are themselves
+    dragged by the outliers they should flag, while the median and the
+    median-absolute-deviation have a 50 % breakdown point (Hampel
+    1974; the 1.4826 factor rescales MAD to σ under normality).
+    Events with |value − median| > 3·1.4826·MAD for their type are
+    reported with the robust z-score.
+
+    Plan: two exact-median aggregates on event_type (4 groups — the
+    per-group sort is bounded by the largest type, the same cost class
+    as the existing exact-percentile entries) with broadcast
+    re-attach; the flag filter is map-side.  Groups whose MAD is zero
+    (>50 % identical values) are excluded — the score is undefined
+    there, stated in the oracle too."""
+    (events,) = _t(spark, sf_dir, "events")
+    med = events.groupBy("event_type").agg(
+        F.median("value").alias("med"))
+    dev = (events.join(F.broadcast(med), "event_type")
+           .withColumn("adev", F.abs(F.col("value") - F.col("med"))))
+    mad = dev.groupBy("event_type").agg(
+        F.median("adev").alias("mad"), F.first("med").alias("med"))
+    rz = (F.col("value") - F.col("med")) / (F.lit(1.4826) * F.col("mad"))
+    return (events.join(F.broadcast(mad), "event_type")
+            .where(F.col("mad") > 0)
+            .where(F.abs(rz) > 3.0)
+            .select("event_id", "event_type", "value",
+                    F.round("med", 4).alias("med"),
+                    F.round("mad", 4).alias("mad"),
+                    F.round(rz, 4).alias("robust_z")))
+
+
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution (bits) —
+    the information-density quality signal that separates natural prose
+    from keyword stuffing / boilerplate repetition (low entropy) at a
+    glance: H = log₂(n) − (Σ c·log₂ c)/n over per-doc token counts.
+
+    Plan: one (doc, token) census shuffle with map-side combine, then
+    a per-doc reduce — both keyed, no window; the per-term products are
+    DECIMAL(28,12)-cast before summation so cross-partition addition
+    order cannot perturb double bits (r5 rule)."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    toks = F.transform(TX.tokens("text"), lambda t: F.lower(t))
+    census = (documents.select("doc_id", F.explode(toks).alias("tok"))
+              .groupBy("doc_id", "tok")
+              .agg(F.count(F.lit(1)).alias("c")))
+    term = (F.col("c") * F.log2(F.col("c").cast("double"))) \
+        .cast("decimal(28,12)")
+    agg = census.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.sum(term).alias("s"))
+    h = (F.log2(F.col("n_tokens").cast("double"))
+         - F.col("s").cast("double") / F.col("n_tokens"))
+    return agg.select("doc_id", "n_tokens",
+                      F.round(h, 6).alias("token_entropy"))
+
+
 def text_feature_hashing(spark: SparkSession, sf_dir: str,
                          n_buckets: int = 64) -> DataFrame:
     """Hashing-trick bag-of-words features (Weinberger et al. 2009):

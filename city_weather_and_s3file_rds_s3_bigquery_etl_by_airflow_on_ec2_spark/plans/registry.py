@@ -716,6 +716,56 @@ REGISTRY: dict[str, QuerySpec] = {
         """,
         bench=True,
     ),
+    "streaming_date_bin": QuerySpec(
+        R.streaming_date_bin,
+        """
+        SELECT time_bucket(INTERVAL '15 minutes', ts,
+                           TIMESTAMP '2023-12-31 23:05:00') AS bin_start,
+               event_type, count(*) AS n_events,
+               round(min(value), 4) AS low,
+               round(max(value), 4) AS high
+        FROM events GROUP BY 1, 2
+        """,
+    ),
+    "events_anomaly_mad": QuerySpec(
+        X.events_anomaly_mad,
+        """
+        WITH med AS (
+            SELECT event_type, median(value) AS med
+            FROM events GROUP BY event_type
+        ), mad AS (
+            SELECT e.event_type, any_value(m.med) AS med,
+                   median(abs(e.value - m.med)) AS mad
+            FROM events e JOIN med m USING (event_type)
+            GROUP BY e.event_type
+        )
+        SELECT event_id, event_type, value,
+               round(med, 4) AS med, round(mad, 4) AS mad,
+               round((value - med) / (1.4826 * mad), 4) AS robust_z
+        FROM events JOIN mad USING (event_type)
+        WHERE mad > 0
+          AND abs((value - med) / (1.4826 * mad)) > 3.0
+        """,
+    ),
+    "text_token_entropy": QuerySpec(
+        X.text_token_entropy,
+        f"""
+        WITH c AS (
+            SELECT doc_id, tok, count(*) AS c
+            FROM (SELECT doc_id,
+                         unnest(list_transform({_TOKS}, x -> lower(x)))
+                             AS tok
+                  FROM documents)
+            GROUP BY doc_id, tok
+        )
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+               round(log2(CAST(sum(c) AS DOUBLE))
+                     - CAST(sum(CAST(c * log2(CAST(c AS DOUBLE))
+                                     AS DECIMAL(28,12))) AS DOUBLE)
+                       / sum(c), 6) AS token_entropy
+        FROM c GROUP BY doc_id
+        """,
+    ),
     "streaming_session_windows": QuerySpec(
         R.streaming_session_windows,
         """

@@ -24,6 +24,7 @@ from ..operators.ids import serial_id
 from ..operators.joins import asof_join
 from ..sources.tables import load_tables, register_views
 from ..streaming.windows import (
+    run_offset_window_stream,
     run_session_window_stream,
     run_tumbling_count_stream,
     sessionize,
@@ -703,6 +704,15 @@ def streaming_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     memory sink) — the oracle SQL is identical, so the streaming
     engine itself is hash-checked against DuckDB."""
     return run_tumbling_count_stream(spark, sf_dir)
+
+
+def streaming_date_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling windows at a non-epoch-aligned origin
+    (``F.window``'s ``startTime`` offset) — the streaming twin of
+    ``events_date_bin_downsample``; the oracle states the identical
+    custom-origin bins via DuckDB ``time_bucket``, so the offset
+    semantics are hash-checked through a real streaming query."""
+    return run_offset_window_stream(spark, sf_dir)
 
 
 def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -204,3 +204,59 @@ def run_sliding_count_stream(
             query.stop()
     return spark.table(qname).select(
         F.col("w.start").alias("window_start"), "n_events")
+
+
+def run_offset_window_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    window_duration: str = "15 minutes",
+    start_time: str = "5 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming tumbling windows with a NON-epoch-aligned origin —
+    ``F.window``'s ``startTime`` offset, the streaming twin of the
+    batch ``events_date_bin_downsample`` custom-origin bins (origin
+    23:05 ≡ a 5-minute offset on the 15-minute epoch grid: 1385 min
+    into the day, 1385 mod 15 = 5).  Same harness contract as
+    ``run_tumbling_count_stream``: bounded parquet micro-batch →
+    watermark → windowed agg → complete-mode memory sink → settled
+    batch DataFrame, so the oracle checks origin-offset semantics
+    through a real streaming query."""
+    from ..session import ensure_session_confs
+
+    ensure_session_confs(spark)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    from ..sources.tables import normalize_event_ts
+    stream = normalize_event_ts(stream)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration, window_duration,
+                          start_time).alias("w"),
+                 "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.min("value"), 4).alias("low"),
+             F.round(F.max("value"), 4).alias("high"))
+    )
+    from . import rotate_sink
+    qname = rotate_sink(spark, "offsetwin",
+                        f"offsetwin_{uuid.uuid4().hex[:8]}")
+    query = (
+        agg.writeStream.outputMode("complete")
+        .format("memory").queryName(qname)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination()
+    finally:
+        if query.isActive:  # pragma: no cover
+            query.stop()
+    return spark.table(qname).select(
+        F.col("w.start").alias("bin_start"),
+        "event_type", "n_events", "low", "high",
+    )
