@@ -316,7 +316,12 @@ def minhash_lsh_pairs_incremental(
         seed)
     if max_band_bucket is not None:
         # cap on the CORPUS side: bipartite bucket cost is w_new × w_old
-        # and the corpus is the side a hot template accumulates in
+        # and the corpus is the side a hot template accumulates in.
+        # Persist first for the same reason as the native variant: the
+        # width census, the anti-join, and the band join must share one
+        # materialization of the corpus signatures.
+        from pyspark import StorageLevel
+        banded_old = banded_old.persist(StorageLevel.MEMORY_AND_DISK)
         banded_old = cap_band_buckets(banded_old, max_band_bucket)
     n, c = banded_new.alias("n"), banded_old.alias("c")
     cands = (

@@ -750,7 +750,8 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str,
     if edges_fn is None:
         edges = D.minhash_lsh_pairs_native(
             documents, "text", "doc_id",
-            max_exact_jaccard_distance=0.6)
+            max_exact_jaccard_distance=0.6,
+            max_band_bucket=512)   # same skew guard as dedup_minhash_lsh
     else:
         edges = edges_fn(documents)
     # star variant: O(log diameter) rounds — with the billion-edge LSH

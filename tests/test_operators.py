@@ -3158,3 +3158,104 @@ def test_bpe_train_matches_python_reference(spark):
     want2 = py_bpe(planted, 2)
     assert got2 == want2
     assert got2[1][1] == "a␞b"   # round 2 consumed round 1's symbol
+
+
+def test_snapshot_diff_reconstructs_new_version(spark):
+    """Applying table_snapshot_diff's change rows to the old snapshot
+    must reproduce the new snapshot exactly — the CDC consumer's
+    invariant (delete removes, insert adds, update replaces)."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        table_snapshot_diff,
+    )
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.sources.tables import (
+        read_parquet_table,
+    )
+
+    orders = read_parquet_table(spark, SF_SMALL, "orders")
+    old = {r.o_orderkey: r.o_totalprice
+           for r in orders.select("o_orderkey", "o_totalprice").collect()}
+    diff = table_snapshot_diff(spark, SF_SMALL).collect()
+    rebuilt = dict(old)
+    for r in diff:
+        if r.change_type == "delete":
+            del rebuilt[r.orderkey]
+        elif r.change_type == "insert":
+            assert r.orderkey not in rebuilt
+            rebuilt[r.orderkey] = r.new_price
+        else:
+            assert r.change_type == "update"
+            assert rebuilt[r.orderkey] == r.old_price
+            rebuilt[r.orderkey] = r.new_price
+    # independent recomputation of the "new" snapshot
+    want = {k: (round(v + 10.0, 2) if k % 13 == 0 else v)
+            for k, v in old.items() if k % 97 != 0}
+    want.update({k + 100_000_000: v for k, v in old.items()
+                 if k % 101 == 0})
+    assert rebuilt == want
+    assert {r.change_type for r in diff} == {"delete", "insert", "update"}
+
+
+def test_date_bin_every_event_in_exactly_one_bin(spark):
+    """events_date_bin_downsample invariants: bins tile the timeline
+    from the custom origin (bin_start ≡ origin mod 15 min), every event
+    falls in [bin_start, bin_start + 15 min), and per-type bin counts
+    sum back to the table count."""
+    from datetime import datetime
+
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.relational import (
+        events_date_bin_downsample,
+    )
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.sources.tables import (
+        read_parquet_table,
+    )
+
+    out = events_date_bin_downsample(spark, SF_SMALL).collect()
+    events = read_parquet_table(spark, SF_SMALL, "events")
+    assert sum(r.n_events for r in out) == events.count()
+    origin = datetime(2023, 12, 31, 23, 5)
+    width_s = 15 * 60
+    for r in out:
+        off = (r.bin_start - origin).total_seconds()
+        assert off >= 0 and off % width_s == 0, r.bin_start
+    # spot-check membership: recompute one event's bin in Python
+    ev = events.orderBy("event_id").first()
+    off = int((ev.ts - origin).total_seconds() // width_s) * width_s
+    from datetime import timedelta
+    want_bin = origin + timedelta(seconds=off)
+    got = {(r.bin_start, r.event_type) for r in out}
+    assert (want_bin, ev.event_type) in got
+
+
+def test_wav_rms_energy_stereo_averages_channels(spark):
+    """Stereo payloads deinterleave and average to mono before the RMS
+    (constant L=+600/R=-600 square wave → mono 0 → RMS 0; L=R=500 →
+    RMS 500)."""
+    import io
+    import struct
+    import wave
+
+    import pyspark.sql.types as T
+
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.operators.multimodal import (
+        wav_rms_energy,
+    )
+
+    def stereo_wav(lr_pairs):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(2)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(b"".join(struct.pack("<hh", left, right)
+                                   for left, right in lr_pairs))
+        return buf.getvalue()
+
+    rows = [(1, bytearray(stereo_wav([(600, -600)] * 256))),
+            (2, bytearray(stereo_wav([(500, 500)] * 256)))]
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("media_bytes", T.BinaryType())])
+    df = spark.createDataFrame(rows, schema)
+    got = {r.doc_id: r.rms
+           for r in wav_rms_energy(df, frame_samples=256).collect()}
+    assert got[1] == 0.0
+    assert abs(got[2] - 500.0) < 1e-9
