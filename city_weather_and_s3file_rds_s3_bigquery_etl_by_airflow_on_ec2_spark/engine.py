@@ -38,3 +38,24 @@ class Engine:
         df = self.sql(query)
         return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
             df._jdf.queryExecution(), "formatted")
+
+    def query(self, name: str) -> DataFrame:
+        """Run any named registry operator against this engine's lake —
+        the one-call surface for the full SURVEY.md §2 inventory plus
+        the LLM-pipeline extensions (``Engine.operators()`` lists
+        them).  Same builders the driver's correctness gate runs."""
+        from .plans.registry import REGISTRY
+
+        try:
+            spec = REGISTRY[name]
+        except KeyError:
+            raise KeyError(
+                f"unknown operator {name!r}; see Engine.operators()")
+        return spec.fn(self.spark, self.sf_dir)
+
+    @staticmethod
+    def operators() -> list[str]:
+        """Names accepted by :meth:`query`, in registry order."""
+        from .plans.registry import REGISTRY
+
+        return list(REGISTRY)

@@ -66,3 +66,23 @@ def test_quality_gates(spark):
     expect_values_in(df, "v", ["a", "b"])
     with pytest.raises(DataQualityError, match="unexpected value"):
         expect_values_in(df, "v", ["a"])
+
+
+def test_engine_query_runs_registry_operators(spark):
+    """Engine.query(name) is the user-facing one-call surface for every
+    registry operator; unknown names fail with a pointer to the list."""
+    import pytest
+
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.engine import (
+        Engine,
+    )
+
+    from .conftest import SF_SMALL
+
+    eng = Engine(sf_dir=SF_SMALL, spark=spark)
+    names = Engine.operators()
+    assert len(names) >= 230 and "flagship_weather_join" in names
+    out = eng.query("q1_pricing_summary").collect()
+    assert len(out) > 0
+    with pytest.raises(KeyError, match="operators"):
+        eng.query("no_such_operator")
