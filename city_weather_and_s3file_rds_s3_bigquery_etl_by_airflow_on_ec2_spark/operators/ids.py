@@ -58,6 +58,99 @@ def _default_ranges(spark) -> int:
         return spark.sparkContext.defaultParallelism
 
 
+def _sortable_double(df: DataFrame, col: str):
+    """Monotone double image of a numeric/temporal column for sketch
+    bucketing, or None if the type can't feed a quantile sketch."""
+    t = df.schema[col].dataType
+    if isinstance(t, _TEMPORAL_TYPES):
+        return F.col(col).cast("timestamp").cast("double")
+    if isinstance(t, _NUMERIC_TYPES):
+        return F.col(col).cast("double")
+    return None
+
+
+_MAX_TIE_SPLITS = 8
+
+
+def range_bucket_expr(df: DataFrame, sketch_expr, second_expr, n: int):
+    """Range-bucket id expression over a total order whose leading
+    image is ``sketch_expr`` (a monotone double) — shared by
+    ``serial_id`` and ``operators.packing.prefix_sum``.
+
+    Beyond the plain quantile-boundary bucketing, this splits HEAVY TIE
+    values on the leading key (r6): a value spanning k ≥ 2 quantile
+    slots — e.g. a quantized score, a constant priority, a single hot
+    day in a date lead — would otherwise concentrate ~k/n of the table
+    in ONE bucket, and in the degenerate all-ties case silently
+    recreate the single-partition window the two-phase form exists to
+    avoid.  Heavy values are detected from the raw (duplicated)
+    quantile list and their rows sub-bucketed by quantiles of
+    ``second_expr`` (the tiebreak column's double image), computed over
+    just the tied rows — one extra metadata-sized job per heavy value,
+    at most ``_MAX_TIE_SPLITS``.  Bucket ids stay monotone w.r.t. the
+    lexicographic (lead, second) order: within an old bucket, sub-v
+    rows (< v) keep the first slot and v's sub-buckets follow.
+
+    Returns a Column producing a dense-enough int bucket id; callers
+    collect per-bucket aggregates keyed by it (gaps are harmless).
+    With ``second_expr`` None (single-key order), falls back to plain
+    bucketing — a constant single-column key violates the caller's
+    total-order contract anyway."""
+    probs = [i / n for i in range(1, n)]
+    tmp = "__rb_sketch"
+    raw = (df.withColumn(tmp, sketch_expr)
+           .stat.approxQuantile(tmp, probs, 1.0 / (100 * n)))
+    bounds = sorted(set(raw))
+    if not bounds:
+        return F.lit(0)
+    barr = F.array(*[F.lit(b).cast("double") for b in bounds])
+    base = F.size(F.filter(barr, lambda b: b < sketch_expr))
+    if second_expr is None:
+        return base
+    # multiplicity in the RAW list ≈ how many quantile slots the value
+    # spans; ≥ 2 means the value alone holds ≥ ~2/n of the rows
+    mult = {v: raw.count(v) for v in bounds}
+    heavy = sorted((v for v in bounds if mult[v] >= 2),
+                   key=lambda v: -mult[v])[:_MAX_TIE_SPLITS]
+    if not heavy:
+        return base
+    # slot layout: old bucket j expands to 1 + k_j slots (non-tie rows
+    # first, then the tie value's k_j sub-buckets)
+    widths = []
+    sub_bounds: dict[float, list[float]] = {}
+    tmp2 = "__rb_sub"
+    for j, v in enumerate(bounds):
+        if v in heavy:
+            k = mult[v]
+            sp = [i / k for i in range(1, k)]
+            sb = sorted(set(
+                df.where(sketch_expr == F.lit(v))
+                  .withColumn(tmp2, second_expr)
+                  .stat.approxQuantile(tmp2, sp, 1.0 / (100 * n)))) \
+                if k > 1 else []
+            sub_bounds[v] = sb
+            widths.append(1 + len(sb) + 1)
+        else:
+            widths.append(1)
+    widths.append(1)                       # the open last bucket
+    slot_base, acc = [], 0
+    for w in widths:
+        slot_base.append(acc)
+        acc += w
+    slot_arr = F.array(*[F.lit(s) for s in slot_base])
+    pid = F.element_at(slot_arr, base + 1)
+    for v, sb in sub_bounds.items():
+        j = bounds.index(v)
+        if sb:
+            sb_arr = F.array(*[F.lit(b).cast("double") for b in sb])
+            sub_idx = F.size(F.filter(sb_arr, lambda b: b < second_expr))
+        else:
+            sub_idx = F.lit(0)
+        pid = F.when(sketch_expr == F.lit(v),
+                     F.lit(slot_base[j]) + 1 + sub_idx).otherwise(pid)
+    return pid
+
+
 def serial_id(df: DataFrame, key_cols: list[str], id_col: str = "id",
               num_ranges: int | None = None, eager: bool = False) -> DataFrame:
     """Assign a dense 1-based BIGINT ``id_col`` ordered by ``key_cols``
@@ -108,22 +201,16 @@ def serial_id(df: DataFrame, key_cols: list[str], id_col: str = "id",
             f"{lead_type.simpleString()} — reorder key_cols or "
             f"pre-derive a sortable numeric key")
     keys = [F.col(c) for c in key_cols]
-    sk = df.withColumn(_SKETCH, sketch_src)
-
-    probs = [i / n for i in range(1, n)]
-    bounds = sorted(set(sk.stat.approxQuantile(
-        _SKETCH, probs, 1.0 / (100 * n))))
-    if bounds:
-        barr = F.array(*[F.lit(b).cast("double") for b in bounds])
-        pid_expr = F.size(
-            F.filter(barr, lambda b: b < F.col(_SKETCH)))
-    else:  # empty input — single bucket
-        pid_expr = F.lit(0)
-    # pin ONE materialization for both the counts job and the final job
+    # pin ONE materialization up front: the boundary sketch, any heavy-
+    # tie sub-sketches, the counts job, and the final job all read it
     # (see docstring); spill-not-evict narrows — but does not eliminate —
     # the lineage-recompute window (executor loss still recomputes)
-    tagged = sk.withColumn(_PID, pid_expr).drop(_SKETCH).persist(
+    sk = df.withColumn(_SKETCH, sketch_src).persist(
         StorageLevel.MEMORY_AND_DISK)
+    second = (_sortable_double(df, key_cols[1])
+              if len(key_cols) > 1 else None)
+    pid_expr = range_bucket_expr(sk, F.col(_SKETCH), second, n)
+    tagged = sk.withColumn(_PID, pid_expr).drop(_SKETCH)
 
     # one row per bucket — metadata scale, safe to collect
     counts = {r[_PID]: r["cnt"]
@@ -144,5 +231,5 @@ def serial_id(df: DataFrame, key_cols: list[str], id_col: str = "id",
            .drop(_PID, _OFF))
     if eager:
         out = out.localCheckpoint(eager=True)
-        tagged.unpersist()
+        sk.unpersist()
     return out

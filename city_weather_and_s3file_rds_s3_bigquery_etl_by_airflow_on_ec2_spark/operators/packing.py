@@ -39,7 +39,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .ids import _default_ranges, _NUMERIC_TYPES
+from .ids import (
+    _default_ranges,
+    _NUMERIC_TYPES,
+    _sortable_double,
+    range_bucket_expr,
+)
 
 _PID = "__ps_pid"
 _OFF = "__ps_off"
@@ -81,14 +86,14 @@ def prefix_sum(df: DataFrame, weight_col: str, order_cols: list[str],
             f"prefix_sum leading order col {lead!r} must be numeric for "
             f"the quantile sketch; got {lead_type.simpleString()}")
 
-    probs = [i / n for i in range(1, n)]
-    bounds = sorted(set(df.stat.approxQuantile(lead, probs, 1.0 / (100 * n))))
-    if bounds:
-        barr = F.array(*[F.lit(b).cast("double") for b in bounds])
-        pid_expr = F.size(
-            F.filter(barr, lambda b: b < F.col(lead).cast("double")))
-    else:
-        pid_expr = F.lit(0)
+    # range_bucket_expr (operators/ids.py, r6) adds heavy-tie
+    # splitting: a quantized/constant leading weight key no longer
+    # concentrates its rows — or in the all-ties case, the whole
+    # table — into one bucket's window
+    second = (_sortable_double(df, order_cols[1])
+              if len(order_cols) > 1 else None)
+    pid_expr = range_bucket_expr(
+        df, F.col(lead).cast("double"), second, n)
     tagged = df.withColumn(_PID, pid_expr)
 
     # one row per bucket — metadata scale, safe to collect

@@ -3259,3 +3259,50 @@ def test_wav_rms_energy_stereo_averages_channels(spark):
            for r in wav_rms_energy(df, frame_samples=256).collect()}
     assert got[1] == 0.0
     assert abs(got[2] - 500.0) < 1e-9
+
+
+def test_tie_heavy_lead_key_does_not_collapse_to_one_bucket(spark):
+    """r6 scale hazard closed: a CONSTANT (or quantized) leading sort
+    key used to put every row into one quantile bucket, silently
+    recreating the single-partition window the two-phase prefix_sum /
+    serial_id exist to avoid.  range_bucket_expr must sub-bucket the
+    tied rows by the tiebreak column — and the results must stay
+    bit-identical to the naive global-window reference."""
+    from pyspark.sql import Window
+
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.operators.ids import (
+        serial_id,
+    )
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.operators.packing import (
+        prefix_sum,
+    )
+
+    n = 50_000
+    df = (spark.range(n)
+          .select(F.lit(7).alias("k"),          # constant lead: all ties
+                  F.col("id").alias("tie"),
+                  (F.col("id") % 5 + 1).alias("w")))
+
+    ps = prefix_sum(df, "w", ["k", "tie"], out_col="cum")
+    # correctness: equals the global running sum
+    wref = Window.orderBy("tie").rowsBetween(Window.unboundedPreceding, 0)
+    want = {r.tie: r.cum for r in
+            df.withColumn("cum", F.sum(F.col("w").cast("long")).over(wref))
+              .collect()}
+    got = {r.tie: r.cum for r in ps.collect()}
+    assert got == want
+    # scale shape: the window ran over MANY buckets, not one
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.operators.ids import (
+        _sortable_double,
+        range_bucket_expr,
+    )
+    pid = range_bucket_expr(df, F.col("k").cast("double"),
+                            _sortable_double(df, "tie"), 32)
+    n_buckets = df.select(pid.alias("p")).distinct().count()
+    assert n_buckets >= 8, n_buckets
+
+    sid = serial_id(df, ["k", "tie"], id_col="sid")
+    rows = sid.orderBy("tie").limit(5).collect()
+    assert [r.sid for r in rows] == [1, 2, 3, 4, 5]
+    assert sid.select(F.max("sid")).first()[0] == n
+    assert sid.select("sid").distinct().count() == n
