@@ -3755,9 +3755,9 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "multimodal_audio_energy",
     # spatial / time-series / events
     "join_spatial_grid_radius", "window_ewma", "events_attribution",
-    # r6-changed relational entries (see header note)
+    # r6-changed relational entries + one r6-born entry (snapshot diff)
     "table_expectations", "window_nth_value", "sql_execute_immediate",
-    "scalar_time_type",
+    "table_snapshot_diff",
 )
 assert set(_DRIVER_WINDOW_FIRST) <= set(REGISTRY), sorted(
     set(_DRIVER_WINDOW_FIRST) - set(REGISTRY))
