@@ -2039,8 +2039,15 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str,
     ).select(
         "doc_id",
         (TX.rolling_hash(F.col("gram")) % F.lit(n_buckets)).alias("bucket"))
+    # persist the combined census (narrow: ≤ n_buckets rows/doc of 3
+    # numeric cols): it feeds BOTH the marginals and the final per-doc
+    # reduce, and without the cache the gram explode+hash shuffle —
+    # the operator's dominant cost — executes twice (no ReusedExchange
+    # fires across the two consumers; verified in the executed plan, r6)
+    from pyspark import StorageLevel
     doc_feat = feat.groupBy("doc_id", "bucket").agg(
-        F.count(F.lit(1)).alias("cnt"))
+        F.count(F.lit(1)).alias("cnt")) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     flags = documents.select(
         "doc_id",
         (TX.quality_score("text") >= F.lit(target_quality)).alias("is_tgt"))
