@@ -867,16 +867,22 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     size, ties broken by term) — the classic keyword-extraction shape.
     Two shuffles: term-frequency groupBy and the per-doc top-k window;
     the document-frequency table is corpus-vocabulary-sized and
-    broadcast into the join."""
+    broadcast into the join.
+
+    r6 restructure: df is derived FROM the persisted tf census —
+    tf rows are distinct (doc, term) pairs, so df(term) is a plain row
+    count per term.  Before, df ran its own groupBy over a second
+    explode of the corpus, tokenizing every document twice."""
+    from pyspark import StorageLevel
     from pyspark.sql import Window
     (documents,) = _t(spark, sf_dir, "documents")
     n_docs = documents.count()  # scalar; one metadata-scale job
     terms = documents.select(
         "doc_id", F.explode(TX.tokens("text")).alias("term"))
     tf = terms.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).alias("tf"))
-    df_ = terms.groupBy("term").agg(
-        F.count_distinct("doc_id").alias("df"))
+        F.count(F.lit(1)).alias("tf")) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy(
         F.col("tfidf").desc(), F.col("term"))
     return (tf.join(F.broadcast(df_), "term")
