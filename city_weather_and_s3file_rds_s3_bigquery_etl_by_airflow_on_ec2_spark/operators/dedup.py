@@ -487,6 +487,11 @@ def token_jaccard_pairs(
                           "minhash_lsh_pairs_native for production dedup "
                           "or raise the cap")))))
         .drop("_blk_n"))
+    # r6: persist the per-doc tokset relation — it feeds the token
+    # frequency census, the rarest-first ordering, AND both verify
+    # re-attach joins; uncached, the scan+tokenize lineage executes 4×
+    from pyspark import StorageLevel
+    t = t.persist(StorageLevel.MEMORY_AND_DISK)
     # --- candidate generation: prefix-filtered self-join -------------
     # (Bayardo, Ma & Srikant, "Scaling Up All Pairs Similarity Search",
     # WWW 2007; Xiao, Wang, Lin & Yu, "Efficient Similarity Joins for
