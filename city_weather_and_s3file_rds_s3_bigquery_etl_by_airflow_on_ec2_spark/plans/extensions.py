@@ -2345,6 +2345,75 @@ def text_vocab_table(spark: SparkSession, sf_dir: str,
     return ranked.select("vocab_id", "token", "freq")
 
 
+def corpus_source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of token volume across sources — the
+    concentration number a dataset card reports ("is the corpus five
+    crawls in a trenchcoat?"): G = Σᵢⱼ|xᵢ−xⱼ| / (2·n·Σx) over
+    per-source token counts.  The pairwise-difference identity is used
+    ON PURPOSE: it needs no global sort or partitionless rank window —
+    the per-source rollup is source-cardinality rows, its self
+    cross-join is n² of a TINY relation (broadcast nested loop), and
+    the whole thing reduces to one keyless aggregate."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    per_src = documents.groupBy("source").agg(
+        F.sum(TX.token_count("text")).alias("toks"))
+    a, b = per_src.alias("a"), per_src.alias("b")
+    pair_sum = (a.crossJoin(b)
+                .agg(F.sum(F.abs(F.col("a.toks") - F.col("b.toks")))
+                     .alias("dsum")))
+    stats = per_src.agg(F.count(F.lit(1)).alias("n_sources"),
+                        F.sum("toks").alias("total_tokens"))
+    return (stats.crossJoin(F.broadcast(pair_sum))
+            .select("n_sources", "total_tokens",
+                    F.round(F.col("dsum").cast("double")
+                            / (2.0 * F.col("n_sources")
+                               * F.col("total_tokens")), 6).alias("gini")))
+
+
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event-type
+    stream — the behavioral summary (and synthetic-session generator
+    input) a product-analytics pipeline maintains: per (from, to) pair,
+    the transition count and row-normalized probability.
+
+    Plan: one per-user lag window (keyed shuffle), one coarse
+    (from, to) aggregate — ≤ |types|² rows — and the row totals
+    re-attach by broadcast."""
+    from pyspark.sql import Window
+    (events,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = (events
+             .select("user_id", "ts", "event_id",
+                     F.col("event_type").alias("to_type"),
+                     F.lag("event_type").over(w).alias("from_type"))
+             .where(F.col("from_type").isNotNull()))
+    trans = steps.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n"))
+    totals = trans.groupBy("from_type").agg(F.sum("n").alias("row_n"))
+    return (trans.join(F.broadcast(totals), "from_type")
+            .select("from_type", "to_type", "n",
+                    F.round(F.col("n").cast("double") / F.col("row_n"), 6)
+                     .alias("p")))
+
+
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the ranked vocabulary: OLS slope/intercept/R²
+    of ln(freq) against ln(rank) — natural corpora sit near slope −1,
+    and a corpus whose slope drifts far from it is template-heavy or
+    vocabulary-collapsed (the data-card health check next to
+    ``corpus_source_gini``).  Rank comes from the two-phase
+    ``text_vocab_table`` (no partitionless window); the regression is
+    Spark's one-pass mergeable-moment regr_* aggregates."""
+    v = text_vocab_table(spark, sf_dir)
+    x = F.log(F.col("vocab_id").cast("double"))
+    y = F.log(F.col("freq").cast("double"))
+    return v.agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.round(F.regr_slope(y, x), 6).alias("zipf_slope"),
+        F.round(F.regr_intercept(y, x), 6).alias("zipf_intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"))
+
+
 def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram language-model scoring with add-one smoothing — one
     Markov order above ``text_unigram_logprob`` (the KenLM-direction

@@ -3521,6 +3521,68 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM f
         """,
     ),
+    "corpus_source_gini": QuerySpec(
+        X.corpus_source_gini,
+        f"""
+        WITH s AS (
+            SELECT source, sum(len({_TOKS})) AS toks
+            FROM documents GROUP BY source
+        ), d AS (
+            SELECT sum(abs(a.toks - b.toks)) AS dsum
+            FROM s a CROSS JOIN s b
+        )
+        SELECT count(*) AS n_sources,
+               CAST(sum(toks) AS BIGINT) AS total_tokens,
+               round(CAST((SELECT dsum FROM d) AS DOUBLE)
+                     / (2.0 * count(*) * sum(toks)), 6) AS gini
+        FROM s
+        """,
+    ),
+    "events_markov_transitions": QuerySpec(
+        X.events_markov_transitions,
+        """
+        WITH steps AS (
+            SELECT lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)
+                       AS from_type,
+                   event_type AS to_type
+            FROM events
+        ), trans AS (
+            SELECT from_type, to_type, count(*) AS n
+            FROM steps WHERE from_type IS NOT NULL
+            GROUP BY from_type, to_type
+        )
+        SELECT from_type, to_type, n,
+               round(CAST(n AS DOUBLE)
+                     / sum(n) OVER (PARTITION BY from_type), 6) AS p
+        FROM trans
+        """,
+    ),
+    "text_zipf_slope": QuerySpec(
+        X.text_zipf_slope,
+        f"""
+        WITH tok AS (
+            SELECT lower(unnest({_TOKS})) AS token FROM documents
+        ), f AS (
+            SELECT token, count(*) AS freq FROM tok GROUP BY token
+            HAVING count(*) >= 5
+        ), v AS (
+            SELECT CAST(row_number() OVER (ORDER BY freq DESC, token)
+                        AS BIGINT) AS vocab_id, freq
+            FROM f
+        )
+        SELECT count(*) AS n_types,
+               round(regr_slope(ln(CAST(freq AS DOUBLE)),
+                                ln(CAST(vocab_id AS DOUBLE))), 6)
+                   AS zipf_slope,
+               round(regr_intercept(ln(CAST(freq AS DOUBLE)),
+                                    ln(CAST(vocab_id AS DOUBLE))), 6)
+                   AS zipf_intercept,
+               round(regr_r2(ln(CAST(freq AS DOUBLE)),
+                             ln(CAST(vocab_id AS DOUBLE))), 6) AS r2
+        FROM v
+        """,
+    ),
     "text_bigram_logprob": QuerySpec(
         X.text_bigram_logprob,
         f"""
