@@ -3306,3 +3306,43 @@ def test_tie_heavy_lead_key_does_not_collapse_to_one_bucket(spark):
     assert [r.sid for r in rows] == [1, 2, 3, 4, 5]
     assert sid.select(F.max("sid")).first()[0] == n
     assert sid.select("sid").distinct().count() == n
+
+
+def test_incremental_minhash_corpus_side_cap(spark):
+    """The bipartite (new-batch × corpus) LSH also takes the r6 skew
+    cap — on the CORPUS side, where a hot template accumulates: with a
+    600-doc boilerplate corpus, an incoming batch that contains one
+    more copy of the template matches ~every boilerplate doc uncapped;
+    capped, the hot buckets are dropped while a planted non-boilerplate
+    near-dup of a corpus doc is still found through its width-2
+    buckets."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.operators.dedup import (
+        minhash_lsh_pairs_incremental,
+    )
+
+    n_boiler = 600
+    corpus, _ = _boilerplate_lake(spark, n_boiler, n_unique=50,
+                                  n_planted=0)
+    template = " ".join(f"tmpl{j}" for j in range(12))
+    # batch: one template copy + near-dups of 10 unique corpus docs
+    twins = (corpus.where((F.col("doc_id") >= 1_000)
+                          & (F.col("doc_id") < 1_010))
+             .select((F.col("doc_id") + 500_000).alias("doc_id"),
+                     F.concat(F.col("text"), F.lit(" extraword"))
+                     .alias("text")))
+    batch = twins.unionByName(spark.createDataFrame(
+        [(900_000, template + " uniqbatch")], ["doc_id", "text"]))
+
+    uncapped = minhash_lsh_pairs_incremental(
+        batch, corpus, "text", "doc_id",
+        max_exact_jaccard_distance=0.5).collect()
+    capped = minhash_lsh_pairs_incremental(
+        batch, corpus, "text", "doc_id",
+        max_exact_jaccard_distance=0.5, max_band_bucket=64).collect()
+
+    boiler_hits = lambda rows: sum(1 for r in rows if r.id_b < n_boiler)
+    assert boiler_hits(uncapped) >= n_boiler * 0.5   # template matches ~all
+    assert boiler_hits(capped) <= 50                 # hot buckets dropped
+    planted = {(1_000 + i + 500_000, 1_000 + i) for i in range(10)}
+    found = {(r.id_a, r.id_b) for r in capped} & planted
+    assert len(found) >= 8
