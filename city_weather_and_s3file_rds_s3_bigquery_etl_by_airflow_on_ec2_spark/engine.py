@@ -53,6 +53,16 @@ class Engine:
                 f"unknown operator {name!r}; see Engine.operators()")
         return spec.fn(self.spark, self.sf_dir)
 
+    def release(self, blocking: bool = False) -> int:
+        """Drop every intermediate cache the registry operators
+        persisted (operators/cache.scoped_persist) — call after the
+        terminal action consuming a :meth:`query` result.  Long-lived
+        sessions that skip this accumulate disk-backed cache blocks
+        across queries (VERDICT r6 #3)."""
+        from .operators.cache import release_persisted
+
+        return release_persisted(blocking)
+
     @staticmethod
     def operators() -> list[str]:
         """Names accepted by :meth:`query`, in registry order."""

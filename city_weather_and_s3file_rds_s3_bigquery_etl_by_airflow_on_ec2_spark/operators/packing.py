@@ -76,8 +76,10 @@ def prefix_sum(df: DataFrame, weight_col: str, order_cols: list[str],
     """
     spark = df.sparkSession
     if persist_input:
-        from pyspark import StorageLevel
-        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        # scoped (VERDICT r6 #3): tracked in operators/cache.py and
+        # released by the caller's post-action release_persisted()
+        from .cache import scoped_persist
+        df = scoped_persist(df)
     n = num_ranges or _default_ranges(spark)
     lead = order_cols[0]
     lead_type = df.schema[lead].dataType

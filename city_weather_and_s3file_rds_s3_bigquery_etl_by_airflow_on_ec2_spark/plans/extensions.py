@@ -873,15 +873,15 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf rows are distinct (doc, term) pairs, so df(term) is a plain row
     count per term.  Before, df ran its own groupBy over a second
     explode of the corpus, tokenizing every document twice."""
-    from pyspark import StorageLevel
     from pyspark.sql import Window
+
+    from ..operators.cache import scoped_persist
     (documents,) = _t(spark, sf_dir, "documents")
     n_docs = documents.count()  # scalar; one metadata-scale job
     terms = documents.select(
         "doc_id", F.explode(TX.tokens("text")).alias("term"))
-    tf = terms.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).alias("tf")) \
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    tf = scoped_persist(terms.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy(
         F.col("tfidf").desc(), F.col("term"))
@@ -999,22 +999,38 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     documented sha-repeat fake, which IS SQL-expressible — so unlike
     the decode entry the resize transform is fully oracle-checked,
     payload bytes included; the PIL tier on text payloads falls back
-    to the identical bytes, keeping the oracle tier-independent."""
+    to the identical bytes, keeping the oracle tier-independent.
+
+    Driver contract (VERDICT r6 #1): the payload is projected as
+    ``hex(resized_bytes)`` — an injective STRING encoding, so the
+    byte-exactness claim is unchanged — because raw BinaryType
+    columns crash the driver's pandas-based canonicalizer
+    (``bytearray`` is unhashable).  The raw-bytes production path is
+    covered by the resize_media unit tests."""
     from ..operators.multimodal import attach_media_columns, resize_media
     (documents,) = _t(spark, sf_dir, "documents")
     media = attach_media_columns(documents, "text")
-    return resize_media(media, 32, 32)
+    out = resize_media(media, 32, 32)
+    return out.select("doc_id", "width", "height",
+                      F.hex("resized_bytes").alias("resized_hex"),
+                      "n_bytes")
 
 
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-style frame sampling (every 4th fixed 256-byte frame) —
     the one-row-to-many-frames fanout through mapInPandas; frame
     chunking is deterministic, so offsets AND frame payload bytes are
-    oracle-checked (ASCII corpus: char slicing == byte slicing)."""
+    oracle-checked (ASCII corpus: char slicing == byte slicing).
+
+    Driver contract (VERDICT r6 #1): frame payload projected as
+    ``hex(frame_bytes)`` (injective, byte-exactness preserved) —
+    see multimodal_resize for why BinaryType can't face the driver."""
     from ..operators.multimodal import attach_media_columns, sample_frames
     (documents,) = _t(spark, sf_dir, "documents")
     media = attach_media_columns(documents, "text")
-    return sample_frames(media, frame_size=256, stride=4)
+    out = sample_frames(media, frame_size=256, stride=4)
+    return out.select("doc_id", "frame_idx", "byte_offset",
+                      F.hex("frame_bytes").alias("frame_hex"))
 
 
 def corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2049,11 +2065,11 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str,
     # numeric cols): it feeds BOTH the marginals and the final per-doc
     # reduce, and without the cache the gram explode+hash shuffle —
     # the operator's dominant cost — executes twice (no ReusedExchange
-    # fires across the two consumers; verified in the executed plan, r6)
-    from pyspark import StorageLevel
-    doc_feat = feat.groupBy("doc_id", "bucket").agg(
-        F.count(F.lit(1)).alias("cnt")) \
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # fires across the two consumers; verified in the executed plan,
+    # r6).  Scoped: released at the caller's release_persisted().
+    from ..operators.cache import scoped_persist
+    doc_feat = scoped_persist(feat.groupBy("doc_id", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")))
     flags = documents.select(
         "doc_id",
         (TX.quality_score("text") >= F.lit(target_quality)).alias("is_tgt"))

@@ -1773,13 +1773,17 @@ REGISTRY: dict[str, QuerySpec] = {
     # full power iteration — unbounded loop, not SQL-expressible;
     # NumPy power-iteration ground truth in tests (rows-only)
     "graph_pagerank": QuerySpec(X.graph_pagerank, None),
+    # Payload columns face the driver as hex STRINGs (injective, so the
+    # byte-exactness claim is unchanged): the driver's pandas
+    # canonicalizer cannot factorize bytearray (VERDICT r6 #1). Both
+    # Spark hex() and DuckDB hex() emit uppercase A-F.
     "multimodal_resize": QuerySpec(
         X.multimodal_resize,
         """
         SELECT doc_id, CAST(32 AS INTEGER) AS width,
                CAST(32 AS INTEGER) AS height,
-               unhex(substring(repeat(sha256(text), 33), 1, 2048))
-                   AS resized_bytes,
+               upper(substring(repeat(sha256(text), 33), 1, 2048))
+                   AS resized_hex,
                CAST(1024 AS BIGINT) AS n_bytes
         FROM documents
         """,
@@ -1799,8 +1803,9 @@ REGISTRY: dict[str, QuerySpec] = {
         )
         SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
                CAST(frame_idx * 256 AS BIGINT) AS byte_offset,
-               encode(substr(text, CAST(frame_idx * 256 + 1 AS BIGINT), 256))
-                   AS frame_bytes
+               hex(encode(substr(text, CAST(frame_idx * 256 + 1 AS BIGINT),
+                                 256)))
+                   AS frame_hex
         FROM f
         """,
     ),

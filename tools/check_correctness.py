@@ -22,6 +22,10 @@ import __spark_entry__ as entrymod  # noqa: E402
 from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark import (  # noqa: E402
     get_spark,
 )
+from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.operators.cache import (  # noqa: E402
+    cached_plan_count,
+    release_persisted,
+)
 from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.sources.tables import (  # noqa: E402
     TPCH_TABLES,
 )
@@ -86,7 +90,13 @@ def main() -> int:
             sdf = qs[name](spark, args.sf)
             spark_cols = sdf.columns
             spark_rows = [tuple(r) for r in sdf.collect()]
+            # per-query cache boundary (VERDICT r6 #3): operators may
+            # scoped_persist intermediates that live in the returned
+            # plan; release them after the consuming action so a full
+            # 236-entry run doesn't accumulate session-lifetime blocks
+            release_persisted()
         except Exception as e:  # noqa: BLE001
+            release_persisted()
             print(f"FAIL  {name}: spark error: {e}")
             n_fail += 1
             failures.append(name)
@@ -143,7 +153,16 @@ def main() -> int:
         else:
             print(f"ok    {name}: {len(spark_rows)} rows ({time.time()-t0:.1f}s)")
             n_pass += 1
-    print(f"\n{n_pass} ok, {n_rows_only} rows-only, {n_fail} fail")
+    # the lifecycle gate itself (VERDICT r6 #3): after releasing, the
+    # CacheManager must be empty — a nonzero count means some operator
+    # persisted outside the scoped_persist protocol
+    leaked = cached_plan_count(spark)
+    assert leaked <= 1, (
+        f"cache leak: {leaked} DataFrame plans still cached after "
+        "release_persisted() — route the persist through "
+        "operators/cache.scoped_persist")
+    print(f"\n{n_pass} ok, {n_rows_only} rows-only, {n_fail} fail "
+          f"(cached plans at exit: {leaked})")
     if failures:
         print("failed:", " ".join(failures))
     if args.json:
