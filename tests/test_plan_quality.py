@@ -576,6 +576,56 @@ def test_spatial_grid_join_is_pure_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_spatial_grid_join_hot_cell_aqe_skew_split_executed(spark):
+    """VERDICT r6 #8: COVERAGE.md claims a hot grid cell in the
+    spatial radius join is "ordinary AQE skew" — prove it EXECUTED,
+    like the band join's gate: a planted skewed-key lake concentrates
+    most points in one cell (a downtown in a city dataset), AQE must
+    split the skewed partition of the production cell-key equi-join.
+    Thresholds scaled down exactly like the sibling skew gates."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans import (
+        extensions as XX,
+    )
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",   # force SMJ
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # hot cell: 1500 points inside one radius-sized cell;
+        # background: 2000 points spread over a wide grid
+        hot = spark.range(1_500).selectExpr(
+            "id as vec_id",
+            "array(0.01 + (id % 100) * 0.0003, "
+            "0.01 + ((id * 7) % 100) * 0.0003) as embedding")
+        bg = spark.range(10_000, 12_000).selectExpr(
+            "id as vec_id",
+            "array(cast(id % 500 as double), "
+            "cast((id * 13) % 500 as double)) as embedding")
+        df = hot.unionByName(bg)
+        # grid_radius_join_frame is the EXACT production join body
+        # (join_spatial_grid_radius is a lake-reading wrapper over it,
+        # same factoring as band_join_candidates for the band gate).
+        # collect() executes THIS DataFrame's queryExecution — a
+        # derived limit/count would plan a separate query and leave
+        # the adaptive plan unfinalized.
+        pairs = XX.grid_radius_join_frame(df, radius=0.05)
+        n = len(pairs.collect())
+        assert n >= 200_000          # the hot cell really is quadratic
+        executed = pairs._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in executed
+        assert "SortMergeJoin" in executed
+        assert "skew=true" in executed, executed[:2000]
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+
+
 def test_window_ewma_single_keyed_exchange(spark):
     """EWMA is one per-type window: exactly one data exchange, hash-
     partitioned on event_type, and no SinglePartition anywhere."""
