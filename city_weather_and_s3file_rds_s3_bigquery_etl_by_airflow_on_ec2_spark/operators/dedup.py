@@ -467,8 +467,14 @@ def token_jaccard_pairs(
     1-(1-s^r)^b ≈ 0.90 at s=0.5 with b=8, r=2, minus cap losses on
     hot-template mass, which exact/content-hash dedup owns anyway) —
     at 100 TB a single hot (lang × len-band) block then costs bounded
-    work instead of killing the whole job.  ``strict=True`` restores
-    the fail-fast contract: any oversized block raises before going
+    work instead of killing the whole job.  Non-strict mode triggers
+    ONE eager metadata-scale probe job at build time (the column-
+    pruned block census, persisted and shared with the guard's
+    broadcast join) so the LSH detour — whose lineage would add a full
+    text-column corpus scan per execution — is attached ONLY when an
+    oversized block exists; healthy block profiles keep the exact
+    strict-mode plan.  ``strict=True`` restores the fully-lazy
+    fail-fast contract: any oversized block raises before going
     quadratic.  Pass ``max_block_size=None`` only when the block
     profile is known (the raise becomes unreachable, but the guard
     subtree is still built — it doubles as an optimizer barrier, see
@@ -508,19 +514,32 @@ def token_jaccard_pairs(
     if length_col:
         blk_sel.append(
             (F.col(length_col) / length_band).cast("long").alias("len_band"))
+    from .cache import scoped_persist
     oversized = (
         df.select(*blk_sel)
         .groupBy(*join_keys)
         .agg(F.count(F.lit(1)).alias("_blk_n"))
         .where(F.col("_blk_n") > cap)
     )
+    # Degrade-mode guard probe (r7): attach the banded-LSH detour ONLY
+    # when an oversized block actually exists — otherwise the detour's
+    # lineage would cost one extra full TEXT-column corpus scan at
+    # every execution even on healthy block profiles (the common
+    # case).  The probe is an eager metadata-scale job over the
+    # column-pruned block census (no text column), same pattern as
+    # prefix_sum's offset jobs; the census is scoped-persisted so the
+    # probe and the guard's broadcast join share one materialization.
+    degrade = False
+    if not strict:
+        oversized = scoped_persist(oversized)
+        degrade = bool(oversized.take(1))
     sel = [F.col(id_col), *[F.col(c) for c in block_cols],
            F.array_distinct(tokens(F.col(text_col))).alias("tokset")]
     if length_col:
         sel.append((F.col(length_col) / length_band).cast("long").alias("len_band"))
     t_all = df.select(*sel).join(F.broadcast(oversized), on=join_keys,
                                  how="left")
-    if not strict:
+    if degrade:
         # degrade mode: the prefix-filter path sees only sub-cap rows;
         # oversized-block rows take the banded-minhash detour below.
         # The raise_error branch is now runtime-unreachable but MUST
@@ -593,7 +612,7 @@ def token_jaccard_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     sets = t.select(id_col, "tokset")
-    if not strict:
+    if degrade:
         # --- degrade path: banded minhash WITHIN oversized blocks ----
         # Single-token features (shingle_size=1): array_distinct(tokens)
         # IS this operator's tokset, so the minhash approximates the
