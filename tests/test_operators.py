@@ -624,6 +624,27 @@ def test_token_jaccard_oversized_block_degrades_with_recall(spark):
     assert all(got[p] == round(19 / 21, 4) for p in hot_pairs)
 
 
+def test_token_jaccard_healthy_blocks_skip_lsh_detour(spark):
+    """r7 probe contract: with no oversized block, non-strict mode must
+    keep the exact strict-mode plan — the LSH detour (a Union with a
+    second corpus scan in its lineage) costs a full text-column scan
+    per execution and may only be attached when the eager census probe
+    finds an over-cap block."""
+    df = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2} common", "en") for i in range(30)],
+        ["doc_id", "text", "lang"])
+    healthy = token_jaccard_pairs(df, "text", "doc_id",
+                                  block_cols=["lang"], min_jaccard=0.3,
+                                  max_block_size=1000)
+    plan = healthy._jdf.queryExecution().optimizedPlan().toString()
+    assert "Union" not in plan
+    hot = token_jaccard_pairs(df, "text", "doc_id",
+                              block_cols=["lang"], min_jaccard=0.3,
+                              max_block_size=10)
+    plan_hot = hot._jdf.queryExecution().optimizedPlan().toString()
+    assert "Union" in plan_hot
+
+
 def test_token_jaccard_degrade_keeps_optimizer_barrier(spark):
     """The raise_error when() is a load-bearing optimizer barrier
     (blocks InferFiltersFromGenerate from poisoning the scan estimate
