@@ -123,16 +123,22 @@ def range_bucket_expr(df: DataFrame, sketch_expr, second_expr, n: int):
         # not persisted), so the cap is deliberate — but dropping a
         # heavy value means its rows stay concentrated in one bucket,
         # which the caller should hear about rather than discover as a
-        # straggler task.
-        import warnings
+        # straggler task.  A mult-2 drop concentrates only ~2/n of the
+        # rows (benign — logged at info); ≥3 slots is a real straggler
+        # risk and warrants a RuntimeWarning.
         dropped = all_heavy[_MAX_TIE_SPLITS:]
-        warnings.warn(
+        msg = (
             f"range_bucket_expr: {len(dropped)} heavy leading-key "
             f"value(s) beyond the _MAX_TIE_SPLITS={_MAX_TIE_SPLITS} cap "
             f"were not tie-split (largest spans {mult[dropped[0]]}/{n} "
             "quantile slots); their rows concentrate in single buckets. "
-            "Pre-salt the leading key or raise the cap for this input.",
-            RuntimeWarning, stacklevel=3)
+            "Pre-salt the leading key or raise the cap for this input.")
+        if mult[dropped[0]] >= 3:
+            import warnings
+            warnings.warn(msg, RuntimeWarning, stacklevel=3)
+        else:
+            import logging
+            logging.getLogger(__name__).info(msg)
     if not heavy:
         return base
     # slot layout: old bucket j expands to 1 + k_j slots (non-tie rows

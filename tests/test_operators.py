@@ -3414,6 +3414,37 @@ def test_tie_heavy_lead_key_does_not_collapse_to_one_bucket(spark):
     assert sid.select("sid").distinct().count() == n
 
 
+def test_tie_split_cap_overflow_warns_but_stays_correct(spark):
+    """ADVICE r6: when MORE heavy lead values exist than
+    _MAX_TIE_SPLITS can split, the overflow must be audible (a
+    RuntimeWarning naming the dropped count when a dropped value spans
+    >= 3 quantile slots — a real straggler risk) and the ids must stay
+    bit-exact regardless (dropped values concentrate rows; they never
+    corrupt order)."""
+    import warnings as W
+
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.operators.ids import (
+        serial_id,
+    )
+
+    # 12 quantized lead values x 3000 rows each, 48 ranges: every value
+    # spans ~4 slots -> 12 heavy values, 4 beyond the cap of 8
+    n = 36_000
+    df = (spark.range(n)
+          .select((F.col("id") % 12).alias("k"),
+                  F.col("id").alias("tie")))
+    with W.catch_warnings(record=True) as caught:
+        W.simplefilter("always")
+        sid = serial_id(df, ["k", "tie"], id_col="sid", num_ranges=48)
+        out = sid.select(F.max("sid").alias("mx"),
+                         F.count_distinct("sid").alias("nd")).first()
+    assert out.mx == n and out.nd == n
+    hits = [w for w in caught
+            if issubclass(w.category, RuntimeWarning)
+            and "range_bucket_expr" in str(w.message)]
+    assert hits, "expected the tie-split overflow RuntimeWarning"
+
+
 def test_incremental_minhash_corpus_side_cap(spark):
     """The bipartite (new-batch × corpus) LSH also takes the r6 skew
     cap — on the CORPUS side, where a hot template accumulates: with a
