@@ -30,6 +30,8 @@ rows-only by design; correctness is test-side.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -182,3 +184,122 @@ def pq_decode_codes(codes: list[int],
     for j, c in enumerate(codes):
         out.extend(codebooks[j][c])
     return out
+
+
+# ---------------------------------------------------- PCA (power method) —
+# Distributed principal components, split by regime the way Spark ML's
+# RowMatrix.computePrincipalComponents does it: for d up to a few
+# thousand the d×d Gramian is METADATA (d² doubles), so the cluster's
+# only job is a one-pass outer-product census — Σ x xᵀ as a d²-row
+# per-cell aggregate with map-side combine — and the eigensolve runs
+# on the driver (deflated power iteration over the 64×64 covariance:
+# pure arithmetic, no cluster round-trips).  The per-round DISTRIBUTED
+# matvec variant (one scan per iteration) is only worth its
+# driver-loop latency when d² no longer fits the driver — at that
+# point swap the local `_power_eig` for a loop of
+# Σ (x−µ)((x−µ)·v) scans; the census below already demonstrates the
+# partial-aggregation shape such a matvec uses.
+#
+# The census explodes a per-row d² outer-product array.  Nothing
+# expensive is projected BESIDE the Generate (the r5d9 CollapseProject
+# trap): the outer array is the Generate's own input, evaluated once
+# per row.
+
+
+def _power_eig(cov: list[list[float]], k: int, max_iter: int,
+               tol: float) -> tuple[list[list[float]], list[float], int]:
+    """Driver-local deflated power iteration on a small symmetric
+    matrix → (top-k unit eigenvectors, eigenvalues, iterations)."""
+    dim = len(cov)
+    comps: list[list[float]] = []
+    eigs: list[float] = []
+    iters = 0
+    for c in range(k):
+        v = [1.0 if i == c else 1.0 / (2 + i + c) for i in range(dim)]
+        nv = math.sqrt(sum(a * a for a in v))
+        v = [a / nv for a in v]  # drift test needs |v| = 1 from round 1
+        lam = 0.0
+        for _ in range(max_iter):
+            iters += 1
+            w = [sum(cov[i][j] * v[j] for j in range(dim))
+                 for i in range(dim)]
+            for u in comps:  # deflate: stay orthogonal to found comps
+                d = sum(a * b for a, b in zip(w, u))
+                w = [a - d * b for a, b in zip(w, u)]
+            nw = math.sqrt(sum(a * a for a in w))
+            if nw == 0.0:
+                break
+            w = [a / nw for a in w]
+            lam = sum(wi * sum(cov[i][j] * w[j] for j in range(dim))
+                      for i, wi in enumerate(w))
+            drift = 1.0 - abs(sum(a * b for a, b in zip(v, w)))
+            v = w
+            if drift < tol:
+                break
+        comps.append(v)
+        eigs.append(lam)
+    return comps, eigs, iters
+
+
+def pca_power(df: DataFrame, n_components: int = 2,
+              vec_col: str = "embedding", id_col: str = "vec_id",
+              max_iter: int = 1000, tol: float = 1e-14,
+              ) -> tuple[list[list[float]], list[float], float, int]:
+    """Top-``n_components`` principal components of the vector column.
+
+    Returns ``(components, eigenvalues, total_variance, iters)`` where
+    components are unit-norm d-vectors of the POPULATION covariance
+    (1/n), eigenvalues the matching variances, and ``total_variance``
+    the trace — so explained-variance ratios are eigenvalue/trace.
+
+    Cluster side: ONE job — per-dim sums (d columns, map-side
+    combined) plus the d²-cell Gramian census (posexplode of the
+    per-row outer-product array → per-cell sum).  Driver side: form
+    C = G/n − µµᵀ (the textbook shortcut; fine for feature scales
+    like unit-norm embeddings, the usual cancellation caveat applies
+    for huge means) and run deflated power iteration locally —
+    ``max_iter``/``tol`` govern that local loop, which costs d² flops
+    a round, no cluster round-trips.
+
+    Sign convention: each returned component is flipped so its
+    largest-|loading| coordinate is positive — deterministic across
+    runs and engines (up to float-sum ordering in the partial sums).
+
+    Not SQL-expressible in one query (the eigensolve is iterative) —
+    registry entry is rows-only by design; ground truth is a NumPy
+    eigendecomposition in tests.
+    """
+    v0 = as_double(F.col(vec_col))
+    dim = df.select(F.size(v0).alias("d")).first()["d"]
+    outer = F.flatten(
+        F.transform(F.col("x"),
+                    lambda xi: F.transform(F.col("x"),
+                                           lambda xj: xi * xj)))
+    sums = (df.select(v0.alias("x"))
+            .select(F.col("x"), F.posexplode(outer).alias("cell", "v"))
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("v").alias("g"),
+                 # per-dim sum, once per row: only the first d cells
+                 # (row i = 0 of the outer product) carry it
+                 F.sum(F.when(F.col("cell") < dim,
+                              F.element_at("x", F.col("cell") + 1))
+                       .otherwise(F.lit(0.0))).alias("s"))
+            .collect())
+    n = sums[0]["n"]
+    g = [0.0] * (dim * dim)
+    s = [0.0] * dim
+    for r in sums:
+        g[r["cell"]] = r["g"]
+        if r["cell"] < dim:
+            s[r["cell"]] = r["s"]
+    mu = [x / n for x in s]
+    cov = [[g[i * dim + j] / n - mu[i] * mu[j] for j in range(dim)]
+           for i in range(dim)]
+    total_var = sum(cov[i][i] for i in range(dim))
+    vs, eigs, iters = _power_eig(cov, n_components, max_iter, tol)
+    comps = []
+    for v in vs:
+        imax = max(range(dim), key=lambda i: abs(v[i]))
+        comps.append([-a for a in v] if v[imax] < 0 else list(v))
+    return comps, eigs, total_var, iters

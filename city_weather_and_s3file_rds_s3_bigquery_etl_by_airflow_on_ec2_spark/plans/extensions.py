@@ -2723,3 +2723,91 @@ def embedding_outlier_knn(spark: SparkSession, sf_dir: str,
     return (topk.groupBy(F.col("id_a").alias("vec_id"), "label")
             .agg(F.round(F.lit(1.0) - mean_sim, 4)
                  .alias("knn_outlier_score")))
+
+
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 principal components of the embedding table
+    (operators/clustering.pca_power) — one (component, dim, loading)
+    row per coordinate plus that component's eigenvalue and
+    explained-variance ratio.  Cluster work is ONE pass (the d²-cell
+    Gramian census, map-side combined — d² is metadata at d=64); the
+    deflated power iteration runs driver-local on the 64×64
+    covariance, the same regime split Spark ML's RowMatrix uses.
+    Rows-only by design (the eigensolve is iterative); ground truth
+    is a NumPy eigendecomposition in tests."""
+    from ..operators.clustering import pca_power
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    comps, eigs, total_var, _ = pca_power(embeddings, n_components=2)
+    rows = [(c, d, round(comps[c][d], 6), round(eigs[c], 6),
+             round(eigs[c] / total_var, 6))
+            for c in range(len(comps)) for d in range(len(comps[c]))]
+    return spark.createDataFrame(
+        rows, "component: int, dim: int, loading: double, "
+              "eigenvalue: double, explained_var_ratio: double")
+
+
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey path mining: per (user, day) the ordered
+    event-type path string, then the 20 most frequent paths with
+    session and distinct-user counts — the product-analytics "top
+    paths" report (the sequential complement of
+    ``events_markov_transitions``'s first-order view).
+
+    Determinism: the in-session order is (ts, event_id, event_type)
+    — the synthetic lake's event_id is NOT unique (TESTDATA.md), so
+    the event_type tiebreak pins a total order; ``array_sort`` over
+    the struct gives exactly that ordering.
+
+    Plan: one (user_id, day) hash-agg shuffle builds the paths
+    (collect_list partial-aggregates map-side; path length is bounded
+    by events-per-user-day, a data constant), one map-side-combined
+    path census, and a TakeOrderedAndProject top-20 — no window, no
+    global sort.  At 100 TB the path census keys are heavy-tailed but
+    the census rows are (path, 1) pre-combine — ordinary AQE
+    territory."""
+    (events,) = _t(spark, sf_dir, "events")
+    steps = F.array_sort(
+        F.collect_list(F.struct("ts", "event_id", "event_type")))
+    paths = (events
+             .groupBy("user_id", F.to_date("ts").alias("day"))
+             .agg(F.array_join(
+                 F.transform(steps, lambda s: s["event_type"]),
+                 ">").alias("path")))
+    return (paths.groupBy("path")
+            .agg(F.count(F.lit(1)).alias("n_sessions"),
+                 F.count_distinct("user_id").alias("n_users"))
+            .orderBy(F.col("n_sessions").desc(), F.col("path"))
+            .limit(20))
+
+
+def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine migration-validation fingerprint of the documents
+    table: per source, the row count plus two order-insensitive
+    checksums of a canonical row serialization — BIT_XOR (the
+    overflow-free standard) and a DECIMAL(38,0) sum (catches the
+    pairwise-swap corruptions XOR is blind to).  Any engine that can
+    md5 a string reproduces these numbers exactly, which is the point:
+    after a 100 TB copy, comparing one tiny (source, count, xor, sum)
+    relation per side verifies the move.
+
+    Row hash: the first 15 hex chars of md5 over a unit-separator
+    canonical concat (nulls → a sentinel, so null and empty-string
+    disagree), parsed as a BIGINT — 60 bits, collision-safe for a
+    fingerprint.  Plan: pure map-side expression + one hash-agg on
+    ``source``; nothing but (source, partial aggregates) ever
+    shuffles."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    canon = F.concat_ws(
+        "\x1f",
+        F.col("doc_id").cast("string"),
+        F.coalesce(F.col("lang"), F.lit("\\N")),
+        F.coalesce(F.col("source"), F.lit("\\N")),
+        F.col("n_chars").cast("string"),
+        F.md5("text"))
+    rh = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
+    return (documents.select("source", rh.alias("rh"))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.bit_xor("rh").alias("checksum_xor"),
+                 F.sum(F.col("rh").cast("decimal(38,0)"))
+                  .cast("string").alias("checksum_sum")))

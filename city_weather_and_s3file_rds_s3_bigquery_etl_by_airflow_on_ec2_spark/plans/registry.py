@@ -3775,6 +3775,47 @@ REGISTRY: dict[str, QuerySpec] = {
         GROUP BY id_a, label
         """,
     ),
+    # r7: deflated power-iteration PCA — rows-only by design (unbounded
+    # iteration is not SQL-expressible); NumPy eigendecomposition parity
+    # in tests/test_operators.py.
+    "embedding_pca_power": QuerySpec(X.embedding_pca_power, None),
+    "events_top_paths": QuerySpec(
+        X.events_top_paths,
+        """
+        WITH p AS (
+            SELECT user_id, CAST(ts AS DATE) AS day,
+                   string_agg(event_type, '>'
+                              ORDER BY ts, event_id, event_type) AS path
+            FROM events
+            GROUP BY user_id, CAST(ts AS DATE)
+        )
+        SELECT path, count(*) AS n_sessions,
+               count(DISTINCT user_id) AS n_users
+        FROM p GROUP BY path
+        ORDER BY n_sessions DESC, path
+        LIMIT 20
+        """,
+    ),
+    "table_checksum": QuerySpec(
+        X.table_checksum,
+        r"""
+        WITH r AS (
+            SELECT source,
+                   ('0x' || substr(md5(concat_ws(chr(31),
+                        CAST(doc_id AS VARCHAR),
+                        coalesce(lang, '\N'),
+                        coalesce(source, '\N'),
+                        CAST(n_chars AS VARCHAR),
+                        md5(text))), 1, 15))::BIGINT AS rh
+            FROM documents
+        )
+        SELECT source, count(*) AS n_rows,
+               bit_xor(rh) AS checksum_xor,
+               CAST(CAST(sum(rh) AS DECIMAL(38,0)) AS VARCHAR)
+                   AS checksum_sum
+        FROM r GROUP BY source
+        """,
+    ),
 }
 
 # The driver's per-round correctness snapshot covers only the FIRST 50

@@ -3532,3 +3532,120 @@ def test_incremental_minhash_batch_side_cap(spark):
     planted = {(1_000 + i + 800_000, 1_000 + i) for i in range(10)}
     found = {(r.id_a, r.id_b) for r in capped} & planted
     assert len(found) >= 8
+
+
+# ----------------------------- r7: PCA / path mining / checksum ----------
+
+def test_pca_power_matches_numpy_eig(spark):
+    """Gramian-census PCA == NumPy eigendecomposition on planted
+    anisotropic data: eigenvalues to float-sum tolerance, |cos| with
+    the reference eigenvectors ≈ 1, components orthonormal, sign
+    convention (largest-|loading| coordinate positive)."""
+    import numpy as np
+
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.operators.clustering import (
+        pca_power,
+    )
+
+    rng = np.random.RandomState(7)
+    # well-separated spectrum: stds 5, 2, 1, 1, ... in a rotated basis
+    base = rng.normal(size=(300, 6))
+    base[:, 0] *= 5.0
+    base[:, 1] *= 2.0
+    q, _ = np.linalg.qr(rng.normal(size=(6, 6)))
+    data = base @ q.T + rng.normal(size=6)  # nonzero mean
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(data)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+
+    comps, eigs, tv, iters = pca_power(df, n_components=2)
+
+    C = np.cov(data.T, bias=True)
+    w, V = np.linalg.eigh(C)
+    np.testing.assert_allclose(eigs, [w[-1], w[-2]], rtol=1e-9)
+    np.testing.assert_allclose(tv, np.trace(C), rtol=1e-9)
+    for j in range(2):
+        assert abs(np.dot(comps[j], V[:, -1 - j])) > 1.0 - 1e-9
+    # orthonormal + sign convention
+    assert abs(np.dot(comps[0], comps[1])) < 1e-9
+    for v in comps:
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-9
+        assert v[int(np.argmax(np.abs(v)))] > 0
+
+
+def test_pca_power_registry_entry_shape(spark):
+    """embedding_pca_power: 2 components × 64 dims, descending
+    eigenvalues, explained-variance ratios in (0, 1]."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        embedding_pca_power,
+    )
+
+    from .conftest import SF_SMALL
+
+    rows = embedding_pca_power(spark, SF_SMALL).collect()
+    assert len(rows) == 128
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r.component, []).append(r)
+    assert set(by_comp) == {0, 1}
+    e0 = by_comp[0][0].eigenvalue
+    e1 = by_comp[1][0].eigenvalue
+    assert e0 >= e1 > 0
+    for r in rows:
+        assert 0 < r.explained_var_ratio <= 1
+
+
+def test_top_paths_tie_order_pinned(spark, tmp_path):
+    """Two events sharing (ts, event_id) — the lake's event_id is NOT
+    unique — must serialize in event_type order on both engines, so
+    the path is deterministic."""
+    import datetime
+
+    import pandas as pd
+
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        events_top_paths,
+    )
+
+    t0 = datetime.datetime(2024, 3, 1, 9, 0, 0)
+    rows = [
+        (5, t0, 1, "b", 1.0, "{}"),
+        (5, t0, 1, "a", 1.0, "{}"),   # full (ts, event_id) tie
+        (6, t0 + datetime.timedelta(minutes=1), 1, "c", 1.0, "{}"),
+        (7, t0, 2, "x", 1.0, "{}"),
+    ]
+    pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                "event_type", "value", "props"]) \
+      .to_parquet(str(tmp_path / "events.parquet"), index=False)
+
+    got = {r.path: (r.n_sessions, r.n_users)
+           for r in events_top_paths(spark, str(tmp_path)).collect()}
+    assert got == {"a>b>c": (1, 1), "x": (1, 1)}
+
+
+def test_table_checksum_detects_corruption(spark, tmp_path):
+    """Migration-validation property: swapping one column value
+    between two rows keeps per-source counts identical but changes
+    BOTH checksums; a faithful copy reproduces them bit-for-bit."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        table_checksum,
+    )
+
+    rows = [(i, f"text {i}", "en", f"s{i % 2}") for i in range(10)]
+    _write_documents(spark, tmp_path / "a", rows)
+    _write_documents(spark, tmp_path / "b", rows)
+    swapped = list(rows)
+    swapped[0] = (0, "text 1", "en", "s0")   # row 0 takes row 1's text
+    swapped[1] = (1, "text 0", "en", "s1")
+    _write_documents(spark, tmp_path / "c", swapped)
+
+    key = lambda rs: {r.source: (r.n_rows, r.checksum_xor, r.checksum_sum)
+                      for r in rs}
+    a = key(table_checksum(spark, str(tmp_path / "a")).collect())
+    b = key(table_checksum(spark, str(tmp_path / "b")).collect())
+    c = key(table_checksum(spark, str(tmp_path / "c")).collect())
+    assert a == b                       # faithful copy → identical
+    assert set(a) == set(c) == {"s0", "s1"}
+    for src in a:
+        assert a[src][0] == c[src][0]   # counts can't see the swap
+        assert a[src][1] != c[src][1]   # xor does
+        assert a[src][2] != c[src][2]   # sum does
