@@ -2811,3 +2811,85 @@ def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.bit_xor("rh").alias("checksum_xor"),
                  F.sum(F.col("rh").cast("decimal(38,0)"))
                   .cast("string").alias("checksum_sum")))
+
+
+def corpus_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→validation contamination report: every validation document
+    that has a near-duplicate (exact token-set Jaccard ≥ 0.4, the
+    ``dedup_token_jaccard`` metric) on the TRAIN side of the
+    ``corpus_train_val_split`` hash split — the split-leakage check an
+    eval set needs before its numbers mean anything (same concern as
+    ``text_contamination_check``, but against the corpus's own split
+    rather than an external benchmark).
+
+    Composition, not new machinery: the pair relation is
+    ``operators/dedup.token_jaccard_pairs`` (blocked PPJoin prefix
+    filtering, oversized-block degrade — every scale property carries
+    over), and because the split is PURE ARITHMETIC on doc_id (the
+    Knuth multiplicative hash, reproducible on any engine), membership
+    is recomputed from the pair's own id columns — attaching splits
+    costs ZERO extra joins, a projection over the pair stream.
+
+    Output: one row per leaked validation doc — how many train-side
+    near-dups hit it and the worst (max) jaccard; downstream this IS
+    the eval-set drop list."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    pairs = D.token_jaccard_pairs(
+        documents, "text", "doc_id",
+        block_cols=["lang"], length_col="n_chars", length_band=16,
+        min_jaccard=0.4,
+    )
+
+    def _is_val(c):
+        h = (c * F.lit(2654435761).cast("long")) \
+            % F.lit(4294967296).cast("long")
+        return h >= F.lit(int(0.95 * 4294967296))
+
+    va, vb = _is_val(F.col("id_a")), _is_val(F.col("id_b"))
+    return (pairs
+            .where(va != vb)                    # cross-split pairs only
+            .select(F.when(va, F.col("id_a")).otherwise(F.col("id_b"))
+                     .alias("val_doc_id"),
+                    "jaccard")
+            .groupBy("val_doc_id")
+            .agg(F.count(F.lit(1)).alias("n_train_dups"),
+                 F.round(F.max("jaccard"), 4).alias("max_jaccard")))
+
+
+def table_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of the customer table over the quasi-identifier
+    generalization ladder (Sweeney 2002): level 0 = (nation, segment,
+    1000-unit balance band), level 1 = (nation, segment), level 2 =
+    (nation).  Per level: the table's k (smallest equivalence-class
+    size), class count, how many rows sit in classes below k=5, and
+    that re-identification-risk fraction — the governance question
+    "how far must we generalize before every row hides in a crowd of
+    5?" answered as one relation.
+
+    Plan: the ladder is a prefix chain, so ONE ``rollup`` shuffle
+    computes all three class censuses (grouping_id() labels the
+    level; the grand-total row is filtered out); the per-level report
+    is a second metadata-scale aggregate over class counts.  At
+    100 TB this is exactly the two-phase shape a privacy scan needs —
+    no per-level re-scan, no window, partial aggregation map-side."""
+    (customer,) = _t(spark, sf_dir, "customer")
+    k_req = 5
+    bal_band = F.floor(F.col("c_acctbal") / 1000).cast("long")
+    cls = (customer
+           .select("c_nationkey", "c_mktsegment", bal_band.alias("bal_band"))
+           .rollup("c_nationkey", "c_mktsegment", "bal_band")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.grouping_id().alias("gid"))
+           .where(F.col("gid") != 7))           # drop the grand total
+    level = (F.when(F.col("gid") == 0, 0)
+              .when(F.col("gid") == 1, 1)
+              .otherwise(2)).alias("level")
+    n_rows = F.sum("n")
+    below = F.sum(F.when(F.col("n") < k_req, F.col("n")).otherwise(0))
+    return (cls.groupBy(level)
+            .agg(F.count(F.lit(1)).alias("n_classes"),
+                 F.min("n").alias("k_anonymity"),
+                 below.alias("n_rows_below_k"),
+                 F.round(below / n_rows, 4).alias("frac_below_k"),
+                 F.round(n_rows / F.count(F.lit(1)), 4)
+                  .alias("avg_class_size")))

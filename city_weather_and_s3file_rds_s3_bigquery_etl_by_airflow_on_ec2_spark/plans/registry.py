@@ -3816,6 +3816,53 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM r GROUP BY source
         """,
     ),
+    "corpus_split_leakage": QuerySpec(
+        X.corpus_split_leakage,
+        f"""
+        WITH t AS (
+            SELECT doc_id, lang, n_chars // 16 AS len_band,
+                   list_distinct({_TOKS}) AS tokset,
+                   (doc_id * 2654435761) % 4294967296
+                       >= CAST(0.95 * 4294967296 AS BIGINT) AS is_val
+            FROM documents
+        ), pairs AS (
+            SELECT CASE WHEN a.is_val THEN a.doc_id
+                        ELSE b.doc_id END AS val_doc_id,
+                   round(CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.tokset, b.tokset))),
+                         4) AS jaccard
+            FROM t a JOIN t b
+              ON a.lang = b.lang AND a.len_band = b.len_band
+             AND a.doc_id < b.doc_id AND a.is_val <> b.is_val
+        )
+        SELECT val_doc_id, count(*) AS n_train_dups,
+               round(max(jaccard), 4) AS max_jaccard
+        FROM pairs WHERE jaccard >= 0.4
+        GROUP BY val_doc_id
+        """,
+    ),
+    "table_k_anonymity": QuerySpec(
+        X.table_k_anonymity,
+        """
+        WITH cls AS (
+            SELECT grouping(c_nationkey, c_mktsegment, bal_band) AS gid,
+                   count(*) AS n
+            FROM (SELECT c_nationkey, c_mktsegment,
+                         CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band
+                  FROM customer)
+            GROUP BY ROLLUP(c_nationkey, c_mktsegment, bal_band)
+        )
+        SELECT CASE gid WHEN 0 THEN 0 WHEN 1 THEN 1 ELSE 2 END AS level,
+               CAST(count(*) AS BIGINT) AS n_classes,
+               CAST(min(n) AS BIGINT) AS k_anonymity,
+               CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+                   AS n_rows_below_k,
+               round(CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS DOUBLE)
+                     / sum(n), 4) AS frac_below_k,
+               round(CAST(sum(n) AS DOUBLE) / count(*), 4) AS avg_class_size
+        FROM cls WHERE gid <> 7 GROUP BY 1
+        """,
+    ),
 }
 
 # The driver's per-round correctness snapshot covers only the FIRST 50

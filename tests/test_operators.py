@@ -3649,3 +3649,52 @@ def test_table_checksum_detects_corruption(spark, tmp_path):
         assert a[src][0] == c[src][0]   # counts can't see the swap
         assert a[src][1] != c[src][1]   # xor does
         assert a[src][2] != c[src][2]   # sum does
+
+
+def test_split_leakage_only_cross_split_pairs(spark, tmp_path):
+    """Planted lake: a val doc near-dupping TRAIN docs is reported
+    (with its train-dup count and worst jaccard); near-dup pairs
+    entirely inside one split — train-train or val-val — are not.
+    Split membership comes from the Knuth hash of doc_id alone
+    (ids 1,2,3 hash train; 21,55,76 hash val)."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        corpus_split_leakage,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta", "en", "s0"),   # train
+        (2, "alpha beta gamma delta epsilon eta", "en", "s0"),    # train
+        (21, "alpha beta gamma delta epsilon zeta", "en", "s0"),  # val
+        (55, "omega psi chi phi upsilon tau", "en", "s0"),        # val
+        (76, "omega psi chi phi upsilon taus", "en", "s0"),       # val
+        (3, "one two three four five six seven", "en", "s0"),     # train
+    ]
+    sf_dir = _write_documents(spark, tmp_path, rows)
+    got = {r.val_doc_id: (r.n_train_dups, r.max_jaccard)
+           for r in corpus_split_leakage(spark, sf_dir).collect()}
+    # doc 21 near-dups train docs 1 (jac 1.0) and 2 (5/7); the
+    # train-train pair (1,2) and the val-val pair (55,76) are silent
+    assert got == {21: (2, 1.0)}
+
+
+def test_k_anonymity_generalization_monotone(spark):
+    """Coarser quasi-identifiers can only merge equivalence classes,
+    so up the ladder k and avg class size are non-decreasing while
+    class count and the below-k row fraction are non-increasing."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        table_k_anonymity,
+    )
+
+    from .conftest import SF_SMALL
+
+    rows = sorted(table_k_anonymity(spark, SF_SMALL).collect(),
+                  key=lambda r: r.level)
+    assert [r.level for r in rows] == [0, 1, 2]
+    for lo, hi in zip(rows, rows[1:]):
+        assert hi.k_anonymity >= lo.k_anonymity
+        assert hi.n_classes <= lo.n_classes
+        assert hi.frac_below_k <= lo.frac_below_k
+        assert hi.avg_class_size >= lo.avg_class_size
+    for r in rows:
+        assert r.n_rows_below_k <= round(r.frac_below_k * r.n_classes
+                                         * r.avg_class_size) + 1
