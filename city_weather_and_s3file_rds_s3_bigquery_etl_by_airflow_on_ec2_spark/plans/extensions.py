@@ -2162,6 +2162,70 @@ def table_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("change_type").isNotNull()))
 
 
+def _bpe_tokens_expr():
+    """Lowercased whitespace tokens with the ␞-sentinel guard — the
+    shared tokenization of the BPE train/step/encode family (the guard
+    keeps a literal merged-symbol glyph in raw text from colliding
+    with symbols the fold creates)."""
+    return F.filter(
+        F.transform(TX.tokens("text"), lambda t: F.lower(t)),
+        lambda t: ~t.contains("␞"))
+
+
+def _bpe_merge_fold(toks_col, a: str, b: str):
+    """Expression applying ONE learned merge (a, b) → "a␞b" to a token
+    array with the standard greedy left-to-right scan — a zero-shuffle
+    executor-local array fold, O(doc length)."""
+    merged_sym = F.lit(f"{a}␞{b}")
+    empty = F.array().cast("array<string>")
+    return F.aggregate(
+        toks_col, empty,
+        lambda acc, t: F.when(
+            (F.try_element_at(acc, F.lit(-1)) == F.lit(a))
+            & (t == F.lit(b)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                     F.array(merged_sym))
+        ).otherwise(F.concat(acc, F.array(t))))
+
+
+def _bpe_train_merges(spark: SparkSession, sf_dir: str,
+                      n_merges: int) -> list[tuple[int, str, str, int]]:
+    """The BPE training loop shared by ``text_bpe_train`` (which
+    returns the merge table) and ``text_bpe_encode`` (which re-applies
+    it): per round one map-side-combined pair census + a 1-row argmax,
+    then a zero-shuffle corpus re-tokenization, persisted with the
+    previous round's cache released."""
+    from pyspark import StorageLevel
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    cur = documents.select("doc_id", _bpe_tokens_expr().alias("toks")) \
+                   .persist(StorageLevel.MEMORY_AND_DISK)
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        pairs = F.arrays_zip(
+            F.slice(F.col("toks"), 1,
+                    F.greatest(F.size("toks") - 1, F.lit(0))).alias("w1"),
+            F.slice(F.col("toks"), 2,
+                    F.greatest(F.size("toks") - 1, F.lit(0))).alias("w2"))
+        top = (cur.select(F.explode(pairs).alias("p"))
+               .select(F.col("p.w1").alias("a"), F.col("p.w2").alias("b"))
+               .where(F.col("a") != F.col("b"))
+               .groupBy("a", "b").agg(F.count(F.lit(1)).alias("cnt"))
+               .orderBy(F.col("cnt").desc(), "a", "b").limit(1).collect())
+        if not top:
+            break
+        a, b, cnt = top[0].a, top[0].b, top[0].cnt
+        merges.append((rank, a, b, int(cnt)))
+        nxt = cur.select("doc_id",
+                         _bpe_merge_fold(F.col("toks"), a, b).alias("toks")) \
+                 .persist(StorageLevel.MEMORY_AND_DISK)
+        nxt.count()          # materialize before releasing the parent
+        cur.unpersist()
+        cur = nxt
+    cur.unpersist()
+    return merges
+
+
 def text_bpe_train(spark: SparkSession, sf_dir: str,
                    n_merges: int = 3) -> DataFrame:
     """Iterative BPE merge TRAINING (Sennrich et al. 2016) at token
@@ -2182,46 +2246,7 @@ def text_bpe_train(spark: SparkSession, sf_dir: str,
     current corpus, not k chained recomputes.  Rows-only entry (a K-
     step fold is not reasonably SQL-expressible); ground truth is a
     pure-Python BPE trainer over the same lake in tests."""
-    from pyspark import StorageLevel
-
-    (documents,) = _t(spark, sf_dir, "documents")
-    toks = F.filter(
-        F.transform(TX.tokens("text"), lambda t: F.lower(t)),
-        lambda t: ~t.contains("␞"))      # sentinel guard, as merge_step
-    cur = documents.select("doc_id", toks.alias("toks")) \
-                   .persist(StorageLevel.MEMORY_AND_DISK)
-    merges: list[tuple[int, str, str, int]] = []
-    for rank in range(n_merges):
-        pairs = F.arrays_zip(
-            F.slice(F.col("toks"), 1,
-                    F.greatest(F.size("toks") - 1, F.lit(0))).alias("w1"),
-            F.slice(F.col("toks"), 2,
-                    F.greatest(F.size("toks") - 1, F.lit(0))).alias("w2"))
-        top = (cur.select(F.explode(pairs).alias("p"))
-               .select(F.col("p.w1").alias("a"), F.col("p.w2").alias("b"))
-               .where(F.col("a") != F.col("b"))
-               .groupBy("a", "b").agg(F.count(F.lit(1)).alias("cnt"))
-               .orderBy(F.col("cnt").desc(), "a", "b").limit(1).collect())
-        if not top:
-            break
-        a, b, cnt = top[0].a, top[0].b, top[0].cnt
-        merges.append((rank, a, b, int(cnt)))
-        merged_sym = F.lit(f"{a}␞{b}")
-        empty = F.array().cast("array<string>")
-        fold = F.aggregate(
-            F.col("toks"), empty,
-            lambda acc, t: F.when(
-                (F.try_element_at(acc, F.lit(-1)) == F.lit(a))
-                & (t == F.lit(b)),
-                F.concat(F.slice(acc, 1, F.size(acc) - 1),
-                         F.array(merged_sym))
-            ).otherwise(F.concat(acc, F.array(t))))
-        nxt = cur.select("doc_id", fold.alias("toks")) \
-                 .persist(StorageLevel.MEMORY_AND_DISK)
-        nxt.count()          # materialize before releasing the parent
-        cur.unpersist()
-        cur = nxt
-    cur.unpersist()
+    merges = _bpe_train_merges(spark, sf_dir, n_merges)
     return spark.createDataFrame(
         merges, "rank int, pair_a string, pair_b string, freq long")
 
@@ -2893,3 +2918,48 @@ def table_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(below / n_rows, 4).alias("frac_below_k"),
                  F.round(n_rows / F.count(F.lit(1)), 4)
                   .alias("avg_class_size")))
+
+
+def text_bpe_encode(spark: SparkSession, sf_dir: str,
+                    n_merges: int = 3) -> DataFrame:
+    """Tokenizer APPLICATION — the half of the BPE loop
+    ``text_bpe_train`` leaves on the table: train ``n_merges`` merges,
+    then encode the whole corpus with them and report the per-language
+    compression ledger (docs, raw vs encoded token totals, surviving
+    merged symbols, compression fraction) — the number that tells you
+    what the tokenizer actually buys on your data.
+
+    Scale shape: training is the shared K-round census loop
+    (``_bpe_train_merges``); the ENCODER is its real payload — the K
+    learned merges are driver metadata folded into ONE chained
+    zero-shuffle expression (``_bpe_merge_fold`` applied in rank
+    order), so encoding 100 TB is a single embarrassingly-parallel map
+    stage plus the per-language metadata-scale hash-agg.  No Python in
+    the hot path, no UDF — the fold lambdas run in Catalyst.
+
+    ``n_merged_final`` counts merged symbols SURVIVING in the output
+    (nested merges absorb earlier symbols, so it can undershoot
+    ``toks_raw - toks_encoded``, the number of merge operations).
+    Rows-only entry (training is iterative); ground truth is a
+    pure-Python train+encode reference in tests, checked per-document
+    on a planted nested-merge lake and in aggregate on the real one."""
+    merges = _bpe_train_merges(spark, sf_dir, n_merges)
+    (documents,) = _t(spark, sf_dir, "documents")
+    toks = _bpe_tokens_expr()
+    enc = toks
+    for _rank, a, b, _freq in merges:
+        enc = _bpe_merge_fold(enc, a, b)
+    d = documents.select(
+        "lang",
+        F.size(toks).alias("n_raw"),
+        F.size(enc).alias("n_enc"),
+        F.size(F.filter(enc, lambda t: t.contains("␞")))
+         .alias("n_merged"))
+    return (d.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_raw").alias("toks_raw"),
+                 F.sum("n_enc").alias("toks_encoded"),
+                 F.sum("n_merged").alias("n_merged_final"),
+                 F.round(F.lit(1.0)
+                         - F.sum("n_enc") / F.sum("n_raw"), 4)
+                  .alias("compression")))

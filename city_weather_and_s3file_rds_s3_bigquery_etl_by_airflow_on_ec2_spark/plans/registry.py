@@ -3863,6 +3863,10 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM cls WHERE gid <> 7 GROUP BY 1
         """,
     ),
+    # r7: BPE tokenizer application — rows-only by design (the merge
+    # table comes from the iterative trainer); per-document Python
+    # train+encode parity in tests/test_operators.py.
+    "text_bpe_encode": QuerySpec(X.text_bpe_encode, None),
 }
 
 # The driver's per-round correctness snapshot covers only the FIRST 50

@@ -3698,3 +3698,69 @@ def test_k_anonymity_generalization_monotone(spark):
     for r in rows:
         assert r.n_rows_below_k <= round(r.frac_below_k * r.n_classes
                                          * r.avg_class_size) + 1
+
+
+def test_bpe_encode_matches_python_train_plus_encode(spark, tmp_path):
+    """text_bpe_encode ≡ a pure-Python BPE train+encode over the same
+    corpus: per-language aggregate ledger on a planted lake whose
+    round-2 merge CONSUMES round 1's symbol (so the chained fold's
+    rank order is load-bearing), and the compression identity
+    toks_raw - toks_encoded == total applied merges."""
+    import re
+
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        text_bpe_encode,
+    )
+
+    def py_train_encode(texts, n_merges):
+        docs = [[t.lower() for t in re.split(r"\s+", x.strip())
+                 if t and "␞" not in t] for x in texts]
+        for _ in range(n_merges):
+            census = {}
+            for d in docs:
+                for a, b in zip(d, d[1:]):
+                    if a != b:
+                        census[(a, b)] = census.get((a, b), 0) + 1
+            if not census:
+                break
+            (a, b), _ = min(census.items(), key=lambda kv: (-kv[1], kv[0]))
+            sym = f"{a}␞{b}"
+            out_docs = []
+            for d in docs:
+                out = []
+                for t in d:
+                    if out and out[-1] == a and t == b:
+                        out[-1] = sym
+                    else:
+                        out.append(t)
+                out_docs.append(out)
+            docs = out_docs
+        return docs
+
+    rows = [
+        (0, "a b c " * 5 + "a b c", "en", "s0"),   # forces a␞b then a␞b␞c
+        (1, "a b c a b", "en", "s0"),
+        (2, "x y x y x y", "fr", "s0"),
+        (3, "lone tokens only here", "fr", "s0"),
+    ]
+    sf_dir = _write_documents(spark, tmp_path, rows)
+    got = {r.lang: (r.n_docs, r.toks_raw, r.toks_encoded,
+                    r.n_merged_final, r.compression)
+           for r in text_bpe_encode(spark, sf_dir, n_merges=3).collect()}
+
+    texts = [t for _, t, _, _ in rows]
+    raw = [[t.lower() for t in re.split(r"\s+", x.strip())
+            if t and "␞" not in t] for x in texts]
+    enc = py_train_encode(texts, 3)
+    langs = [lang for _, _, lang, _ in rows]
+    want = {}
+    for lang in set(langs):
+        idx = [i for i, lg in enumerate(langs) if lg == lang]
+        n_raw = sum(len(raw[i]) for i in idx)
+        n_enc = sum(len(enc[i]) for i in idx)
+        n_sym = sum(sum("␞" in t for t in enc[i]) for i in idx)
+        want[lang] = (len(idx), n_raw, n_enc, n_sym,
+                      round(1.0 - n_enc / n_raw, 4))
+    assert got == want
+    # the planted corpus really exercises a nested merge
+    assert any("␞" in t and t.count("␞") == 2 for d in enc for t in d)
