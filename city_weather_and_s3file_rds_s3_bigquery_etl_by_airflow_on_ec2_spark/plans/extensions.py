@@ -2783,13 +2783,14 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     the event_type tiebreak pins a total order; ``array_sort`` over
     the struct gives exactly that ordering.
 
-    Plan: one (user_id, day) hash-agg shuffle builds the paths
-    (collect_list partial-aggregates map-side; path length is bounded
-    by events-per-user-day, a data constant), one map-side-combined
-    path census, and a TakeOrderedAndProject top-20 — no window, no
-    global sort.  At 100 TB the path census keys are heavy-tailed but
-    the census rows are (path, 1) pre-combine — ordinary AQE
-    territory."""
+    Plan: three strictly-narrowing hash-agg shuffles — the (user_id,
+    day) path build (collect_list partial-aggregates map-side; path
+    length is bounded by events-per-user-day, a data constant), the
+    count-distinct expansion on (path, user_id), and the final path
+    census — then a TakeOrderedAndProject top-20; no window, no
+    global sort, no join.  At 100 TB the path census keys are
+    heavy-tailed but every shuffle row is pre-combined map-side —
+    ordinary AQE territory."""
     (events,) = _t(spark, sf_dir, "events")
     steps = F.array_sort(
         F.collect_list(F.struct("ts", "event_id", "event_type")))

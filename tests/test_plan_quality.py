@@ -755,3 +755,72 @@ def test_snapshot_diff_single_join_no_extra_exchange(spark):
     assert len(exchanges) == 2, exchanges
     for ln in exchanges:
         assert "o_orderkey" in ln, ln
+
+
+def test_table_checksum_single_source_exchange(spark):
+    """table_checksum is a pure map-side expression + ONE hash-agg on
+    source: nothing but (source, partial aggregates) ever shuffles."""
+    df = X.table_checksum(spark, SF_SMALL)
+    plan = _plan(df)
+    assert "Join" not in plan and "Window" not in plan
+    exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert len(exchanges) == 1, exchanges
+    assert "source" in exchanges[0]
+    assert plan.count("HashAggregate") >= 2   # partial + final
+
+
+def test_top_paths_three_narrowing_aggs_then_take_ordered(spark):
+    """events_top_paths: the (user, day) path build, the distinct-agg
+    expansion on (path, user), and the final path census are the only
+    shuffles — each strictly narrower than the last, all partially
+    aggregated map-side; the top-20 is TakeOrderedAndProject, never a
+    global sort."""
+    df = X.events_top_paths(spark, SF_SMALL)
+    plan = _plan(df)
+    assert "Join" not in plan and "Window" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan.replace("TakeOrderedAndProject", "")
+    exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert len(exchanges) == 3, exchanges
+    assert "user_id" in exchanges[2]          # path build
+    assert "path" in exchanges[1] and "user_id" in exchanges[1]
+    assert "path" in exchanges[0] and "user_id" not in exchanges[0]
+
+
+def test_k_anonymity_one_rollup_shuffle(spark):
+    """table_k_anonymity computes the whole generalization ladder from
+    ONE rollup (Expand) census shuffle; the per-level report exchange
+    is metadata-scale."""
+    df = X.table_k_anonymity(spark, SF_SMALL)
+    plan = _plan(df)
+    assert "Expand" in plan                   # the rollup ladder
+    assert "Join" not in plan and "Window" not in plan
+    exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert len(exchanges) == 2, exchanges     # census + tiny report
+    # exactly one scan of the customer table feeds the ladder
+    assert plan.count("customer.parquet") == 1
+
+
+def test_bpe_encode_single_map_stage_plus_lang_agg(spark):
+    """text_bpe_encode's ENCODER plan: the K chained merge folds are
+    scan-side expressions — no Join, no Window, no Generate, one
+    exchange keyed on lang (training's census jobs already ran at
+    build time and are not part of this plan)."""
+    df = X.text_bpe_encode(spark, SF_SMALL, n_merges=2)
+    plan = _plan(df)
+    assert "Join" not in plan and "Window" not in plan
+    assert "Generate" not in plan
+    exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert len(exchanges) == 1, exchanges
+    assert "lang" in exchanges[0]
+
+
+def test_split_leakage_adds_no_scan_or_join_over_base_pairs(spark):
+    """corpus_split_leakage's split attachment is PURE ARITHMETIC on
+    the pair ids: vs the underlying dedup_token_jaccard plan it adds
+    zero documents-table scans and zero joins — only the final
+    per-val-doc hash aggregate."""
+    base = _plan(X.dedup_token_jaccard(spark, SF_SMALL))
+    leak = _plan(X.corpus_split_leakage(spark, SF_SMALL))
+    assert leak.count("documents.parquet") == base.count("documents.parquet")
+    assert leak.count("Join") == base.count("Join")
