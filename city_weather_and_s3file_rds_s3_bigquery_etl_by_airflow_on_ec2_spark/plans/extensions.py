@@ -2806,6 +2806,22 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(20))
 
 
+def _doc_row_hash():
+    """Canonical 60-bit BIGINT fingerprint of a documents row — the
+    first 15 hex chars of md5 over a unit-separator concat of every
+    column (nulls → a sentinel distinct from the empty string), shared
+    by ``table_checksum`` and ``corpus_export_manifest`` so shard
+    checksums and table checksums compose."""
+    canon = F.concat_ws(
+        "\x1f",
+        F.col("doc_id").cast("string"),
+        F.coalesce(F.col("lang"), F.lit("\\N")),
+        F.coalesce(F.col("source"), F.lit("\\N")),
+        F.col("n_chars").cast("string"),
+        F.md5("text"))
+    return F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
+
+
 def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-engine migration-validation fingerprint of the documents
     table: per source, the row count plus two order-insensitive
@@ -2819,18 +2835,12 @@ def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     Row hash: the first 15 hex chars of md5 over a unit-separator
     canonical concat (nulls → a sentinel, so null and empty-string
     disagree), parsed as a BIGINT — 60 bits, collision-safe for a
-    fingerprint.  Plan: pure map-side expression + one hash-agg on
-    ``source``; nothing but (source, partial aggregates) ever
+    fingerprint (shared with ``corpus_export_manifest`` via
+    ``_doc_row_hash``).  Plan: pure map-side expression + one hash-agg
+    on ``source``; nothing but (source, partial aggregates) ever
     shuffles."""
     (documents,) = _t(spark, sf_dir, "documents")
-    canon = F.concat_ws(
-        "\x1f",
-        F.col("doc_id").cast("string"),
-        F.coalesce(F.col("lang"), F.lit("\\N")),
-        F.coalesce(F.col("source"), F.lit("\\N")),
-        F.col("n_chars").cast("string"),
-        F.md5("text"))
-    rh = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
+    rh = _doc_row_hash()
     return (documents.select("source", rh.alias("rh"))
             .groupBy("source")
             .agg(F.count(F.lit(1)).alias("n_rows"),
@@ -2964,3 +2974,100 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str,
                  F.round(F.lit(1.0)
                          - F.sum("n_enc") / F.sum("n_raw"), 4)
                   .alias("compression")))
+
+
+def lineitem_copurchase_lift(spark: SparkSession, sf_dir: str,
+                             k: int = 20) -> DataFrame:
+    """Market-basket co-purchase mining over orders: the ``k`` part
+    pairs most often bought together, with support counts and LIFT
+    (n_ab·N / (n_a·n_b)) — the classic association-rule head, done the
+    way it scales.
+
+    Plan: ONE orderkey hash-agg collects each order's distinct-part
+    basket (basket width is bounded by order size — a data constant,
+    ≤13 on this lake); the pair list is generated INSIDE the basket
+    row by an index-windowed ``transform`` over the sorted basket
+    (bounded ~w²/2 fanout per order, no self-join of the fact table);
+    one map-side-combined pair census; per-part order counts are a
+    second small census BROADCAST onto the top pairs; N is a scalar
+    broadcast.  The naive alternative — lineitem ⋈ lineitem on
+    orderkey — shuffles the fact table twice and explodes skewed
+    orders quadratically IN THE JOIN; here the quadratic term is
+    bounded inside a map expression and only (pair, 1) rows shuffle.
+
+    Determinism: baskets are distinct+sorted, pairs ordered
+    (part_a < part_b), top-k by (n_both desc, part_a, part_b) — a
+    total order."""
+    from ..operators.cache import scoped_persist
+
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    # baskets feeds THREE censuses (pairs, per-part, total) — persist
+    # so the fact table is scanned and orderkey-shuffled exactly once
+    # (scoped: released at the caller's release_persisted() boundary)
+    baskets = scoped_persist(
+        lineitem.groupBy("l_orderkey")
+                .agg(F.array_sort(F.collect_set("l_partkey"))
+                      .alias("parts")))
+    arr = F.col("parts")
+    pairs = F.flatten(F.transform(
+        arr,
+        lambda x, i: F.transform(
+            F.slice(arr, i + 2,
+                    F.greatest(F.size(arr) - i - 1, F.lit(0))),
+            lambda y: F.struct(x.alias("part_a"), y.alias("part_b")))))
+    pair_counts = (baskets
+                   .select(F.explode(pairs).alias("p"))
+                   .select("p.part_a", "p.part_b")
+                   .groupBy("part_a", "part_b")
+                   .agg(F.count(F.lit(1)).alias("n_both"))
+                   .orderBy(F.col("n_both").desc(), "part_a", "part_b")
+                   .limit(k))
+    part_counts = (baskets.select(F.explode("parts").alias("part"))
+                   .groupBy("part")
+                   .agg(F.count(F.lit(1)).alias("n_orders")))
+    totals = baskets.agg(F.count(F.lit(1)).alias("n_total"))
+    pa = part_counts.select(F.col("part").alias("part_a"),
+                            F.col("n_orders").alias("n_a"))
+    pb = part_counts.select(F.col("part").alias("part_b"),
+                            F.col("n_orders").alias("n_b"))
+    return (pair_counts
+            .join(F.broadcast(pa), "part_a")
+            .join(F.broadcast(pb), "part_b")
+            .crossJoin(F.broadcast(totals))
+            .select("part_a", "part_b", "n_both", "n_a", "n_b",
+                    F.round(F.col("n_both") * F.col("n_total")
+                            / (F.col("n_a") * F.col("n_b")), 4)
+                     .alias("lift")))
+
+
+def corpus_export_manifest(spark: SparkSession, sf_dir: str,
+                           budget: int = 2000) -> DataFrame:
+    """Export manifest for the packed training shards: per output
+    shard (the ``corpus_shard_pack`` token-budget assignment) its doc
+    count, token total, covered doc_id range, and an order-insensitive
+    content checksum (BIT_XOR of the ``_doc_row_hash`` fingerprint,
+    the ``table_checksum`` convention) — the index file a training
+    loader reads INSTEAD of listing 100 TB of objects, and the per-
+    shard receipt that lets any later reader verify its shard arrived
+    intact (shard checksums XOR together into the table-level one, so
+    the manifest composes up to ``table_checksum``).
+
+    Plan: the two-phase quantile-bucketed prefix sum assigns shards
+    (no global window — ``operators/packing.pack_by_budget``), then
+    ONE shard_id hash-agg with map-side partials; the manifest
+    relation is #shards rows — metadata scale.  The physical write
+    (``partitionBy(shard_id)``) is exercised in tests with a
+    read-back manifest recomputation; the entry itself stays pure."""
+    from ..operators.packing import pack_by_budget
+    (documents,) = _t(spark, sf_dir, "documents")
+    sized = documents.select(
+        "doc_id", "lang", "source", "n_chars", "text",
+        TX.token_count("text").alias("n_tokens"))
+    packed = pack_by_budget(sized, "n_tokens", ["doc_id"], budget=budget)
+    return (packed
+            .groupBy("shard_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("n_tokens"),
+                 F.min("doc_id").alias("first_doc_id"),
+                 F.max("doc_id").alias("last_doc_id"),
+                 F.bit_xor(_doc_row_hash()).alias("checksum_xor")))

@@ -30,6 +30,14 @@ from . import relational as R
 _SW = "'the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','this','be','are'"
 
 _TOKS = "string_split_regex(trim(text), '\\s+')"
+
+# canonical 60-bit documents row fingerprint — DuckDB twin of
+# extensions._doc_row_hash, shared by table_checksum and
+# corpus_export_manifest
+_DOC_RH = (r"('0x' || substr(md5(concat_ws(chr(31),"
+           r" CAST(doc_id AS VARCHAR), coalesce(lang, '\N'),"
+           r" coalesce(source, '\N'), CAST(n_chars AS VARCHAR),"
+           r" md5(text))), 1, 15))::BIGINT")
 _STOP_RATIO = (f"(CAST(len(list_filter({_TOKS}, t -> list_contains([{_SW}], lower(t)))) AS DOUBLE)"
                f" / len({_TOKS}))")
 _PUNCT_RATIO = ("(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)"
@@ -3798,15 +3806,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "table_checksum": QuerySpec(
         X.table_checksum,
-        r"""
+        f"""
         WITH r AS (
-            SELECT source,
-                   ('0x' || substr(md5(concat_ws(chr(31),
-                        CAST(doc_id AS VARCHAR),
-                        coalesce(lang, '\N'),
-                        coalesce(source, '\N'),
-                        CAST(n_chars AS VARCHAR),
-                        md5(text))), 1, 15))::BIGINT AS rh
+            SELECT source, {_DOC_RH} AS rh
             FROM documents
         )
         SELECT source, count(*) AS n_rows,
@@ -3867,6 +3869,60 @@ REGISTRY: dict[str, QuerySpec] = {
     # table comes from the iterative trainer); per-document Python
     # train+encode parity in tests/test_operators.py.
     "text_bpe_encode": QuerySpec(X.text_bpe_encode, None),
+    "lineitem_copurchase_lift": QuerySpec(
+        X.lineitem_copurchase_lift,
+        """
+        WITH baskets AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), pair_counts AS (
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   count(*) AS n_both
+            FROM baskets a JOIN baskets b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            ORDER BY n_both DESC, part_a, part_b
+            LIMIT 20
+        ), part_counts AS (
+            SELECT l_partkey AS part, count(*) AS n_orders
+            FROM baskets GROUP BY 1
+        ), total AS (
+            SELECT count(DISTINCT l_orderkey) AS n_total FROM lineitem
+        )
+        SELECT part_a, part_b, n_both,
+               pa.n_orders AS n_a, pb.n_orders AS n_b,
+               round(n_both * n_total
+                     / CAST(pa.n_orders * pb.n_orders AS DOUBLE), 4)
+                   AS lift
+        FROM pair_counts
+        CROSS JOIN total
+        JOIN part_counts pa ON pa.part = part_a
+        JOIN part_counts pb ON pb.part = part_b
+        """,
+    ),
+    "corpus_export_manifest": QuerySpec(
+        X.corpus_export_manifest,
+        f"""
+        WITH sized AS (
+            SELECT doc_id, lang, source, n_chars, text,
+                   len({_TOKS}) AS n_tokens
+            FROM documents
+        ), run AS (
+            SELECT *, sum(n_tokens) OVER (ORDER BY doc_id) AS ps
+            FROM sized
+        ), packed AS (
+            SELECT *, CAST(floor((ps - n_tokens) / 2000) AS BIGINT)
+                          AS shard_id
+            FROM run
+        )
+        SELECT shard_id, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+               min(doc_id) AS first_doc_id,
+               max(doc_id) AS last_doc_id,
+               bit_xor({_DOC_RH}) AS checksum_xor
+        FROM packed GROUP BY shard_id
+        """,
+    ),
 }
 
 # The driver's per-round correctness snapshot covers only the FIRST 50

@@ -3764,3 +3764,87 @@ def test_bpe_encode_matches_python_train_plus_encode(spark, tmp_path):
     assert got == want
     # the planted corpus really exercises a nested merge
     assert any("␞" in t and t.count("␞") == 2 for d in enc for t in d)
+
+
+def test_copurchase_lift_planted_baskets(spark, tmp_path):
+    """Market-basket semantics on planted orders: duplicate lineitems
+    of the same part count ONCE per order (distinct baskets), pair
+    counts and lift follow the textbook formula."""
+    import pandas as pd
+
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        lineitem_copurchase_lift,
+    )
+
+    rows = [(1, 10), (1, 10), (1, 20), (1, 30),   # dup part 10
+            (2, 10), (2, 20),
+            (3, 10),
+            (4, 40)]
+    pd.DataFrame(rows, columns=["l_orderkey", "l_partkey"]) \
+      .to_parquet(str(tmp_path / "lineitem.parquet"), index=False)
+
+    got = {(r.part_a, r.part_b): (r.n_both, r.n_a, r.n_b, r.lift)
+           for r in lineitem_copurchase_lift(spark, str(tmp_path)).collect()}
+    assert got == {
+        (10, 20): (2, 3, 2, round(2 * 4 / 6, 4)),
+        (10, 30): (1, 3, 1, round(1 * 4 / 3, 4)),
+        (20, 30): (1, 2, 1, 2.0),
+    }
+
+
+def test_export_manifest_write_readback_and_composition(spark, tmp_path):
+    """The manifest is a real export receipt: physically write the
+    packed corpus partitioned by shard_id, re-read EACH shard's files,
+    and recompute its manifest row from the read-back data — counts,
+    token totals, id ranges, and checksums must all reproduce.  Also
+    the composition law: shard checksums XOR into table_checksum's
+    table-level XOR (both fingerprints share _doc_row_hash)."""
+    from functools import reduce
+
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        _doc_row_hash,
+        corpus_export_manifest,
+        table_checksum,
+    )
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.functions.text import (
+        token_count,
+    )
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.operators.packing import (
+        pack_by_budget,
+    )
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.sources.tables import (
+        load_tables,
+    )
+
+    from .conftest import SF_SMALL
+
+    manifest = {r.shard_id: (r.n_docs, r.n_tokens, r.first_doc_id,
+                             r.last_doc_id, r.checksum_xor)
+                for r in corpus_export_manifest(spark, SF_SMALL).collect()}
+
+    docs = load_tables(spark, SF_SMALL, ["documents"])["documents"]
+    sized = docs.select("doc_id", "lang", "source", "n_chars", "text",
+                        token_count("text").alias("n_tokens"))
+    out = str(tmp_path / "shards")
+    pack_by_budget(sized, "n_tokens", ["doc_id"], budget=2000) \
+        .write.partitionBy("shard_id").parquet(out)
+
+    back = spark.read.parquet(out)
+    got = {r.shard_id: (r.n_docs, r.n_tokens, r.first_doc_id,
+                        r.last_doc_id, r.checksum_xor)
+           for r in back.groupBy("shard_id")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_tokens").alias("n_tokens"),
+                F.min("doc_id").alias("first_doc_id"),
+                F.max("doc_id").alias("last_doc_id"),
+                F.bit_xor(_doc_row_hash()).alias("checksum_xor"))
+           .collect()}
+    assert got == manifest
+    assert len(manifest) > 1
+
+    table_xor = reduce(lambda a, b: a ^ b,
+                       (r.checksum_xor
+                        for r in table_checksum(spark, SF_SMALL).collect()))
+    shard_xor = reduce(lambda a, b: a ^ b,
+                       (v[4] for v in manifest.values()))
+    assert table_xor == shard_xor

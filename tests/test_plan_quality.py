@@ -824,3 +824,18 @@ def test_split_leakage_adds_no_scan_or_join_over_base_pairs(spark):
     leak = _plan(X.corpus_split_leakage(spark, SF_SMALL))
     assert leak.count("documents.parquet") == base.count("documents.parquet")
     assert leak.count("Join") == base.count("Join")
+
+
+def test_copurchase_one_fact_shuffle_broadcast_lift(spark):
+    """lineitem_copurchase_lift never self-joins the fact table: the
+    basket build is the ONLY scan+shuffle of lineitem (reused via
+    InMemoryRelation by all three censuses), pair generation is a
+    bounded in-row Generate, the lift joins broadcast onto 20 rows."""
+    df = X.lineitem_copurchase_lift(spark, SF_SMALL)
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "TakeOrderedAndProject" in plan
+    # every FileScan sits under the single cached basket relation
+    assert plan.count("FileScan") == plan.count("InMemoryRelation")
+    assert "InMemoryTableScan" in plan

@@ -64,6 +64,11 @@ SCALE_QUERIES = [
     # packing → epoch shuffle) now that its recompute bug is fixed —
     # composition must stay sublinear, not only its stages
     "corpus_loader_pipeline",
+    # r7 additions: the migration-checksum single-shuffle map-agg and
+    # the path-mining narrowing-agg chain — both must stay linear in
+    # rows with no new plan shape at 10×
+    "table_checksum",
+    "events_top_paths",
 ]
 
 
