@@ -3071,3 +3071,36 @@ def corpus_export_manifest(spark: SparkSession, sf_dir: str,
                  F.min("doc_id").alias("first_doc_id"),
                  F.max("doc_id").alias("last_doc_id"),
                  F.bit_xor(_doc_row_hash()).alias("checksum_xor")))
+
+
+def events_hot_keys(spark: SparkSession, sf_dir: str,
+                    k: int = 20) -> DataFrame:
+    """Pre-join shuffle-skew diagnostic: the ``k`` heaviest join-key
+    values of the events fact (user_id), each with its row count,
+    share of the table, and skew multiplier vs a uniform key
+    distribution (share × #distinct keys) — the census you run BEFORE
+    shuffling 100 TB on a key, to decide between plain AQE, salting,
+    or a broadcast of the hot slice (the same diagnosis the minhash
+    band cap and the spatial hot-cell gate automate downstream).
+
+    Plan: one map-side-combined key census; the table totals are a
+    keyless scalar aggregate over the census (metadata-scale exchange)
+    broadcast back onto the TakeOrderedAndProject top-k — no window,
+    no global sort, nothing but (key, partial count) ever shuffles."""
+    (events,) = _t(spark, sf_dir, "events")
+    from ..operators.cache import scoped_persist
+    census = scoped_persist(
+        events.groupBy("user_id")
+              .agg(F.count(F.lit(1)).alias("n_rows")))
+    totals = census.agg(
+        F.sum("n_rows").alias("total"),
+        F.count(F.lit(1)).alias("n_keys"))
+    return (census
+            .orderBy(F.col("n_rows").desc(), "user_id")
+            .limit(k)
+            .crossJoin(F.broadcast(totals))
+            .select("user_id", "n_rows",
+                    F.round(F.col("n_rows") / F.col("total"), 6)
+                     .alias("share"),
+                    F.round(F.col("n_rows") * F.col("n_keys")
+                            / F.col("total"), 4).alias("skew_x")))

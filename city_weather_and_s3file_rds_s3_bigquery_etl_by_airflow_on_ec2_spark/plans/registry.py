@@ -3923,6 +3923,25 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM packed GROUP BY shard_id
         """,
     ),
+    "events_hot_keys": QuerySpec(
+        X.events_hot_keys,
+        """
+        WITH census AS (
+            SELECT user_id, count(*) AS n_rows
+            FROM events GROUP BY user_id
+        ), t AS (
+            SELECT CAST(sum(n_rows) AS BIGINT) AS total,
+                   count(*) AS n_keys
+            FROM census
+        )
+        SELECT user_id, n_rows,
+               round(n_rows / CAST(total AS DOUBLE), 6) AS share,
+               round(n_rows * n_keys / CAST(total AS DOUBLE), 4) AS skew_x
+        FROM census CROSS JOIN t
+        ORDER BY n_rows DESC, user_id
+        LIMIT 20
+        """,
+    ),
 }
 
 # The driver's per-round correctness snapshot covers only the FIRST 50

@@ -3848,3 +3848,30 @@ def test_export_manifest_write_readback_and_composition(spark, tmp_path):
     shard_xor = reduce(lambda a, b: a ^ b,
                        (v[4] for v in manifest.values()))
     assert table_xor == shard_xor
+
+
+def test_hot_keys_planted_skew(spark, tmp_path):
+    """A planted 50%-hot key must surface with share 0.5 and skew_x =
+    share x n_keys; ties at the tail break deterministically."""
+    import datetime
+
+    import pandas as pd
+
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        events_hot_keys,
+    )
+
+    t0 = datetime.datetime(2024, 3, 1)
+    rows = [(i, t0, 99, "e", 1.0, "{}") for i in range(10)]      # hot: 10
+    rows += [(100 + u, t0, u, "e", 1.0, "{}")
+             for u in range(10)]                                  # 10 keys x1
+    pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                "event_type", "value", "props"]) \
+      .to_parquet(str(tmp_path / "events.parquet"), index=False)
+
+    got = [(r.user_id, r.n_rows, r.share, r.skew_x)
+           for r in events_hot_keys(spark, str(tmp_path), k=3).collect()]
+    # 20 rows total, 11 distinct keys; hot key 99 holds half the table
+    assert got[0] == (99, 10, 0.5, round(0.5 * 11, 4))
+    assert [g[0] for g in got[1:]] == [0, 1]      # tie → user_id order
+    assert all(g[1] == 1 for g in got[1:])
