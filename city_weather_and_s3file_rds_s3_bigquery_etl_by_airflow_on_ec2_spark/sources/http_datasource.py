@@ -23,7 +23,12 @@ from __future__ import annotations
 import json
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 from pyspark.sql import types as T
 
 # flattened output schema — the P1 projection applied at the source,
@@ -46,6 +51,42 @@ HTTP_SOURCE_SCHEMA = T.StructType([
 ])
 
 
+
+
+def _fetch_doc(url: str, fake_payload: str | None, timeout_s: float) -> dict:
+    """Executor-side fetch (or the deterministic offline stand-in)."""
+    if fake_payload is not None:
+        return json.loads(fake_payload)
+    import urllib.request  # pragma: no cover - network path
+
+    with urllib.request.urlopen(  # noqa: S310  # pragma: no cover
+            url, timeout=timeout_s) as resp:
+        return json.loads(resp.read().decode("utf-8"))
+
+
+def _flatten_doc(doc: dict) -> tuple:
+    """OWM JSON document → one HTTP_SOURCE_SCHEMA row (the P1 flatten
+    applied at the source, shared by the batch and stream readers)."""
+    main = doc.get("main", {})
+    weather0 = (doc.get("weather") or [{}])[0]
+    sys_ = doc.get("sys", {})
+    return (
+        doc.get("name"),
+        weather0.get("description"),
+        float(main["temp"]) if "temp" in main else None,
+        float(main["feels_like"]) if "feels_like" in main else None,
+        float(main["temp_min"]) if "temp_min" in main else None,
+        float(main["temp_max"]) if "temp_max" in main else None,
+        main.get("pressure"),
+        main.get("humidity"),
+        float(doc["wind"]["speed"]) if doc.get("wind") else None,
+        doc.get("dt"),
+        doc.get("timezone"),
+        sys_.get("sunrise"),
+        sys_.get("sunset"),
+    )
+
+
 class _UrlPartition(InputPartition):
     def __init__(self, url: str):
         self.url = url
@@ -61,32 +102,60 @@ class OwmHttpReader(DataSourceReader):
         return [_UrlPartition(u) for u in self.urls]
 
     def read(self, partition: _UrlPartition) -> Iterator[tuple]:
-        if self.fake_payload is not None:
-            doc = json.loads(self.fake_payload)
-        else:  # pragma: no cover - network path
-            import urllib.request
+        yield _flatten_doc(_fetch_doc(partition.url, self.fake_payload,
+                                      self.timeout_s))
 
-            with urllib.request.urlopen(  # noqa: S310
-                    partition.url, timeout=self.timeout_s) as resp:
-                doc = json.loads(resp.read().decode("utf-8"))
-        main = doc.get("main", {})
-        weather0 = (doc.get("weather") or [{}])[0]
-        sys_ = doc.get("sys", {})
-        yield (
-            doc.get("name"),
-            weather0.get("description"),
-            float(main["temp"]) if "temp" in main else None,
-            float(main["feels_like"]) if "feels_like" in main else None,
-            float(main["temp_min"]) if "temp_min" in main else None,
-            float(main["temp_max"]) if "temp_max" in main else None,
-            main.get("pressure"),
-            main.get("humidity"),
-            float(doc["wind"]["speed"]) if doc.get("wind") else None,
-            doc.get("dt"),
-            doc.get("timezone"),
-            sys_.get("sunrise"),
-            sys_.get("sunset"),
-        )
+
+class _PollPartition(InputPartition):
+    def __init__(self, poll: int, url: str):
+        self.poll = poll
+        self.url = url
+
+
+class OwmHttpStreamReader(DataSourceStreamReader):
+    """Streaming half of the source: the reference's SCHEDULED hourly
+    fetch (weather_etl_pipeline.py's cron DAG) re-expressed as a
+    Structured Streaming source — one POLL of every endpoint per
+    microbatch, offset = completed poll count.
+
+    Scale shape: ``partitions(start, end)`` fans each (poll, url) out
+    as its own task, so a thousand-city poll reads on a thousand
+    executors; a failed fetch fails one task and Spark's retry
+    re-fetches just that endpoint for just that poll.  Offsets are
+    checkpointed by the engine — after a restart the stream resumes
+    from the committed poll, the exactly-once contract the reference's
+    Airflow catchup approximates.
+
+    ``option("max_polls", N)`` stops advancing the offset after N
+    polls (tests / bounded backfills); default unbounded.
+    """
+
+    def __init__(self, options: dict):
+        self.urls = [u for u in options.get("urls", "").split(",") if u]
+        self.fake_payload = options.get("fake_payload")
+        self.timeout_s = float(options.get("timeout_s", "10"))
+        self.max_polls = int(options.get("max_polls", "-1"))
+        self._latest = 0
+
+    def initialOffset(self) -> dict:
+        return {"poll": 0}
+
+    def latestOffset(self) -> dict:
+        if self.max_polls < 0 or self._latest < self.max_polls:
+            self._latest += 1
+        return {"poll": self._latest}
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        return [_PollPartition(p, u)
+                for p in range(start["poll"], end["poll"])
+                for u in self.urls]
+
+    def read(self, partition: _PollPartition) -> Iterator[tuple]:
+        yield _flatten_doc(_fetch_doc(partition.url, self.fake_payload,
+                                      self.timeout_s))
+
+    def commit(self, end: dict) -> None:
+        pass
 
 
 class OwmHttpDataSource(DataSource):
@@ -99,3 +168,6 @@ class OwmHttpDataSource(DataSource):
 
     def reader(self, schema: T.StructType) -> OwmHttpReader:
         return OwmHttpReader(self.options)
+
+    def streamReader(self, schema: T.StructType) -> OwmHttpStreamReader:
+        return OwmHttpStreamReader(self.options)

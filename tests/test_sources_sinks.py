@@ -285,3 +285,49 @@ def test_streaming_jdbc_upsert_foreachbatch(spark, tmp_path):
         key=lambda r: r.id)
     assert [r.id for r in got] == list(range(8))
     assert got[3].temp == 273.0
+
+
+def test_custom_http_datasource_streaming_polls(spark, tmp_path):
+    """Streaming half of the Python Data Source: each microbatch polls
+    every endpoint once (offset = completed poll count), so 3 urls x
+    max_polls=4 settles at exactly 12 rows with the same flattened
+    schema as the batch reader — the reference's scheduled hourly
+    fetch as a real Structured Streaming source with checkpointed
+    offsets."""
+    import json
+    import time
+
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.sources.http_datasource import (
+        HTTP_SOURCE_SCHEMA,
+        OwmHttpDataSource,
+    )
+
+    spark.dataSource.register(OwmHttpDataSource)
+    urls = ",".join(f"http://api/weather?i={i}" for i in range(3))
+    stream = (spark.readStream.format("owm_http")
+              .option("urls", urls)
+              .option("fake_payload", json.dumps(GOLDEN_OWM_PAYLOAD))
+              .option("max_polls", "4")
+              .load())
+    assert stream.isStreaming
+    assert stream.schema == HTTP_SOURCE_SCHEMA
+
+    q = (stream.writeStream.format("memory")
+         .queryName("owm_poll_sink")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(processingTime="0 seconds")
+         .start())
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            q.processAllAvailable()
+            n = spark.sql("SELECT count(*) FROM owm_poll_sink").first()[0]
+            if n >= 12:
+                break
+            time.sleep(0.2)
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM owm_poll_sink").collect()
+    # the offset stops advancing at max_polls: exactly 4 polls x 3 urls
+    assert len(rows) == 12
+    assert all(r.city == "Houston" and r.pressure == 1024 for r in rows)
