@@ -3638,12 +3638,16 @@ def test_table_checksum_detects_corruption(spark, tmp_path):
     swapped[1] = (1, "text 0", "en", "s1")
     _write_documents(spark, tmp_path / "c", swapped)
 
+    _write_documents(spark, tmp_path / "d", list(reversed(rows)))
+
     key = lambda rs: {r.source: (r.n_rows, r.checksum_xor, r.checksum_sum)
                       for r in rs}
     a = key(table_checksum(spark, str(tmp_path / "a")).collect())
     b = key(table_checksum(spark, str(tmp_path / "b")).collect())
     c = key(table_checksum(spark, str(tmp_path / "c")).collect())
+    d = key(table_checksum(spark, str(tmp_path / "d")).collect())
     assert a == b                       # faithful copy → identical
+    assert a == d                       # row order never matters
     assert set(a) == set(c) == {"s0", "s1"}
     for src in a:
         assert a[src][0] == c[src][0]   # counts can't see the swap
