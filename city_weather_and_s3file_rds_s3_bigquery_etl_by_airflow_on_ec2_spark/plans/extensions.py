@@ -3104,3 +3104,47 @@ def events_hot_keys(spark: SparkSession, sf_dir: str,
                      .alias("share"),
                     F.round(F.col("n_rows") * F.col("n_keys")
                             / F.col("total"), 4).alias("skew_x")))
+
+
+def text_quality_classifier_score(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Model-based quality filtering — the fastText-classifier step of
+    the modern curation stack (CCNet / DCLM style), as pure plumbing:
+    hash each document's distinct lowercased tokens to 60-bit feature
+    ids, look every feature up in a LINEAR MODEL, average the weights
+    into a score, threshold into the keep flag.  The model here is a
+    deterministic arithmetic surrogate (weight(f) = Knuth-hash(f)
+    mapped to [-1, 1)) so the whole path is cross-engine oracle-exact;
+    a trained model drops in as a broadcast (feature_id → weight) map
+    join with nothing downstream changing.
+
+    Numeric determinism: weights are exact multiples of 2⁻³¹ (the
+    feature id is folded below 2³¹ BEFORE the Knuth multiply, keeping
+    the product inside BIGINT on every engine), so summing a few
+    hundred of them in doubles is EXACT and feature order cannot
+    matter — the score is bit-identical however either engine orders
+    the distinct set.
+
+    Plan: ZERO shuffles — tokenize, hash, weight, and fold all happen
+    inside one map-stage expression chain per row; at 100 TB this is
+    scan-bound, the shape a classifier sweep must have."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    toks = F.array_distinct(
+        F.transform(TX.tokens("text"), lambda t: F.lower(t)))
+
+    def weight(t):
+        fid = F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+        u = ((fid % F.lit(2147483648).cast("long"))
+             * F.lit(2654435761).cast("long")) \
+            % F.lit(4294967296).cast("long")
+        return u.cast("double") / F.lit(2147483648.0) - F.lit(1.0)
+
+    score = (F.aggregate(F.transform(toks, weight),
+                         F.lit(0.0), lambda acc, x: acc + x)
+             / F.size(toks))
+    return (documents
+            .where(F.size(toks) > 0)
+            .select("doc_id", "lang",
+                    F.size(toks).alias("n_feats"),
+                    F.round(score, 6).alias("quality_score"),
+                    (score > 0).alias("keep")))

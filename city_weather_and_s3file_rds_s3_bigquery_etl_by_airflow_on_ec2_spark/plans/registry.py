@@ -3942,6 +3942,29 @@ REGISTRY: dict[str, QuerySpec] = {
         LIMIT 20
         """,
     ),
+    "text_quality_classifier_score": QuerySpec(
+        X.text_quality_classifier_score,
+        f"""
+        WITH t AS (
+            SELECT doc_id, lang,
+                   list_distinct(list_transform({_TOKS},
+                                                t -> lower(t))) AS toks
+            FROM documents
+        ), scored AS (
+            SELECT doc_id, lang, len(toks) AS n_feats,
+                   list_aggregate(list_transform(toks, t ->
+                       CAST((((('0x' || substr(md5(t), 1, 15))::BIGINT
+                               % 2147483648) * 2654435761)
+                             % 4294967296) AS DOUBLE)
+                       / 2147483648.0 - 1.0), 'sum') / len(toks) AS score
+            FROM t
+        )
+        SELECT doc_id, lang, n_feats,
+               round(score, 6) AS quality_score,
+               score > 0 AS keep
+        FROM scored WHERE n_feats > 0
+        """,
+    ),
 }
 
 # The driver's per-round correctness snapshot covers only the FIRST 50

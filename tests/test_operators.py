@@ -3879,3 +3879,27 @@ def test_hot_keys_planted_skew(spark, tmp_path):
     assert got[0] == (99, 10, 0.5, round(0.5 * 11, 4))
     assert [g[0] for g in got[1:]] == [0, 1]      # tie → user_id order
     assert all(g[1] == 1 for g in got[1:])
+
+
+def test_quality_classifier_order_invariant_and_signs(spark, tmp_path):
+    """The surrogate-model score depends only on the distinct token
+    SET: permuted and duplicated tokens score identically; keep flag
+    is exactly the sign of the score."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        text_quality_classifier_score,
+    )
+
+    rows = [
+        (0, "alpha beta gamma delta", "en", "s0"),
+        (1, "delta gamma beta alpha", "en", "s0"),       # permutation
+        (2, "alpha alpha beta gamma delta delta", "en", "s0"),  # dups
+        (3, "completely different words here", "en", "s0"),
+    ]
+    sf_dir = _write_documents(spark, tmp_path, rows)
+    got = {r.doc_id: (r.n_feats, r.quality_score, r.keep)
+           for r in text_quality_classifier_score(spark, sf_dir).collect()}
+    assert got[0] == got[1] == got[2]
+    assert got[0][0] == 4
+    assert got[3] != got[0]
+    for n, score, keep in got.values():
+        assert keep == (score > 0)

@@ -839,3 +839,13 @@ def test_copurchase_one_fact_shuffle_broadcast_lift(spark):
     # every FileScan sits under the single cached basket relation
     assert plan.count("FileScan") == plan.count("InMemoryRelation")
     assert "InMemoryTableScan" in plan
+
+
+def test_quality_classifier_zero_shuffle(spark):
+    """text_quality_classifier_score is scan-bound: tokenize → hash →
+    weight → fold entirely inside one map stage — NO Exchange of any
+    kind in the plan."""
+    df = X.text_quality_classifier_score(spark, SF_SMALL)
+    plan = _plan(df)
+    assert "Exchange" not in plan
+    assert "Join" not in plan and "Generate" not in plan
