@@ -160,3 +160,41 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
                   .groupBy("doc_id")
                   .agg(F.count(F.lit(1)).alias("n_triangles")))
     return per_vertex
+
+
+def link_prediction_scores(edges: DataFrame) -> DataFrame:
+    """Common-neighbor link prediction over a canonical (id_a < id_b)
+    undirected edge list: for every NON-adjacent pair that shares at
+    least one neighbor, the shared-neighbor count and the
+    neighborhood-Jaccard score |N(a)∩N(b)| / |N(a)∪N(b)| — in the
+    near-dup graph these are the "transitively related" document
+    pairs an individual pairwise verifier missed (cluster-repair
+    candidates; Liben-Nowell & Kleinberg 2003's common-neighbors /
+    Jaccard predictors).
+
+    Plan: symmetrize (a union, no join), ONE wedge self-join on the
+    shared-neighbor key with map-side-combined pair counts, an
+    anti-join dropping existing edges, then two degree-table joins.
+    Wedge fan-out is quadratic in neighbor degree — the same envelope
+    as :func:`triangle_counts`, with the same billion-edge remedy
+    (degree-orientation, Cohen 2009) and AQE skew split before it."""
+    e = edges.select("id_a", "id_b")
+    und = _undirected(e)
+    cand = (und.alias("x")
+            .join(und.alias("y"), F.col("x.src") == F.col("y.src"))
+            .where(F.col("x.dst") < F.col("y.dst"))
+            .groupBy(F.col("x.dst").alias("id_a"),
+                     F.col("y.dst").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("common_neighbors")))
+    nonadj = cand.join(e, ["id_a", "id_b"], "left_anti")
+    deg = und.groupBy(F.col("src").alias("id")) \
+             .agg(F.count(F.lit(1)).alias("degree"))
+    da = deg.select(F.col("id").alias("id_a"),
+                    F.col("degree").alias("deg_a"))
+    db = deg.select(F.col("id").alias("id_b"),
+                    F.col("degree").alias("deg_b"))
+    union_size = F.col("deg_a") + F.col("deg_b") - F.col("common_neighbors")
+    return (nonadj.join(da, "id_a").join(db, "id_b")
+            .select("id_a", "id_b", "common_neighbors",
+                    F.round(F.col("common_neighbors") / union_size, 4)
+                     .alias("score")))

@@ -3148,3 +3148,15 @@ def text_quality_classifier_score(spark: SparkSession,
                     F.size(toks).alias("n_feats"),
                     F.round(score, 6).alias("quality_score"),
                     (score > 0).alias("keep")))
+
+
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missed-duplicate candidates via common-neighbor link prediction
+    (operators/graph.link_prediction_scores) over the deterministic
+    near-dup edge set: non-adjacent doc pairs sharing near-dup
+    neighbors, scored by neighborhood Jaccard — the cluster-repair
+    review queue after a dedup pass.  Fully oracle-exact."""
+    from ..operators.graph import link_prediction_scores
+    (documents,) = _t(spark, sf_dir, "documents")
+    edges = deterministic_jaccard_edges(documents)
+    return link_prediction_scores(edges.select("id_a", "id_b"))

@@ -3965,6 +3965,51 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM scored WHERE n_feats > 0
         """,
     ),
+    "graph_link_prediction": QuerySpec(
+        X.graph_link_prediction,
+        f"""
+        WITH t AS (
+            SELECT doc_id, lang, n_chars // 16 AS len_band,
+                   list_distinct({_TOKS}) AS tokset
+            FROM documents
+        ), pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(CAST(len(list_intersect(a.tokset, b.tokset))
+                              AS DOUBLE)
+                         / len(list_distinct(list_concat(a.tokset,
+                                                         b.tokset))),
+                         4) AS jaccard
+            FROM t a JOIN t b
+              ON a.lang = b.lang AND a.len_band = b.len_band
+             AND a.doc_id < b.doc_id
+        ), e AS (
+            SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.4
+        ), und AS (
+            SELECT id_a AS src, id_b AS dst FROM e
+            UNION ALL SELECT id_b, id_a FROM e
+        ), cand AS (
+            SELECT x.dst AS id_a, y.dst AS id_b,
+                   count(*) AS common_neighbors
+            FROM und x JOIN und y
+              ON x.src = y.src AND x.dst < y.dst
+            GROUP BY 1, 2
+        ), nonadj AS (
+            SELECT c.id_a, c.id_b, c.common_neighbors
+            FROM cand c LEFT JOIN e
+              ON e.id_a = c.id_a AND e.id_b = c.id_b
+            WHERE e.id_a IS NULL
+        ), deg AS (
+            SELECT src AS id, count(*) AS degree FROM und GROUP BY src
+        )
+        SELECT n.id_a, n.id_b, n.common_neighbors,
+               round(n.common_neighbors
+                     / CAST(da.degree + db.degree - n.common_neighbors
+                            AS DOUBLE), 4) AS score
+        FROM nonadj n
+        JOIN deg da ON da.id = n.id_a
+        JOIN deg db ON db.id = n.id_b
+        """,
+    ),
 }
 
 # The driver's per-round correctness snapshot covers only the FIRST 50

@@ -3903,3 +3903,23 @@ def test_quality_classifier_order_invariant_and_signs(spark, tmp_path):
     assert got[3] != got[0]
     for n, score, keep in got.values():
         assert keep == (score > 0)
+
+
+def test_link_prediction_planted_graphs(spark):
+    """Path a-b-c predicts (a,c) with score 1; a 4-cycle predicts both
+    diagonals via two shared neighbors; adjacent pairs never appear."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.operators.graph import (
+        link_prediction_scores,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3),                      # path
+         (11, 12), (12, 13), (13, 14), (11, 14)],   # 4-cycle
+        "id_a: long, id_b: long")
+    got = {(r.id_a, r.id_b): (r.common_neighbors, r.score)
+           for r in link_prediction_scores(edges).collect()}
+    assert got == {
+        (1, 3): (1, 1.0),
+        (11, 13): (2, 1.0),
+        (12, 14): (2, 1.0),
+    }
