@@ -166,3 +166,87 @@ def test_spatial_grid_join_matches_brute_force_property(spark, tmp_path_factory,
             if d <= r:
                 expect[(min(ida, idb), max(ida, idb))] = round(d, 6)
     assert got == expect
+
+
+basket_rows = st.lists(
+    st.tuples(st.integers(1, 6), st.integers(10, 16)),  # (order, part)
+    min_size=1, max_size=30)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=basket_rows)
+def test_copurchase_matches_brute_force(spark, rows):
+    """lineitem_copurchase_lift ≡ itertools brute force over random
+    baskets: same pair counts, supports, and lift on every instance
+    (k above the pair-universe size so nothing is truncated)."""
+    import itertools
+    import tempfile
+
+    import pandas as pd
+
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        lineitem_copurchase_lift,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        pd.DataFrame(rows, columns=["l_orderkey", "l_partkey"]) \
+          .to_parquet(f"{tmp}/lineitem.parquet", index=False)
+        got = {(r.part_a, r.part_b): (r.n_both, r.n_a, r.n_b, r.lift)
+               for r in lineitem_copurchase_lift(spark, tmp, k=50)
+               .collect()}
+
+    baskets: dict[int, set[int]] = {}
+    for o, p in rows:
+        baskets.setdefault(o, set()).add(p)
+    n_total = len(baskets)
+    part_n: dict[int, int] = {}
+    pair_n: dict[tuple[int, int], int] = {}
+    for parts in baskets.values():
+        for p in parts:
+            part_n[p] = part_n.get(p, 0) + 1
+        for a, b in itertools.combinations(sorted(parts), 2):
+            pair_n[(a, b)] = pair_n.get((a, b), 0) + 1
+    want = {}
+    top = sorted(pair_n.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    for (a, b), n_both in top:
+        want[(a, b)] = (n_both, part_n[a], part_n[b],
+                        round(n_both * n_total / (part_n[a] * part_n[b]), 4))
+    assert got == want
+
+
+graph_edges = st.lists(
+    st.tuples(st.integers(0, 7), st.integers(0, 7)).filter(
+        lambda e: e[0] < e[1]),
+    min_size=1, max_size=16, unique=True)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(edges=graph_edges)
+def test_link_prediction_matches_brute_force(spark, edges):
+    """link_prediction_scores ≡ a python adjacency-set brute force on
+    random small graphs: exactly the non-adjacent pairs with ≥1
+    common neighbor, with exact counts and Jaccard scores."""
+    import itertools
+
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.operators.graph import (
+        link_prediction_scores,
+    )
+
+    df = spark.createDataFrame(edges, "id_a: long, id_b: long")
+    got = {(r.id_a, r.id_b): (r.common_neighbors, r.score)
+           for r in link_prediction_scores(df).collect()}
+
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    for a, b in itertools.combinations(sorted(adj), 2):
+        if b in adj[a]:
+            continue
+        cn = len(adj[a] & adj[b])
+        if cn:
+            want[(a, b)] = (cn, round(cn / len(adj[a] | adj[b]), 4))
+    assert got == want
