@@ -3160,3 +3160,123 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = _t(spark, sf_dir, "documents")
     edges = deterministic_jaccard_edges(documents)
     return link_prediction_scores(edges.select("id_a", "id_b"))
+
+
+def join_hot_slice_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remedy `events_hot_keys` diagnoses, executed
+    (operators/skew.hot_slice_join): the 10 heaviest l_orderkey values
+    join MAP-SIDE against a broadcast of just their orders rows while
+    the cold remainder takes the ordinary shuffle join — so at 100 TB
+    the rows that would have melted one reducer never shuffle at all.
+    The oracle is the PLAIN inner join + rollup, so the rewrite's
+    equivalence (hot ∪ cold ≡ join) is hash-checked every round; the
+    post-join priority rollup keeps the compared relation at 5 rows.
+    DECIMAL-summed revenue so partition addition order cannot perturb
+    double bits."""
+    from ..operators.skew import hot_slice_join
+    lineitem, orders = _t(spark, sf_dir, "lineitem", "orders")
+    j = hot_slice_join(lineitem, orders, "l_orderkey", "o_orderkey",
+                       n_hot=10)
+    return (j.groupBy("o_orderpriority")
+             .agg(F.count(F.lit(1)).alias("n_items"),
+                  F.round(F.sum((F.col("l_extendedprice")
+                                 * (1 - F.col("l_discount")))
+                                .cast("decimal(28,10)")).cast("double"),
+                          2).alias("revenue")))
+
+
+def ann_dim_truncation_report(spark: SparkSession, sf_dir: str,
+                              n_queries: int = 12,
+                              trunc_dim: int = 16) -> DataFrame:
+    """Matryoshka-style dimension-truncation ablation (Kusupati et al.
+    2022, public): for each query vector, the exact top-1 neighbor
+    under FULL-dimension cosine vs under the first ``trunc_dim``
+    coordinates only — the measurement you run before shipping
+    truncated embeddings to cut ANN index cost 4×.  One row per query:
+    both neighbors, both similarities, and the agreement flag.
+
+    Plan: queries broadcast over the corpus (same shape as
+    `ann_cosine_topk`), but both argmaxes come from ONE
+    map-side-combined aggregation — `max(struct(sim, -vec_id))` per
+    query — so the corpus streams once and only n_queries partial
+    structs per task ever shuffle.  No window, no sort, no second
+    scan.  Ties break to the lowest vec_id on both engines (the
+    negated id inside the struct ordering ≡ the oracle's
+    `ORDER BY sim DESC, vec_id`)."""
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    q = (embeddings.where(F.col("vec_id") < n_queries)
+         .select(F.col("vec_id").alias("q_id"),
+                 as_double(F.col("embedding")).alias("qv")))
+    c = embeddings.select("vec_id", as_double(F.col("embedding")).alias("cv"))
+    qv, cv = F.col("qv"), F.col("cv")
+    tq, tc = F.slice(qv, 1, trunc_dim), F.slice(cv, 1, trunc_dim)
+    sims = (c.crossJoin(F.broadcast(q))
+             .where(F.col("q_id") != F.col("vec_id"))
+             .select("q_id", "vec_id",
+                     F.round(dot(qv, cv) / (norm(qv) * norm(cv)), 6)
+                      .alias("sim_full"),
+                     F.round(dot(tq, tc) / (norm(tq) * norm(tc)), 6)
+                      .alias("sim_trunc")))
+    best = sims.groupBy("q_id").agg(
+        F.max(F.struct(F.col("sim_full").alias("s"),
+                       (-F.col("vec_id")).alias("nv"))).alias("bf"),
+        F.max(F.struct(F.col("sim_trunc").alias("s"),
+                       (-F.col("vec_id")).alias("nv"))).alias("bt"))
+    return best.select(
+        "q_id",
+        (-F.col("bf.nv")).alias("nn_full"),
+        F.col("bf.s").alias("sim_full"),
+        (-F.col("bt.nv")).alias("nn_trunc"),
+        F.col("bt.s").alias("sim_trunc"),
+        (F.col("bf.nv") == F.col("bt.nv")).alias("agree"))
+
+
+def corpus_quality_calibration(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Reliability report for the model-based quality filter: bin the
+    classifier surrogate score (`text_quality_classifier_score`
+    arithmetic) into 8 fixed-width buckets over [-1, 1) and report,
+    per bucket, how often the rule-based Gopher gate
+    (`text_gopher_quality` pass_all) agrees — the calibration check
+    you run before trusting a learned filter to delete 100 TB.  Both
+    signals derive from the SAME document row, so the whole per-doc
+    stage is one zero-join map projection; the only shuffle is the
+    8-bucket rollup (map-side combined, metadata-scale).
+
+    Numeric determinism: the score is exact (weights are multiples of
+    2⁻³¹, one final division), so round-to-6 and the bucket floor are
+    bit-identical cross-engine; per-bucket means are DECIMAL-summed."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    toks_all = TX.tokens("text")
+    feats = F.array_distinct(F.transform(toks_all, lambda t: F.lower(t)))
+
+    def weight(t):
+        fid = F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+        u = ((fid % F.lit(2147483648).cast("long"))
+             * F.lit(2654435761).cast("long")) \
+            % F.lit(4294967296).cast("long")
+        return u.cast("double") / F.lit(2147483648.0) - F.lit(1.0)
+
+    score_r = F.round(
+        F.aggregate(F.transform(feats, weight),
+                    F.lit(0.0), lambda acc, x: acc + x) / F.size(feats), 6)
+    n_words = F.size(toks_all).cast("long")
+    mean_len = F.round(
+        F.length(F.regexp_replace(F.col("text"), r"\s+", ""))
+        .cast("double") / n_words, 4)
+    gold = ((n_words >= 20) & (n_words <= 100_000)
+            & (mean_len >= 3.0) & (mean_len <= 10.0)
+            & (F.round(TX.punct_ratio("text"), 4) < 0.1)
+            & (TX.stopword_count("text") >= 2))
+    per_doc = (documents.where(F.size(feats) > 0)
+               .select(F.floor((score_r + 1.0) * 4).alias("score_bin"),
+                       score_r.alias("score_r"),
+                       gold.cast("int").alias("gold_pass")))
+    return (per_doc.groupBy("score_bin")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("gold_pass").alias("n_gold_pass"),
+                 F.round(F.sum("gold_pass").cast("double")
+                         / F.count(F.lit(1)), 4).alias("gold_pass_rate"),
+                 F.round(F.sum(F.col("score_r").cast("decimal(28,10)"))
+                          .cast("double") / F.count(F.lit(1)), 6)
+                  .alias("mean_score")))

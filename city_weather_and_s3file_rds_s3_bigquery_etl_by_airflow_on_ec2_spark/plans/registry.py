@@ -4010,6 +4010,93 @@ REGISTRY: dict[str, QuerySpec] = {
         JOIN deg db ON db.id = n.id_b
         """,
     ),
+    "join_hot_slice_broadcast": QuerySpec(
+        X.join_hot_slice_broadcast,
+        """
+        SELECT o_orderpriority,
+               count(*) AS n_items,
+               round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(28,10))) AS DOUBLE), 2)
+                   AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+        """,
+    ),
+    "ann_dim_truncation_report": QuerySpec(
+        X.ann_dim_truncation_report,
+        """
+        WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id < 12),
+        c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+              FROM embeddings),
+        sims AS (
+            SELECT q_id, vec_id,
+                   round(list_dot_product(qv, cv)
+                         / (sqrt(list_dot_product(qv, qv))
+                            * sqrt(list_dot_product(cv, cv))), 6)
+                       AS sim_full,
+                   round(list_dot_product(qv[1:16], cv[1:16])
+                         / (sqrt(list_dot_product(qv[1:16], qv[1:16]))
+                            * sqrt(list_dot_product(cv[1:16], cv[1:16]))),
+                         6) AS sim_trunc
+            FROM q CROSS JOIN c WHERE q_id <> vec_id
+        ), nf AS (
+            SELECT q_id, vec_id AS nn_full, sim_full FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY q_id
+                    ORDER BY sim_full DESC, vec_id) AS rn
+                FROM sims) WHERE rn = 1
+        ), nt AS (
+            SELECT q_id, vec_id AS nn_trunc, sim_trunc FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY q_id
+                    ORDER BY sim_trunc DESC, vec_id) AS rn
+                FROM sims) WHERE rn = 1
+        )
+        SELECT nf.q_id, nn_full, sim_full, nn_trunc, sim_trunc,
+               nn_full = nn_trunc AS agree
+        FROM nf JOIN nt ON nf.q_id = nt.q_id
+        """,
+    ),
+    "corpus_quality_calibration": QuerySpec(
+        X.corpus_quality_calibration,
+        f"""
+        WITH t AS (
+            SELECT doc_id, text,
+                   list_distinct(list_transform({_TOKS},
+                                                t -> lower(t))) AS feats,
+                   CAST(len({_TOKS}) AS BIGINT) AS n_words,
+                   round(CAST(length(regexp_replace(text, '\\s+', '', 'g'))
+                              AS DOUBLE) / len({_TOKS}), 4) AS mean_word_len,
+                   round({_PUNCT_RATIO}, 4) AS symbol_ratio,
+                   CAST(len(list_filter({_TOKS},
+                        t -> list_contains([{_SW}], lower(t))))
+                        AS BIGINT) AS stop_hits
+            FROM documents
+        ), s AS (
+            SELECT doc_id,
+                   round(list_aggregate(list_transform(feats, t ->
+                       CAST((((('0x' || substr(md5(t), 1, 15))::BIGINT
+                               % 2147483648) * 2654435761)
+                             % 4294967296) AS DOUBLE)
+                       / 2147483648.0 - 1.0), 'sum') / len(feats), 6)
+                       AS score_r,
+                   CASE WHEN n_words >= 20 AND n_words <= 100000
+                         AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                         AND symbol_ratio < 0.1 AND stop_hits >= 2
+                        THEN 1 ELSE 0 END AS gold_pass
+            FROM t WHERE len(feats) > 0
+        )
+        SELECT CAST(floor((score_r + 1.0) * 4) AS BIGINT) AS score_bin,
+               count(*) AS n_docs,
+               CAST(sum(gold_pass) AS BIGINT) AS n_gold_pass,
+               round(CAST(sum(gold_pass) AS DOUBLE) / count(*), 4)
+                   AS gold_pass_rate,
+               round(CAST(sum(CAST(score_r AS DECIMAL(28,10))) AS DOUBLE)
+                     / count(*), 6) AS mean_score
+        FROM s GROUP BY 1
+        """,
+    ),
 }
 
 # The driver's per-round correctness snapshot covers only the FIRST 50

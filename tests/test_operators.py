@@ -3923,3 +3923,80 @@ def test_link_prediction_planted_graphs(spark):
         (11, 13): (2, 1.0),
         (12, 14): (2, 1.0),
     }
+
+
+def test_hot_slice_join_equals_plain_join(spark):
+    """hot_slice_join (broadcast hot slice ∪ shuffled cold remainder)
+    must be row-for-row equal to the plain inner join on a planted
+    80%-hot-key fact; NULL fact keys drop on both paths (inner)."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.operators.skew import (
+        hot_slice_join,
+    )
+
+    fact_rows = [(7, i) for i in range(80)]             # hot key
+    fact_rows += [(k, 1000 + k) for k in range(20)]     # 20 cold keys x1
+    fact_rows += [(None, -1)]                           # NULL key
+    fact = spark.createDataFrame(fact_rows, "fk: int, payload: int")
+    dim = spark.createDataFrame(
+        [(k, f"d{k}") for k in range(25)], "dk: int, attr: string")
+
+    got = hot_slice_join(fact, dim, "fk", "dk", n_hot=3)
+    plain = fact.join(dim, fact["fk"] == dim["dk"], "inner")
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, plain.collect()))
+    assert got.count() == 100  # hot 80 + cold 20; NULL row dropped
+
+
+def test_dim_truncation_report_full_dim_and_numpy_parity(spark):
+    """With trunc_dim == full dimension the two argmaxes must agree on
+    every query; the full-cosine top-1 matches a NumPy brute force."""
+    import numpy as np
+
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        ann_dim_truncation_report,
+    )
+
+    emb = read_parquet_table(spark, SF_SMALL, "embeddings")
+    dim = len(emb.first().embedding)
+    full = ann_dim_truncation_report(spark, SF_SMALL, n_queries=8,
+                                     trunc_dim=dim).collect()
+    assert len(full) == 8
+    assert all(r.agree and r.nn_full == r.nn_trunc
+               and r.sim_full == r.sim_trunc for r in full)
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    M = np.array([r.embedding for r in rows], dtype=np.float64)
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    sims = M @ M.T
+    for r in full:
+        qi = int(np.where(ids == r.q_id)[0][0])
+        s = np.round(sims[qi].copy(), 6)
+        s[qi] = -2.0                       # exclude self
+        best = s.max()
+        # lowest vec_id among rounded-sim ties (the pinned tiebreak)
+        expect = ids[(s == best)].min()
+        assert r.nn_full == expect
+
+    trunc = ann_dim_truncation_report(spark, SF_SMALL, n_queries=8,
+                                      trunc_dim=16).collect()
+    assert all((r.nn_full == r.nn_trunc) == r.agree for r in trunc)
+
+
+def test_quality_calibration_partitions_corpus(spark):
+    """Calibration bins partition the scored corpus: doc counts sum to
+    the per-doc relation's size, pass counts are bounded, and every
+    bin's mean score lies inside the bin's score interval."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        corpus_quality_calibration,
+        text_quality_classifier_score,
+    )
+
+    bins = corpus_quality_calibration(spark, SF_SMALL).collect()
+    n_scored = text_quality_classifier_score(spark, SF_SMALL).count()
+    assert sum(r.n_docs for r in bins) == n_scored
+    for r in bins:
+        assert 0 <= r.n_gold_pass <= r.n_docs
+        assert r.gold_pass_rate == round(r.n_gold_pass / r.n_docs, 4)
+        lo = r.score_bin / 4.0 - 1.0
+        assert lo <= r.mean_score < lo + 0.25

@@ -849,3 +849,54 @@ def test_quality_classifier_zero_shuffle(spark):
     plan = _plan(df)
     assert "Exchange" not in plan
     assert "Join" not in plan and "Generate" not in plan
+
+
+def test_hot_slice_join_plan_broadcast_plus_shuffle(spark):
+    """join_hot_slice_broadcast's two paths keep their intended
+    physical shapes even when nothing is auto-broadcastable: the hot
+    slice joins as a BroadcastHashJoin (explicit broadcast of the
+    ≤ n_hot dim rows) while the cold remainder falls back to the
+    ordinary shuffle join — the hot fact rows never enter an
+    Exchange."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.operators.skew import (
+        hot_slice_join,
+    )
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.sources.tables import (
+        read_parquet_table,
+    )
+
+    thr = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(thr)
+    try:
+        spark.conf.set(thr, "-1")
+        lineitem = read_parquet_table(spark, SF_SMALL, "lineitem")
+        orders = read_parquet_table(spark, SF_SMALL, "orders")
+        df = hot_slice_join(lineitem, orders, "l_orderkey", "o_orderkey",
+                            n_hot=5)
+        plan = _plan(df)
+        assert plan.count("BroadcastHashJoin") == 1
+        assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
+    finally:
+        spark.conf.set(thr, prev)
+
+
+def test_dim_truncation_single_agg_pass(spark):
+    """ann_dim_truncation_report computes BOTH argmaxes in one
+    map-side-combined aggregation over a broadcast cross join: no
+    window, no sort-merge join, no second corpus scan."""
+    df = X.ann_dim_truncation_report(spark, SF_SMALL)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+    assert plan.count("FileScan") == 2       # queries + corpus, once each
+
+
+def test_quality_calibration_one_rollup_exchange(spark):
+    """corpus_quality_calibration derives both signals from the same
+    row in one map stage: no join, no Generate; the only Exchange is
+    the 8-bucket rollup."""
+    df = X.corpus_quality_calibration(spark, SF_SMALL)
+    plan = _plan(df)
+    assert "Join" not in plan and "Generate" not in plan
+    assert plan.count("Exchange") == 1
