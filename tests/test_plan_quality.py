@@ -831,6 +831,11 @@ def test_copurchase_one_fact_shuffle_broadcast_lift(spark):
     basket build is the ONLY scan+shuffle of lineitem (reused via
     InMemoryRelation by all three censuses), pair generation is a
     bounded in-row Generate, the lift joins broadcast onto 20 rows."""
+    # the FileScan/InMemoryRelation count comparison below is
+    # cache-state-sensitive: a relation left cached by an earlier test
+    # (suite order varies) can substitute an InMemoryTableScan for a
+    # FileScan inside the basket lineage — start from a clean cache
+    spark.catalog.clearCache()
     df = X.lineitem_copurchase_lift(spark, SF_SMALL)
     plan = _plan(df)
     assert "SortMergeJoin" not in plan

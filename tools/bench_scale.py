@@ -69,6 +69,10 @@ SCALE_QUERIES = [
     # rows with no new plan shape at 10×
     "table_checksum",
     "events_top_paths",
+    # r7b addition: the hot-slice broadcast join — the skew remedy must
+    # keep its two-path shape (hot rows never shuffle) as the fact and
+    # the hot-key census both grow 10×
+    "join_hot_slice_broadcast",
 ]
 
 
