@@ -97,3 +97,55 @@ def hot_slice_join(
                         hot_fact[fact_key] == hot_dim[dim_key], "inner")
     cold = cold_fact.join(dim, cold_fact[fact_key] == dim[dim_key], "inner")
     return hot.unionByName(cold)
+
+
+def salted_replicate_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    salt_buckets: int = 8,
+    salt_source: Column | None = None,
+) -> DataFrame:
+    """Skew-resistant INNER equi-join via full salting: spread every
+    fact key over ``salt_buckets`` reducers, replicate the dim to
+    match.
+
+    The third remedy in the skew triad (``events_hot_keys`` census →
+    diagnosis; ``hot_slice_join`` → few-hot-keys broadcast;
+    this → long-tailed skew).  ``hot_slice_join`` needs the hot-key
+    census to be short enough to collect and its dim slice small
+    enough to broadcast; when the skew is a LONG TAIL (thousands of
+    moderately hot keys, no usable cutoff), classic salting wins:
+
+    - every fact row gets a deterministic salt in ``[0, salt_buckets)``
+      — the join key becomes ``(key, salt)``, so one hot key's rows
+      spread over ``salt_buckets`` reducers instead of melting one;
+    - every dim row is replicated ``salt_buckets`` times (posexplode of
+      a literal sequence — a map-side fanout, no shuffle of its own),
+      once per salt value, so each salted fact partition still finds
+      its match.
+
+    Cost model: the dim shuffles ``salt_buckets`` × its size — the
+    right trade when dim ≪ fact (the 100 TB fact's reducer ceiling is
+    the binding constraint) but dim is still too big to broadcast.
+    The result is EXACTLY the plain inner join (each fact row carries
+    one salt; the dim copy with that salt is the unique match), which
+    is what the registry oracle proves.
+
+    ``salt_source`` defaults to a hash of the fact's key column plus
+    every other fact column — deterministic (no ``rand()``: retried
+    tasks and re-runs agree) while decorrelating rows that share the
+    hot key.
+    """
+    salt = (salt_source if salt_source is not None
+            else F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]),
+                        F.lit(salt_buckets)))
+    fact_s = fact.withColumn(_SALT, salt.cast("int"))
+    dim_s = dim.withColumn(
+        _SALT, F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))))
+    joined = fact_s.join(
+        dim_s,
+        (fact_s[fact_key] == dim_s[dim_key]) & (fact_s[_SALT] == dim_s[_SALT]),
+        "inner")
+    return joined.drop(_SALT)

@@ -3280,3 +3280,235 @@ def corpus_quality_calibration(spark: SparkSession,
                  F.round(F.sum(F.col("score_r").cast("decimal(28,10)"))
                           .cast("double") / F.count(F.lit(1)), 6)
                   .alias("mean_score")))
+
+
+# ------------------------------------------------------- r7c extensions —
+
+def join_salted_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The long-tail skew remedy (operators/skew.salted_replicate_join),
+    executed: every lineitem row is salted into 8 deterministic
+    sub-keys and orders is replicated 8× map-side, so the join key
+    becomes (l_orderkey, salt) and NO single reducer ever receives a
+    whole hot key — the classic full-salting rewrite for skew that has
+    no usable hot-key cutoff (where ``hot_slice_join``'s census +
+    broadcast trick does not apply).  The oracle is the PLAIN inner
+    join + status rollup, so the rewrite's exactness is hash-checked
+    every round.  DECIMAL-summed revenue so partition addition order
+    cannot perturb double bits."""
+    from ..operators.skew import salted_replicate_join
+    lineitem, orders = _t(spark, sf_dir, "lineitem", "orders")
+    j = salted_replicate_join(lineitem, orders, "l_orderkey", "o_orderkey",
+                              salt_buckets=8)
+    return (j.groupBy("o_orderstatus")
+             .agg(F.count(F.lit(1)).alias("n_items"),
+                  F.round(F.sum((F.col("l_extendedprice")
+                                 * (1 - F.col("l_discount")))
+                                .cast("decimal(28,10)")).cast("double"),
+                          2).alias("revenue")))
+
+
+def ann_filtered_topk(spark: SparkSession, sf_dir: str,
+                      k: int = 3) -> DataFrame:
+    """Metadata-filtered exact ANN — the "filtered vector search" shape
+    every production retrieval stack needs (predicate + top-k in one
+    query): cosine top-k for a fixed query set restricted to corpus
+    vectors with ``label < 5``.  The filter is a plain comparison so it
+    reaches the parquet scan as a PushedFilter (plan-gated): at 100 TB
+    the engine prunes non-matching row groups BEFORE any vector
+    arithmetic, which is why filter-then-rank beats rank-then-filter
+    (the latter can silently return < k survivors).  Same broadcast-
+    queries / corpus-streams shape as ``ann_cosine_topk``; fully
+    oracle-checked."""
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    queries = embeddings.where(F.col("vec_id") < 8) \
+                        .select(F.col("vec_id").alias("q_id"), "embedding")
+    corpus = embeddings.where(F.col("label") < 5)
+    return S.brute_force_topk(queries, corpus, k=k)
+
+
+def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str,
+                         n_arm: int = 50, k_rrf: int = 60,
+                         k_out: int = 20) -> DataFrame:
+    """Hybrid retrieval with Reciprocal-Rank Fusion (Cormack et al.
+    2009): fuse the SPARSE arm (BM25 over fixed query terms — the
+    ``text_bm25_topk`` statistics) with the DENSE arm (exact cosine
+    against a fixed query vector, corpus vector ↔ document via
+    vec_id = doc_id) by rrf = Σ 1/(k + rank), k = 60 — the standard
+    score-free fusion that needs NO calibration between the two score
+    distributions.
+
+    Plan: each arm reduces to a ≤``n_arm``-row TakeOrderedAndProject
+    (parallel partial top-k — the corpus itself is never globally
+    sorted); ranks are then assigned by a row_number over those
+    metadata-sized relations (the one Exchange SinglePartition moves
+    ≤ n_arm rows by construction — whitelisted in the suite lint with
+    this justification), fused by a full-outer join on doc_id so a
+    doc found by only one arm still scores its single term.  Fully
+    oracle-checked: both arm scores are rounded before ranking and
+    ties break on doc_id, so ranks are cross-engine deterministic."""
+    from pyspark.sql import Window
+    k1, b = 1.2, 0.75
+    terms = ["data", "spark", "window"]
+    documents, embeddings = _t(spark, sf_dir, "documents", "embeddings")
+
+    # --- sparse arm: BM25 (same statistics as text_bm25_topk) ---
+    toks = (documents.select("doc_id",
+                             F.explode(TX.tokens("text")).alias("tok"))
+            .where(F.length("tok") > 0))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    tf = (toks.where(F.col("tok").isin(terms))
+          .groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf")))
+    dft = tf.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.avg("dl").alias("avgdl"))
+    sparse = (tf.join(F.broadcast(dft), "tok")
+              .join(dl, "doc_id")
+              .crossJoin(F.broadcast(stats))
+              .select(
+                  "doc_id",
+                  (F.log((F.col("n_docs") - F.col("df") + 0.5)
+                         / (F.col("df") + 0.5) + 1.0)
+                   * (F.col("tf") * (k1 + 1))
+                   / (F.col("tf") + k1 * (1 - b + b * F.col("dl")
+                                          / F.col("avgdl"))))
+                  .alias("s"))
+              .groupBy("doc_id")
+              .agg(F.round(F.sum("s"), 6).alias("bm25"))
+              .orderBy(F.col("bm25").desc(), F.col("doc_id"))
+              .limit(n_arm))
+    w_s = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    sparse_r = sparse.select("doc_id", "bm25",
+                             F.row_number().over(w_s).alias("rank_sparse"))
+
+    # --- dense arm: exact cosine vs the vec_id = 0 query vector ---
+    qv = embeddings.where(F.col("vec_id") == 0) \
+                   .select(as_double("embedding").alias("__qv"))
+    dense = (embeddings.where(F.col("vec_id") != 0)
+             .crossJoin(F.broadcast(qv))
+             .select(F.col("vec_id").alias("doc_id"),
+                     F.round(dot(as_double("embedding"), F.col("__qv"))
+                             / (norm(as_double("embedding"))
+                                * norm(F.col("__qv"))), 6)
+                      .alias("cos_sim"))
+             .orderBy(F.col("cos_sim").desc(), F.col("doc_id"))
+             .limit(n_arm))
+    w_d = Window.orderBy(F.col("cos_sim").desc(), F.col("doc_id"))
+    dense_r = dense.select("doc_id", "cos_sim",
+                           F.row_number().over(w_d).alias("rank_dense"))
+
+    # --- fusion ---
+    fused = (sparse_r.join(dense_r, "doc_id", "full_outer")
+             .select(
+                 "doc_id", "bm25", "rank_sparse", "cos_sim", "rank_dense",
+                 F.round(
+                     F.when(F.col("rank_sparse").isNotNull(),
+                            F.lit(1.0) / (k_rrf + F.col("rank_sparse")))
+                      .otherwise(F.lit(0.0))
+                     + F.when(F.col("rank_dense").isNotNull(),
+                              F.lit(1.0) / (k_rrf + F.col("rank_dense")))
+                        .otherwise(F.lit(0.0)), 6).alias("rrf")))
+    return fused.orderBy(F.col("rrf").desc(), F.col("doc_id")).limit(k_out)
+
+
+def corpus_domain_reweight(spark: SparkSession, sf_dir: str,
+                           eta: float = 4.0) -> DataFrame:
+    """One exact domain-reweighting step for mixture optimization (the
+    DoReMi direction, Xie et al. 2023, with a LINEAR multiplicative
+    update instead of exponentiated-gradient so the whole step is
+    cross-engine bit-exact): sources whose unigram-LM NLL per token
+    EXCEEDS the corpus mean — i.e. the domains the reference model
+    fits worst — get their mixture share multiplied by
+    (1 + eta · excess) and the shares renormalized.  The report a
+    pretraining pipeline recomputes between mixture epochs.
+
+    Plan: ONE token-census shuffle (map-side combined) + the
+    vocabulary-keyed re-join from ``text_unigram_logprob``, collapsed
+    to a per-SOURCE rollup (≤ |sources| rows); every downstream step
+    (corpus scalars, excess, renormalization) is arithmetic over that
+    metadata-sized relation with DECIMAL sums, so addition order can
+    never perturb bits.  At 100 TB the census is the only data-sized
+    stage and it is the same census the perplexity entries already
+    share."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    tok = documents.select(
+        "source", F.explode(TX.tokens("text")).alias("t")) \
+        .select("source", F.lower("t").alias("tok"))
+    f = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    s = f.agg(F.sum("cnt").alias("n_total"),
+              F.count(F.lit(1)).alias("n_vocab"))
+    lp = (tok.join(f, "tok")
+          .crossJoin(F.broadcast(s))
+          .select("source",
+                  F.log((F.col("cnt") + 1).cast("double")
+                        / (F.col("n_total").cast("double")
+                           + F.col("n_vocab").cast("double")))
+                  .cast("decimal(28,12)").alias("lp")))
+    per_src = (lp.groupBy("source")
+               .agg(F.count(F.lit(1)).alias("n_tokens"),
+                    F.round(-F.sum("lp").cast("double")
+                            / F.count(F.lit(1)), 6).alias("nll")))
+    totals = per_src.agg(
+        F.sum("n_tokens").alias("tot_tokens"),
+        F.round(F.sum(
+            (F.col("nll") * F.col("n_tokens")).cast("decimal(28,10)"))
+            .cast("double") / F.sum("n_tokens"), 6).alias("nll_corpus"))
+    w = (per_src.crossJoin(F.broadcast(totals))
+         .select(
+             "source", "n_tokens", "nll", "nll_corpus",
+             F.round(F.col("n_tokens").cast("double")
+                     / F.col("tot_tokens"), 6).alias("base_share"),
+             F.round(F.greatest(F.lit(0.0),
+                                F.col("nll") - F.col("nll_corpus")), 6)
+              .alias("excess")))
+    w = w.withColumn(
+        "raw",
+        F.round(F.col("base_share") * (1.0 + eta * F.col("excess")), 6)
+         .cast("decimal(18,6)"))
+    z = w.agg(F.sum("raw").alias("z"))
+    return (w.crossJoin(F.broadcast(z))
+            .select("source", "n_tokens", "nll", "base_share", "excess",
+                    F.round(F.col("raw").cast("double")
+                            / F.col("z").cast("double"), 6)
+                     .alias("new_share"))
+            .orderBy("source"))
+
+
+def corpus_negative_sample(spark: SparkSession, sf_dir: str,
+                           n_anchors: int = 16, k: int = 4,
+                           p_candidate: float = 0.25) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: for
+    each anchor document, ``k`` pseudo-uniform negatives drawn by a
+    Knuth-hash rank over (anchor, candidate), excluding the anchor
+    itself and any EXACT duplicate of it (same md5 body — a verbatim
+    copy is a false negative that poisons the contrastive loss).
+
+    Scale shape: the anchor batch (a training batch, bounded by
+    construction) broadcasts; the corpus streams through ONE map stage
+    where the pair hash is computed and the ``p_candidate`` prefilter
+    bounds the surviving fanout to ≈ p·|corpus| rows per anchor BEFORE
+    any shuffle; the per-anchor top-k is a window partitioned by
+    anchor over that bounded candidate set.  No RNG state: re-runs,
+    retried tasks, and the DuckDB oracle all agree bit-exactly."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    anchors = (documents.where(F.col("doc_id") < n_anchors)
+               .select(F.col("doc_id").alias("anchor_id"),
+                       F.md5("text").alias("__a_h")))
+    cands = documents.select(F.col("doc_id").alias("cand_id"),
+                             F.md5("text").alias("__c_h"))
+    # 60-bit-safe Knuth hash of the pair: fold below 2^31 before the
+    # multiply so the product stays in BIGINT on every engine.
+    u = (((F.col("anchor_id") * F.lit(1000003).cast("long")
+           + F.col("cand_id")) % F.lit(2147483648).cast("long"))
+         * F.lit(2654435761).cast("long")) % F.lit(4294967296).cast("long")
+    threshold = int(p_candidate * 4294967296)
+    pairs = (cands.crossJoin(F.broadcast(anchors))
+             .where(F.col("cand_id") != F.col("anchor_id"))
+             .where(F.col("__c_h") != F.col("__a_h"))
+             .withColumn("__u", u)
+             .where(F.col("__u") < threshold))
+    from pyspark.sql import Window
+    w = Window.partitionBy("anchor_id").orderBy("__u", "cand_id")
+    return (pairs.withColumn("neg_rank", F.row_number().over(w))
+            .where(F.col("neg_rank") <= k)
+            .select("anchor_id", "neg_rank", "cand_id", "__u")
+            .withColumnRenamed("__u", "pair_hash"))

@@ -4097,6 +4097,171 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM s GROUP BY 1
         """,
     ),
+    "join_salted_replicate": QuerySpec(
+        X.join_salted_replicate,
+        """
+        SELECT o_orderstatus,
+               count(*) AS n_items,
+               round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(28,10))) AS DOUBLE), 2)
+                   AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderstatus
+        """,
+    ),
+    "ann_filtered_topk": QuerySpec(
+        X.ann_filtered_topk,
+        """
+        WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id < 8),
+        c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+              FROM embeddings WHERE label < 5),
+        sims AS (
+            SELECT q_id, vec_id,
+                   round(list_dot_product(qv, cv)
+                         / (sqrt(list_dot_product(qv, qv))
+                            * sqrt(list_dot_product(cv, cv))), 6) AS cos_sim
+            FROM q CROSS JOIN c WHERE q_id <> vec_id
+        )
+        SELECT q_id, vec_id, cos_sim FROM (
+            SELECT *, row_number() OVER (PARTITION BY q_id
+                                         ORDER BY cos_sim DESC, vec_id) AS rn
+            FROM sims)
+        WHERE rn <= 3
+        """,
+    ),
+    "retrieval_hybrid_rrf": QuerySpec(
+        X.retrieval_hybrid_rrf,
+        f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+        ), toks_nz AS (
+            SELECT doc_id, tok FROM toks WHERE length(tok) > 0
+        ), dl AS (
+            SELECT doc_id, count(*) AS dl FROM toks_nz GROUP BY doc_id
+        ), tf AS (
+            SELECT doc_id, tok, count(*) AS tf FROM toks_nz
+            WHERE tok IN ('data', 'spark', 'window')
+            GROUP BY doc_id, tok
+        ), dft AS (
+            SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY tok
+        ), stats AS (
+            SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+        ), scored AS (
+            SELECT tf.doc_id,
+                   ln((stats.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+                   * (tf.tf * 2.2)
+                   / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+                       AS s
+            FROM tf
+            JOIN dft ON tf.tok = dft.tok
+            JOIN dl ON tf.doc_id = dl.doc_id
+            CROSS JOIN stats
+        ), sparse AS (
+            SELECT doc_id, round(SUM(s), 6) AS bm25 FROM scored
+            GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 50
+        ), sparse_r AS (
+            SELECT doc_id, bm25,
+                   row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                       AS rank_sparse
+            FROM sparse
+        ), qv AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+            WHERE vec_id = 0
+        ), dense AS (
+            SELECT vec_id AS doc_id,
+                   round(list_dot_product(cv, qv)
+                         / (sqrt(list_dot_product(cv, cv))
+                            * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
+            FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+                  FROM embeddings WHERE vec_id <> 0) CROSS JOIN qv
+            ORDER BY cos_sim DESC, doc_id LIMIT 50
+        ), dense_r AS (
+            SELECT doc_id, cos_sim,
+                   row_number() OVER (ORDER BY cos_sim DESC, doc_id)
+                       AS rank_dense
+            FROM dense
+        ), fused AS (
+            SELECT COALESCE(s.doc_id, d.doc_id) AS doc_id,
+                   s.bm25, s.rank_sparse, d.cos_sim, d.rank_dense,
+                   round(COALESCE(CAST(1.0 AS DOUBLE)
+                                  / (60 + s.rank_sparse), 0.0)
+                         + COALESCE(CAST(1.0 AS DOUBLE)
+                                    / (60 + d.rank_dense), 0.0), 6) AS rrf
+            FROM sparse_r s FULL OUTER JOIN dense_r d ON s.doc_id = d.doc_id
+        )
+        SELECT doc_id, bm25, rank_sparse, cos_sim, rank_dense, rrf
+        FROM fused ORDER BY rrf DESC, doc_id LIMIT 20
+        """,
+    ),
+    "corpus_domain_reweight": QuerySpec(
+        X.corpus_domain_reweight,
+        f"""
+        WITH tok AS (
+            SELECT source, lower(unnest({_TOKS})) AS tok FROM documents
+        ), f AS (
+            SELECT tok, count(*) AS cnt FROM tok GROUP BY tok
+        ), s AS (
+            SELECT sum(cnt) AS n_total, count(*) AS n_vocab FROM f
+        ), lp AS (
+            SELECT t.source,
+                   CAST(ln(CAST(f.cnt + 1 AS DOUBLE)
+                           / (CAST(s.n_total AS DOUBLE)
+                              + CAST(s.n_vocab AS DOUBLE)))
+                        AS DECIMAL(28,12)) AS lp
+            FROM tok t JOIN f USING (tok) CROSS JOIN s
+        ), per_src AS (
+            SELECT source, count(*) AS n_tokens,
+                   round(-CAST(sum(lp) AS DOUBLE) / count(*), 6) AS nll
+            FROM lp GROUP BY source
+        ), totals AS (
+            SELECT sum(n_tokens) AS tot_tokens,
+                   round(CAST(sum(CAST(nll * n_tokens AS DECIMAL(28,10)))
+                              AS DOUBLE) / sum(n_tokens), 6) AS nll_corpus
+            FROM per_src
+        ), w AS (
+            SELECT source, n_tokens, nll, nll_corpus,
+                   round(CAST(n_tokens AS DOUBLE) / tot_tokens, 6)
+                       AS base_share,
+                   round(greatest(CAST(0.0 AS DOUBLE), nll - nll_corpus), 6)
+                       AS excess
+            FROM per_src CROSS JOIN totals
+        ), w2 AS (
+            SELECT *,
+                   CAST(round(base_share
+                              * (CAST(1.0 AS DOUBLE)
+                                 + CAST(4.0 AS DOUBLE) * excess), 6)
+                        AS DECIMAL(18,6)) AS raw
+            FROM w
+        ), z AS (SELECT sum(raw) AS z FROM w2)
+        SELECT source, n_tokens, nll, base_share, excess,
+               round(CAST(raw AS DOUBLE) / CAST(z AS DOUBLE), 6)
+                   AS new_share
+        FROM w2 CROSS JOIN z ORDER BY source
+        """,
+    ),
+    "corpus_negative_sample": QuerySpec(
+        X.corpus_negative_sample,
+        """
+        WITH anchors AS (
+            SELECT doc_id AS anchor_id, md5(text) AS a_h
+            FROM documents WHERE doc_id < 16
+        ), cands AS (
+            SELECT doc_id AS cand_id, md5(text) AS c_h FROM documents
+        ), pairs AS (
+            SELECT anchor_id, cand_id,
+                   ((anchor_id * 1000003 + cand_id) % 2147483648)
+                   * 2654435761 % 4294967296 AS u
+            FROM cands CROSS JOIN anchors
+            WHERE cand_id <> anchor_id AND c_h <> a_h
+        )
+        SELECT anchor_id, neg_rank, cand_id, u AS pair_hash FROM (
+            SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                         ORDER BY u, cand_id) AS neg_rank
+            FROM pairs WHERE u < 1073741824)
+        WHERE neg_rank <= 4
+        """,
+    ),
 }
 
 # The driver's per-round correctness snapshot covers only the FIRST 50

