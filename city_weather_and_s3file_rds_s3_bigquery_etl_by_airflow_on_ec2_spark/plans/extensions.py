@@ -3512,3 +3512,141 @@ def corpus_negative_sample(spark: SparkSession, sf_dir: str,
             .where(F.col("neg_rank") <= k)
             .select("anchor_id", "neg_rank", "cand_id", "__u")
             .withColumnRenamed("__u", "pair_hash"))
+
+
+# ------------------------------------------------------- r7d extensions —
+
+def text_inverted_index(spark: SparkSession, sf_dir: str,
+                        min_df: int = 5, cap: int = 3) -> DataFrame:
+    """Capped inverted-index build — the retrieval-infra sibling of
+    ``text_bm25_topk`` (which SCORES fixed terms; this MATERIALIZES the
+    index): per lowercased token, document frequency, total term
+    frequency, and the top-``cap`` postings by (tf DESC, doc_id) — the
+    impact-ordered index truncation of WAND-family engines, where only
+    the highest-impact postings per term are kept hot.
+
+    Scale shape: ONE (token, doc) census shuffle with map-side combine,
+    a token-keyed rollup for df/ttf, and the posting cap via a window
+    over the token key that compiles to WindowGroupLimit (plan-gated)
+    — each reducer keeps ``cap`` rows per token streaming, it never
+    buffers a stopword's full posting list.  ``min_df`` drops hapax
+    noise the way a real index drops terms below the scoring floor.
+    Fully oracle-checked (rank ties broken by doc_id)."""
+    from pyspark.sql import Window
+    (documents,) = _t(spark, sf_dir, "documents")
+    tf = (documents.select(
+              "doc_id", F.explode(TX.tokens("text")).alias("t"))
+          .where(F.length("t") > 0)
+          .select("doc_id", F.lower("t").alias("tok"))
+          .groupBy("tok", "doc_id").agg(F.count(F.lit(1)).alias("tf")))
+    stats = tf.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("total_tf"))
+    w = Window.partitionBy("tok").orderBy(F.col("tf").desc(), "doc_id")
+    top = (tf.withColumn("post_rank", F.row_number().over(w))
+           .where(F.col("post_rank") <= cap))
+    return (top.join(stats.where(F.col("df") >= min_df), "tok")
+            .select("tok", "df", "total_tf", "post_rank", "doc_id", "tf"))
+
+
+def corpus_cross_source_overlap(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Cross-source verbatim-overlap matrix — which sources mirror each
+    other: for every unordered source pair, how many distinct document
+    BODIES (md5 of the raw text) appear in both, and how many physical
+    docs each side contributes under those shared bodies.  The
+    provenance diagnosis a data card needs before mixture weighting:
+    two sources that share half their bodies are one source for
+    deduplication purposes, and `corpus_domain_reweight` shares would
+    double-count them.
+
+    Scale shape: one hash-agg shuffle to the (digest, source, n_docs)
+    census — digests (16 bytes) shuffle, bodies never do — then a
+    digest-keyed self-join whose per-key fanout is bounded by the
+    SOURCE CARDINALITY (≤ |sources|² pairs per body, and |sources| is
+    metadata-sized), then a pair-keyed rollup.  No window, no global
+    sort; fully oracle-checked."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    census = (documents.select(F.md5("text").alias("h"), "source")
+              .groupBy("h", "source")
+              .agg(F.count(F.lit(1)).alias("n_docs")))
+    a, b = census.alias("a"), census.alias("b")
+    pairs = a.join(
+        b, (F.col("a.h") == F.col("b.h"))
+           & (F.col("a.source") < F.col("b.source")), "inner")
+    return (pairs.groupBy(F.col("a.source").alias("source_a"),
+                          F.col("b.source").alias("source_b"))
+            .agg(F.count(F.lit(1)).alias("n_shared_bodies"),
+                 F.sum(F.col("a.n_docs")).alias("n_docs_a"),
+                 F.sum(F.col("b.n_docs")).alias("n_docs_b")))
+
+
+def tokenizer_fertility_report(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Per-source tokenizer fertility report — the compression check
+    run before committing a tokenizer to a 100 TB corpus: bytes,
+    whitespace words, and BPE-ish subword tokens (the
+    ``text_bpe_token_count`` pre-tokenization regex) rolled up per
+    source, with fertility = subwords/word and bytes/subword.  A
+    source whose fertility is an outlier (dense code, non-Latin text)
+    inflates its effective token share relative to its byte share —
+    exactly the discrepancy this report surfaces next to
+    ``corpus_domain_reweight``'s token-based shares.
+
+    Scale shape: all three counts are per-row expressions folded by
+    ONE partial-aggregated shuffle on source (map-side combine; no
+    explode — the regex counts matches without materializing them).
+    DECIMAL-free: every sum is over BIGINTs, ratios rounded at the
+    end, so cross-engine bits cannot drift."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    pat = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    per_doc = documents.select(
+        "source",
+        F.octet_length("text").cast("long").alias("nb"),
+        TX.token_count("text").alias("nw"),
+        F.size(F.regexp_extract_all("text", F.lit(pat), 0))
+         .cast("long").alias("ns"))
+    return (per_doc.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("nb").alias("total_bytes"),
+                 F.sum("nw").alias("total_words"),
+                 F.sum("ns").alias("total_subwords"))
+            .select("source", "n_docs", "total_bytes", "total_words",
+                    "total_subwords",
+                    F.round(F.col("total_subwords").cast("double")
+                            / F.col("total_words"), 6).alias("fertility"),
+                    F.round(F.col("total_bytes").cast("double")
+                            / F.col("total_subwords"), 6)
+                     .alias("bytes_per_subword")))
+
+
+def corpus_curriculum_order(spark: SparkSession, sf_dir: str,
+                            n_phases: int = 4) -> DataFrame:
+    """Curriculum training order: documents binned into ``n_phases``
+    fixed-width quality bands (the ``text_quality_score`` heuristic
+    over [0, 1]) and given ONE dense global sequence number that walks
+    the phases low-quality-last — i.e. easy/clean docs first within a
+    deterministic in-phase shuffle (Knuth hash of doc_id), the
+    data-ordering contract of curriculum pretraining, reproducible
+    across runs and engines.
+
+    Scale shape: the phase is a map-side expression (fixed-width bins
+    of a BOUNDED score — no quantile estimation, no global sort to
+    find phase boundaries), and the global sequence number is the
+    two-phase distributed ``serial_id`` over the combined
+    (phase << 33 | hash) key — range-bucketed prefix sums, plan-gated
+    elsewhere to never collapse to a single partition.  Output is the
+    training-order manifest: (seq, phase, doc_id)."""
+    from ..operators.ids import serial_id
+    (documents,) = _t(spark, sf_dir, "documents")
+    # phase 0 = highest quality (trains first); score==1.0 clamps into
+    # the top band rather than opening phase n_phases.
+    q = TX.quality_score("text")
+    phase = F.least(F.floor((F.lit(1.0) - q) * n_phases),
+                    F.lit(n_phases - 1)).cast("long")
+    skey = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    d = documents.select(
+        "doc_id", phase.alias("phase"), skey.alias("skey"),
+        (phase * F.lit(8589934592) + skey).alias("gkey"))
+    return (serial_id(d, ["gkey", "doc_id"], id_col="seq")
+            .select("seq", "phase", "doc_id"))

@@ -4262,6 +4262,88 @@ REGISTRY: dict[str, QuerySpec] = {
         WHERE neg_rank <= 4
         """,
     ),
+    "text_inverted_index": QuerySpec(
+        X.text_inverted_index,
+        f"""
+        WITH tf AS (
+            SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id, lower(t) AS tok
+                  FROM (SELECT doc_id, unnest({_TOKS}) AS t FROM documents)
+                  WHERE length(t) > 0)
+            GROUP BY tok, doc_id
+        ), stats AS (
+            SELECT tok, CAST(count(*) AS BIGINT) AS df,
+                   CAST(sum(tf) AS BIGINT) AS total_tf
+            FROM tf GROUP BY tok
+        ), top AS (
+            SELECT tok, doc_id, tf,
+                   row_number() OVER (PARTITION BY tok
+                                      ORDER BY tf DESC, doc_id) AS post_rank
+            FROM tf
+        )
+        SELECT t.tok, s.df, s.total_tf, t.post_rank, t.doc_id, t.tf
+        FROM top t JOIN stats s USING (tok)
+        WHERE s.df >= 5 AND t.post_rank <= 3
+        """,
+    ),
+    "corpus_cross_source_overlap": QuerySpec(
+        X.corpus_cross_source_overlap,
+        """
+        WITH census AS (
+            SELECT md5(text) AS h, source, CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY 1, 2
+        )
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(count(*) AS BIGINT) AS n_shared_bodies,
+               CAST(sum(a.n_docs) AS BIGINT) AS n_docs_a,
+               CAST(sum(b.n_docs) AS BIGINT) AS n_docs_b
+        FROM census a JOIN census b ON a.h = b.h AND a.source < b.source
+        GROUP BY 1, 2
+        """,
+    ),
+    "tokenizer_fertility_report": QuerySpec(
+        X.tokenizer_fertility_report,
+        rf"""
+        WITH d AS (
+            SELECT source,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS nb,
+                   CAST(len({_TOKS}) AS BIGINT) AS nw,
+                   CAST(len(regexp_extract_all(
+                        text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                        AS BIGINT) AS ns
+            FROM documents
+        )
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(nb) AS BIGINT) AS total_bytes,
+               CAST(sum(nw) AS BIGINT) AS total_words,
+               CAST(sum(ns) AS BIGINT) AS total_subwords,
+               round(CAST(sum(ns) AS DOUBLE) / sum(nw), 6) AS fertility,
+               round(CAST(sum(nb) AS DOUBLE) / sum(ns), 6)
+                   AS bytes_per_subword
+        FROM d GROUP BY source
+        """,
+    ),
+    "corpus_curriculum_order": QuerySpec(
+        X.corpus_curriculum_order,
+        f"""
+        WITH d AS (
+            SELECT doc_id,
+                   CAST(least(floor((1.0
+                        - round(0.5 * least({_STOP_RATIO} * 4.0, 1.0)
+                                + 0.3 * least(CAST(len({_TOKS}) AS DOUBLE)
+                                              / 50.0, 1.0)
+                                + 0.2 * (1.0 - least({_PUNCT_RATIO} * 10.0,
+                                                     1.0)), 4)) * 4), 3)
+                        AS BIGINT) AS phase,
+                   (doc_id * 2654435761) % 4294967296 AS skey
+            FROM documents
+        )
+        SELECT row_number() OVER (ORDER BY phase * 8589934592 + skey,
+                                  doc_id) AS seq,
+               phase, doc_id
+        FROM d
+        """,
+    ),
 }
 
 # The driver's per-round correctness snapshot covers only the FIRST 50

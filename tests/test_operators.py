@@ -4124,3 +4124,142 @@ def test_rrf_fusion_contract(spark):
         assert abs(r.rrf - round(expect, 6)) < 1e-9
     keys = [(-r.rrf, r.doc_id) for r in rows]
     assert keys == sorted(keys)
+
+
+def test_inverted_index_contract_and_python_parity(spark):
+    """text_inverted_index: every token kept has df >= 5, post_rank is
+    contiguous 1..<=3 ordered tf-desc/doc_id-asc, and one token's full
+    posting head matches a pure-Python recount."""
+    from collections import Counter, defaultdict
+
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        text_inverted_index,
+    )
+
+    got = text_inverted_index(spark, SF_SMALL).collect()
+    assert got
+    by_tok: dict[str, list] = defaultdict(list)
+    for r in got:
+        assert r.df >= 5
+        by_tok[r.tok].append(r)
+    for tok, rows in by_tok.items():
+        rows.sort(key=lambda r: r.post_rank)
+        assert [r.post_rank for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) <= 3
+        keys = [(-r.tf, r.doc_id) for r in rows]
+        assert keys == sorted(keys)
+        assert len({r.df for r in rows}) == 1
+        assert len({r.total_tf for r in rows}) == 1
+
+    # pure-Python recount for the corpus-wide heaviest token
+    docs = read_parquet_table(spark, SF_SMALL, "documents") \
+        .select("doc_id", "text").collect()
+    tf: Counter = Counter()
+    for d in docs:
+        for t in d.text.strip().split():
+            if t:
+                tf[(t.lower(), d.doc_id)] += 1
+    heaviest = max(by_tok, key=lambda t: by_tok[t][0].total_tf)
+    per_doc = sorted(((cnt, doc) for (t, doc), cnt in tf.items()
+                      if t == heaviest), key=lambda p: (-p[0], p[1]))
+    expect_df = len(per_doc)
+    expect_ttf = sum(c for c, _ in per_doc)
+    rows = by_tok[heaviest]
+    assert rows[0].df == expect_df and rows[0].total_tf == expect_ttf
+    assert [(r.tf, r.doc_id) for r in rows] == per_doc[:3]
+
+
+def test_cross_source_overlap_planted_matrix(spark, tmp_path):
+    """corpus_cross_source_overlap on a planted 3-source lake: srcA and
+    srcB share two bodies (one of them twice in B), srcC shares one
+    body with each — the matrix reports exactly those counts, pairs
+    are strictly ordered, and a never-shared body appears nowhere."""
+    from pyspark.sql import types as T
+
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        corpus_cross_source_overlap,
+    )
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ])
+    body1, body2, body3, solo = "shared one", "shared two", "bridge", "solo"
+    docs = [
+        (0, body1, "en", "srcA", len(body1)),
+        (1, body2, "en", "srcA", len(body2)),
+        (2, body3, "en", "srcA", len(body3)),
+        (3, body1, "en", "srcB", len(body1)),
+        (4, body2, "en", "srcB", len(body2)),
+        (5, body2, "en", "srcB", len(body2)),   # body2 twice in B
+        (6, body3, "en", "srcC", len(body3)),
+        (7, solo, "en", "srcC", len(solo)),
+    ]
+    lake = str(tmp_path / "overlap_lake")
+    spark.createDataFrame(docs, schema).coalesce(1) \
+        .write.parquet(f"{lake}/documents.parquet")
+    rows = {(r.source_a, r.source_b): r
+            for r in corpus_cross_source_overlap(spark, lake).collect()}
+    assert set(rows) == {("srcA", "srcB"), ("srcA", "srcC")}
+    ab = rows[("srcA", "srcB")]
+    assert ab.n_shared_bodies == 2
+    assert ab.n_docs_a == 2 and ab.n_docs_b == 3
+    ac = rows[("srcA", "srcC")]
+    assert ac.n_shared_bodies == 1
+    assert ac.n_docs_a == 1 and ac.n_docs_b == 1
+    assert all(a < b for a, b in rows)
+
+
+def test_tokenizer_fertility_python_parity(spark):
+    """tokenizer_fertility_report equals a pure-Python recount of
+    bytes, whitespace words, and BPE-ish subwords per source."""
+    import re
+    from collections import defaultdict
+
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        tokenizer_fertility_report,
+    )
+
+    got = {r.source: r
+           for r in tokenizer_fertility_report(spark, SF_SMALL).collect()}
+    docs = read_parquet_table(spark, SF_SMALL, "documents") \
+        .select("source", "text").collect()
+    pat = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+    acc = defaultdict(lambda: [0, 0, 0, 0])
+    for d in docs:
+        a = acc[d.source]
+        a[0] += 1
+        a[1] += len(d.text.encode("utf-8"))
+        a[2] += len(d.text.strip().split())
+        a[3] += len(pat.findall(d.text))
+    assert set(got) == set(acc)
+    for src, (n, nb, nw, ns) in acc.items():
+        r = got[src]
+        assert (r.n_docs, r.total_bytes, r.total_words,
+                r.total_subwords) == (n, nb, nw, ns)
+        assert abs(r.fertility - round(ns / nw, 6)) < 1e-9
+        assert abs(r.bytes_per_subword - round(nb / ns, 6)) < 1e-9
+
+
+def test_curriculum_order_dense_and_phase_monotone(spark):
+    """corpus_curriculum_order: seq is a dense 1..N permutation, phase
+    is non-decreasing along seq (high quality trains first), and the
+    in-phase order is exactly the (knuth-hash, doc_id) sort."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        corpus_curriculum_order,
+    )
+
+    rows = sorted(corpus_curriculum_order(spark, SF_SMALL).collect(),
+                  key=lambda r: r.seq)
+    n_docs = read_parquet_table(spark, SF_SMALL, "documents").count()
+    assert [r.seq for r in rows] == list(range(1, n_docs + 1))
+    assert len({r.doc_id for r in rows}) == n_docs
+    phases = [r.phase for r in rows]
+    assert phases == sorted(phases)
+    assert all(0 <= p <= 3 for p in phases)
+    keys = [(r.phase, (r.doc_id * 2654435761) % 4294967296, r.doc_id)
+            for r in rows]
+    assert keys == sorted(keys)

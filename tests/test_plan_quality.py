@@ -987,3 +987,53 @@ def test_negative_sample_prefilter_before_window(spark):
     assert "SortMergeJoin" not in plan
     assert "Exchange SinglePartition" not in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_inverted_index_posting_cap_streams(spark):
+    """text_inverted_index's posting cap compiles to WindowGroupLimit
+    (each reducer keeps <=cap rows per token streaming — a stopword's
+    posting list is never buffered) and nothing collapses to a single
+    partition."""
+    import city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions as XX
+
+    plan = _plan(XX.text_inverted_index(spark, SF_SMALL))
+    assert "WindowGroupLimit" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_cross_source_overlap_digest_equi_join(spark):
+    """corpus_cross_source_overlap: the source<source pair predicate
+    rides the digest EQUI-join as a post-filter — the plan must not
+    degrade to a nested-loop/cartesian shape, and no window/global
+    sort appears anywhere."""
+    import city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions as XX
+
+    plan = _plan(XX.corpus_cross_source_overlap(spark, SF_SMALL))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_fertility_report_single_exchange_no_generate(spark):
+    """tokenizer_fertility_report counts subwords WITHOUT exploding
+    them: no Generate in the plan, and the only Exchange is the
+    per-source rollup."""
+    import city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions as XX
+
+    plan = _plan(XX.tokenizer_fertility_report(spark, SF_SMALL))
+    assert "Generate" not in plan
+    assert plan.count("Exchange") == 1
+    assert "hashpartitioning(source" in plan
+
+
+def test_curriculum_order_no_global_funnel(spark):
+    """corpus_curriculum_order's global sequence number comes from the
+    two-phase serial_id (range-bucketed prefix sums) — the executed
+    plan partitions by the serial bucket id and never funnels the
+    corpus through one partition."""
+    import city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions as XX
+
+    plan = _plan(XX.corpus_curriculum_order(spark, SF_SMALL))
+    assert "hashpartitioning(__serial_pid" in plan
+    assert "Exchange SinglePartition" not in plan
