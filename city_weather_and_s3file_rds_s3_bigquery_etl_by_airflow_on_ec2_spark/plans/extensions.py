@@ -3620,6 +3620,133 @@ def tokenizer_fertility_report(spark: SparkSession,
                      .alias("bytes_per_subword")))
 
 
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str,
+                              k: int = 10) -> DataFrame:
+    """Pre-join output-cardinality estimate for the lineitem partkey
+    SELF-join (the exact join `lineitem_copurchase_lift` executes):
+    per-key row counts from one census, estimated pair fanout n² per
+    key, and each key's share of the total estimated output — the
+    "will this join explode?" report you run over a 100 TB fact
+    BEFORE committing the shuffle, sibling of `events_hot_keys`
+    (which diagnoses reducer skew; this predicts OUTPUT volume).
+
+    Plan: ONE map-side-combined census shuffle; the total Σn² rides
+    back as a broadcast scalar; the top-k is TakeOrderedAndProject.
+    The estimate is exact algebra over counts — no sampling — so the
+    oracle proves it bit-for-bit."""
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    census = (lineitem.groupBy("l_partkey")
+              .agg(F.count(F.lit(1)).alias("n_rows")))
+    est = census.select(
+        "l_partkey", "n_rows",
+        (F.col("n_rows") * F.col("n_rows")).alias("est_pairs"))
+    tot = est.agg(F.sum("est_pairs").alias("tot_pairs"))
+    return (est.crossJoin(F.broadcast(tot))
+            .select("l_partkey", "n_rows", "est_pairs",
+                    F.round(F.col("est_pairs").cast("double")
+                            / F.col("tot_pairs"), 9).alias("share"))
+            .orderBy(F.col("est_pairs").desc(), "l_partkey")
+            .limit(k))
+
+
+def ann_truncated_rerank(spark: SparkSession, sf_dir: str,
+                         trunc_dim: int = 32, shortlist: int = 100,
+                         k: int = 5) -> DataFrame:
+    """Two-stage ANN, the production retrieval shape: a CHEAP pass
+    scores every corpus vector by cosine over the first ``trunc_dim``
+    of 64 dims (Matryoshka-style prefix truncation — half the
+    arithmetic and memory traffic per candidate; trained Matryoshka
+    embeddings concentrate signal in the prefix, so production
+    deployments truncate far deeper — the synthetic lake's isotropic
+    vectors need 32 of 64 dims for 0.9 recall, measured in tests,
+    not assumed), keeps a
+    ``shortlist`` per query, and only the shortlist pays full-width
+    exact cosine for the final top-``k``.  Unlike LSH/IVF the
+    shortlist rule is deterministic, so the WHOLE two-stage pipeline
+    is oracle-checked bit-exactly — recall loss vs single-stage exact
+    search is measured in tests, not assumed.
+
+    Plan: queries broadcast twice (both stages), the corpus streams
+    once per stage but stage 2's scan is ``shortlist``-bounded rows
+    per query via a semi-join on the stage-1 WindowGroupLimit; no
+    corpus×corpus product anywhere."""
+    from pyspark.sql import Window
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    queries = embeddings.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"),
+        as_double("embedding").alias("qv"))
+    corpus = embeddings.select(
+        "vec_id", as_double("embedding").alias("cv"))
+    qt = queries.select(
+        "q_id", F.slice("qv", 1, trunc_dim).alias("qt"))
+    ct = corpus.select(
+        "vec_id", F.slice("cv", 1, trunc_dim).alias("ct"))
+    w1 = Window.partitionBy("q_id").orderBy(
+        F.col("sim_t").desc(), "vec_id")
+    short = (ct.crossJoin(F.broadcast(qt))
+             .where(F.col("q_id") != F.col("vec_id"))
+             .select("q_id", "vec_id",
+                     F.round(dot(F.col("ct"), F.col("qt"))
+                             / (norm(F.col("ct")) * norm(F.col("qt"))), 6)
+                      .alias("sim_t"))
+             .withColumn("r1", F.row_number().over(w1))
+             .where(F.col("r1") <= shortlist)
+             .select("q_id", "vec_id"))
+    w2 = Window.partitionBy("q_id").orderBy(
+        F.col("cos_full").desc(), "vec_id")
+    return (short.join(corpus, "vec_id")
+            .join(F.broadcast(queries), "q_id")
+            .select("q_id", "vec_id",
+                    F.round(dot(F.col("cv"), F.col("qv"))
+                            / (norm(F.col("cv")) * norm(F.col("qv"))), 6)
+                     .alias("cos_full"))
+            .withColumn("rank", F.row_number().over(w2))
+            .where(F.col("rank") <= k)
+            .select("q_id", "rank", "vec_id", "cos_full"))
+
+
+def corpus_temperature_resample(spark: SparkSession, sf_dir: str,
+                                alpha: float = 0.3) -> DataFrame:
+    """Temperature-scaled source resampling (the multilingual
+    pretraining mixture rule, Conneau & Lample 2019 direction):
+    resampled share qᵢ = pᵢ^α / Σ pⱼ^α over the per-source document
+    shares pᵢ, α = 0.3 — flattens the source distribution so
+    long-tail sources are seen more than their raw frequency, the
+    complement of `corpus_domain_reweight`'s loss-driven step.  Also
+    reports the boost factor qᵢ/pᵢ and the expected epoch document
+    count under the new shares.
+
+    Plan: one count-rollup shuffle to a ≤|sources|-row relation;
+    every power/normalization is arithmetic over that metadata-sized
+    relation with the Σ riding back as a broadcast scalar.  pᵢ and
+    pᵢ^α are rounded to fixed precision BEFORE the normalization on
+    both engines, so cross-engine float drift cannot enter."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    per = documents.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"))
+    tot = per.agg(F.sum("n_docs").alias("n_total"))
+    p = (per.crossJoin(F.broadcast(tot))
+         .select("source", "n_docs", "n_total",
+                 F.round(F.col("n_docs").cast("double")
+                         / F.col("n_total"), 9).alias("p")))
+    p = p.withColumn(
+        "p_alpha",
+        F.round(F.pow(F.col("p"), F.lit(alpha)), 9)
+         .cast("decimal(18,9)"))
+    z = p.agg(F.sum("p_alpha").alias("z"))
+    return (p.crossJoin(F.broadcast(z))
+            .select("source", "n_docs", "p",
+                    F.round(F.col("p_alpha").cast("double")
+                            / F.col("z").cast("double"), 9).alias("q"),
+                    F.round(F.col("p_alpha").cast("double")
+                            / F.col("z").cast("double")
+                            / F.col("p"), 6).alias("boost"),
+                    F.round(F.col("p_alpha").cast("double")
+                            / F.col("z").cast("double")
+                            * F.col("n_total"), 3).alias("expected_docs"))
+            .orderBy("source"))
+
+
 def corpus_curriculum_order(spark: SparkSession, sf_dir: str,
                             n_phases: int = 4) -> DataFrame:
     """Curriculum training order: documents binned into ``n_phases``

@@ -4344,6 +4344,87 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM d
         """,
     ),
+    "join_cardinality_estimate": QuerySpec(
+        X.join_cardinality_estimate,
+        """
+        WITH c AS (
+            SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_rows
+            FROM lineitem GROUP BY 1
+        ), e AS (
+            SELECT l_partkey, n_rows, n_rows * n_rows AS est_pairs FROM c
+        ), t AS (
+            SELECT CAST(sum(est_pairs) AS BIGINT) AS tot_pairs FROM e
+        )
+        SELECT l_partkey, n_rows, est_pairs,
+               round(CAST(est_pairs AS DOUBLE) / tot_pairs, 9) AS share
+        FROM e CROSS JOIN t
+        ORDER BY est_pairs DESC, l_partkey LIMIT 10
+        """,
+    ),
+    "ann_truncated_rerank": QuerySpec(
+        X.ann_truncated_rerank,
+        """
+        WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id < 8),
+        c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+              FROM embeddings),
+        s1 AS (
+            SELECT q_id, vec_id,
+                   round(list_dot_product(ct, qt)
+                         / (sqrt(list_dot_product(ct, ct))
+                            * sqrt(list_dot_product(qt, qt))), 6) AS sim_t
+            FROM (SELECT q_id, vec_id, cv[1:32] AS ct, qv[1:32] AS qt
+                  FROM c CROSS JOIN q WHERE q_id <> vec_id)
+        ), short AS (
+            SELECT q_id, vec_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY q_id
+                                             ORDER BY sim_t DESC, vec_id)
+                           AS r1
+                FROM s1)
+            WHERE r1 <= 100
+        ), full_s AS (
+            SELECT s.q_id, s.vec_id,
+                   round(list_dot_product(c.cv, q.qv)
+                         / (sqrt(list_dot_product(c.cv, c.cv))
+                            * sqrt(list_dot_product(q.qv, q.qv))), 6)
+                       AS cos_full
+            FROM short s JOIN c ON s.vec_id = c.vec_id
+            JOIN q ON s.q_id = q.q_id
+        )
+        SELECT q_id, rank, vec_id, cos_full FROM (
+            SELECT *, row_number() OVER (PARTITION BY q_id
+                                         ORDER BY cos_full DESC, vec_id)
+                       AS rank
+            FROM full_s)
+        WHERE rank <= 5
+        """,
+    ),
+    "corpus_temperature_resample": QuerySpec(
+        X.corpus_temperature_resample,
+        """
+        WITH per AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY 1
+        ), t AS (
+            SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM per
+        ), p AS (
+            SELECT source, n_docs, n_total,
+                   round(CAST(n_docs AS DOUBLE) / n_total, 9) AS p
+            FROM per CROSS JOIN t
+        ), pa AS (
+            SELECT *, CAST(round(pow(p, 0.3), 9) AS DECIMAL(18,9))
+                          AS p_alpha
+            FROM p
+        ), z AS (SELECT sum(p_alpha) AS z FROM pa)
+        SELECT source, n_docs, p,
+               round(CAST(p_alpha AS DOUBLE) / CAST(z AS DOUBLE), 9) AS q,
+               round(CAST(p_alpha AS DOUBLE) / CAST(z AS DOUBLE) / p, 6)
+                   AS boost,
+               round(CAST(p_alpha AS DOUBLE) / CAST(z AS DOUBLE)
+                     * n_total, 3) AS expected_docs
+        FROM pa CROSS JOIN z ORDER BY source
+        """,
+    ),
 }
 
 # The driver's per-round correctness snapshot covers only the FIRST 50

@@ -4263,3 +4263,84 @@ def test_curriculum_order_dense_and_phase_monotone(spark):
     keys = [(r.phase, (r.doc_id * 2654435761) % 4294967296, r.doc_id)
             for r in rows]
     assert keys == sorted(keys)
+
+
+def test_join_cardinality_estimate_matches_executed_join(spark):
+    """join_cardinality_estimate's n² algebra equals the EXECUTED
+    partkey self-join row count for the top key, shares are in (0,1]
+    and descending, and est_pairs == n_rows²."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        join_cardinality_estimate,
+    )
+
+    rows = join_cardinality_estimate(spark, SF_SMALL).collect()
+    assert rows
+    assert all(r.est_pairs == r.n_rows * r.n_rows for r in rows)
+    ests = [r.est_pairs for r in rows]
+    assert ests == sorted(ests, reverse=True)
+    assert all(0 < r.share <= 1 for r in rows)
+
+    li = read_parquet_table(spark, SF_SMALL, "lineitem")
+    top = rows[0]
+    a = li.where(F.col("l_partkey") == top.l_partkey).alias("a")
+    b = li.where(F.col("l_partkey") == top.l_partkey).alias("b")
+    actual = a.join(b, F.col("a.l_partkey") == F.col("b.l_partkey")).count()
+    assert actual == top.est_pairs
+
+
+def test_truncated_rerank_recall_vs_exact(spark):
+    """ann_truncated_rerank: per-query ranks are contiguous 1..5,
+    cos_full is exact (matches brute force for the same pair), and
+    recall@5 vs single-stage exact search clears 0.85 — the measured
+    cost of the 32-dim shortlist on the isotropic synthetic lake
+    (deterministic, so this is a fixed number, not a flake)."""
+    from collections import defaultdict
+
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        ann_truncated_rerank,
+    )
+
+    got = ann_truncated_rerank(spark, SF_SMALL).collect()
+    by_q = defaultdict(list)
+    for r in got:
+        by_q[r.q_id].append(r)
+    assert set(by_q) == set(range(8))
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == [1, 2, 3, 4, 5]
+        sims = [r.cos_full for r in rows]
+        assert sims == sorted(sims, reverse=True)
+
+    emb = read_parquet_table(spark, SF_SMALL, "embeddings")
+    queries = emb.where(F.col("vec_id") < 8) \
+                 .select(F.col("vec_id").alias("q_id"), "embedding")
+    exact = brute_force_topk(queries, emb, k=5).collect()
+    exact_sets = defaultdict(set)
+    for r in exact:
+        exact_sets[r.q_id].add(r.vec_id)
+    hits = sum(len(exact_sets[q] & {r.vec_id for r in rows})
+               for q, rows in by_q.items())
+    recall = hits / (5 * len(by_q))
+    assert recall >= 0.85, f"two-stage recall@5 {recall}"
+
+
+def test_temperature_resample_flattens(spark):
+    """corpus_temperature_resample: q sums to 1, expected_docs sums to
+    the corpus size, and the boost ORDER is the reverse of the share
+    order (smaller sources boosted more — the flattening contract);
+    the raw-share order itself is preserved (alpha keeps monotonicity,
+    it only compresses the range)."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        corpus_temperature_resample,
+    )
+
+    rows = corpus_temperature_resample(spark, SF_SMALL).collect()
+    assert len(rows) >= 2
+    assert abs(sum(r.q for r in rows) - 1.0) < 1e-6
+    n_total = sum(r.n_docs for r in rows)
+    assert abs(sum(r.expected_docs for r in rows) - n_total) < 0.01 * n_total
+    by_p = sorted(rows, key=lambda r: r.p)
+    boosts = [r.boost for r in by_p]
+    assert boosts == sorted(boosts, reverse=True)
+    qs = [r.q for r in by_p]
+    assert qs == sorted(qs)

@@ -1037,3 +1037,30 @@ def test_curriculum_order_no_global_funnel(spark):
     plan = _plan(XX.corpus_curriculum_order(spark, SF_SMALL))
     assert "hashpartitioning(__serial_pid" in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_cardinality_estimate_single_census_topk(spark):
+    """join_cardinality_estimate: one census shuffle + a scalar
+    broadcast — the top-k is TakeOrderedAndProject, never a global
+    sort, and no join of data-sized relations appears."""
+    import city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions as XX
+
+    plan = _plan(XX.join_cardinality_estimate(spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    sort_lines = [ln for ln in plan.splitlines()
+                  if ln.strip().startswith("Sort ") or "- Sort [" in ln]
+    assert not sort_lines, sort_lines
+
+
+def test_truncated_rerank_no_corpus_product(spark):
+    """ann_truncated_rerank: both stages broadcast the query batch —
+    the only joins are broadcast joins (stage-1 nested-loop against
+    the 8-row query batch, stage-2 hash joins on the shortlist) and
+    the per-query windows group-limit; the corpus never joins itself."""
+    import city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions as XX
+
+    plan = _plan(XX.ann_truncated_rerank(spark, SF_SMALL))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("WindowGroupLimit") >= 2

@@ -73,6 +73,11 @@ SCALE_QUERIES = [
     # keep its two-path shape (hot rows never shuffle) as the fact and
     # the hot-key census both grow 10×
     "join_hot_slice_broadcast",
+    # r7d addition: the inverted-index build — the (token, doc) census
+    # plus the WindowGroupLimit posting cap must stay linear in the
+    # token stream; a 10× lake multiplies every posting list's depth
+    # but the cap keeps reducer output constant per token
+    "text_inverted_index",
 ]
 
 
