@@ -697,9 +697,24 @@ def test_generate_entries_full_materialization_bounded(spark):
     med = sorted(times.values())[len(times) // 2]
     threshold = max(ceiling, 12 * med)
     slow = {n: round(dt, 1) for n, dt in times.items() if dt > threshold}
+    # r7: one retry for flagged entries — a transient host stall (the
+    # documented multi-second steal spikes) inflates ONE materialization;
+    # a real recompute-above-Generate regression is deterministic and
+    # fails the retry too.  Entries keep their flag only if the retry
+    # ALSO exceeds the threshold.
+    if slow:
+        by_name = dict(found)
+        still_slow = {}
+        for n in slow:
+            t0 = time.perf_counter()
+            by_name[n].collect()
+            dt = time.perf_counter() - t0
+            if dt > threshold:
+                still_slow[n] = round(dt, 1)
+        slow = still_slow
     assert not slow, (
         f"Generate-bearing entries blew the {threshold:.0f}s "
-        f"full-materialization ceiling (median {med:.1f}s; "
+        f"full-materialization ceiling twice (median {med:.1f}s; "
         f"recompute-above-Generate regression?): {slow}")
 
 
