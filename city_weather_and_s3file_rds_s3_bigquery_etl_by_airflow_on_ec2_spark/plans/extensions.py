@@ -3620,6 +3620,106 @@ def tokenizer_fertility_report(spark: SparkSession,
                      .alias("bytes_per_subword")))
 
 
+def text_mixed_language_report(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Per-document code-switching screen at SENTENCE granularity —
+    the CCNet-style sub-document language pass: classify every
+    sentence with the stopword-density heuristic (`text_lang_id`'s
+    rule, applied below the doc level), then roll up per document:
+    sentence counts per class, the minority share, and the mixed
+    flag.  A doc whose label says 'en' but whose minority share is
+    high is a concatenation artifact (boilerplate + foreign body) —
+    the kind of doc a doc-level classifier admits and a sentence-level
+    one catches.
+
+    Plan: the sentence fanout is the `text_sentence_split` posexplode;
+    classification is a map-side expression on each sentence; ONE
+    doc-keyed rollup ends it.  Zero joins, zero Python."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    sents = F.filter(
+        F.transform(F.split(F.col("text"), r"[.!?]+\s*"), F.trim),
+        lambda s: s != "")
+    per_sent = (documents
+                .select("doc_id", F.col("lang").alias("doc_lang"),
+                        F.explode(sents).alias("sentence"))
+                .withColumn("is_en",
+                            (TX.stopword_ratio("sentence") >= 0.08)
+                            .cast("long")))
+    agg = (per_sent.groupBy("doc_id", "doc_lang")
+           .agg(F.count(F.lit(1)).alias("n_sent"),
+                F.sum("is_en").alias("n_en")))
+    n_other = F.col("n_sent") - F.col("n_en")
+    minority = F.least(F.col("n_en"), n_other)
+    return agg.select(
+        "doc_id", "doc_lang", "n_sent", "n_en",
+        n_other.alias("n_other"),
+        F.round(minority.cast("double") / F.col("n_sent"), 6)
+         .alias("minority_share"),
+        ((F.col("n_en") > 0) & (n_other > 0)).alias("is_mixed"))
+
+
+def corpus_quality_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule ablation of the Gopher quality gates — the attribution
+    report you read before tightening a filter on 100 TB: for each of
+    the four rules, how many documents it fails, how many it UNIQUELY
+    removes (they pass the other three — dropping the rule would
+    re-admit exactly these), both as corpus shares.  A rule with high
+    fail count but zero unique removals is redundant; one with high
+    unique removals is load-bearing.
+
+    Plan: the four booleans are `text_gopher_quality`'s zero-shuffle
+    map expressions; ONE keyless aggregate folds the corpus to a
+    single row of nine counters; the per-rule unpivot happens on that
+    ONE-row relation (metadata-sized — the Generate never sees data).
+    """
+    (documents,) = _t(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    n_words = F.size(toks).cast("long")
+    mean_len = F.round(
+        F.length(F.regexp_replace(F.col("text"), r"\s+", ""))
+        .cast("double") / n_words, 4)
+    sym_ratio = F.round(TX.punct_ratio("text"), 4)
+    stop_hits = TX.stopword_count("text")
+    flags = documents.select(
+        ((n_words >= 20) & (n_words <= 100_000)).alias("p_wc"),
+        ((mean_len >= 3.0) & (mean_len <= 10.0)).alias("p_mwl"),
+        (sym_ratio < 0.1).alias("p_sym"),
+        (stop_hits >= 2).alias("p_stop"))
+    rules = ["p_wc", "p_mwl", "p_sym", "p_stop"]
+    fail_n = [F.sum((~F.col(r)).cast("long")).alias(f"fail_{r}")
+              for r in rules]
+    uniq_n = []
+    for r in rules:
+        others = [F.col(o) for o in rules if o != r]
+        only = ~F.col(r)
+        for o in others:
+            only = only & o
+        uniq_n.append(F.sum(only.cast("long")).alias(f"uniq_{r}"))
+    one = flags.agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.sum((~(F.col("p_wc") & F.col("p_mwl")
+                             & F.col("p_sym") & F.col("p_stop")))
+                          .cast("long")).alias("n_removed"),
+                    *fail_n, *uniq_n)
+    name = {"p_wc": "word_count", "p_mwl": "mean_word_len",
+            "p_sym": "symbol_ratio", "p_stop": "stopwords"}
+    stacked = one.select(
+        "n_docs", "n_removed",
+        F.explode(F.array(*[
+            F.struct(F.lit(name[r]).alias("rule"),
+                     F.col(f"fail_{r}").alias("n_fail"),
+                     F.col(f"uniq_{r}").alias("n_unique_fail"))
+            for r in rules])).alias("s"))
+    return stacked.select(
+        F.col("s.rule").alias("rule"),
+        F.col("s.n_fail").alias("n_fail"),
+        F.col("s.n_unique_fail").alias("n_unique_fail"),
+        F.round(F.col("s.n_fail").cast("double") / F.col("n_docs"), 6)
+         .alias("fail_share"),
+        F.round(F.col("s.n_unique_fail").cast("double")
+                / F.greatest(F.col("n_removed"), F.lit(1)), 6)
+         .alias("unique_share_of_removed"))
+
+
 def join_cardinality_estimate(spark: SparkSession, sf_dir: str,
                               k: int = 10) -> DataFrame:
     """Pre-join output-cardinality estimate for the lineitem partkey

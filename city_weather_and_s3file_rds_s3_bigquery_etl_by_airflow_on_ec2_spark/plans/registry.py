@@ -4344,6 +4344,102 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM d
         """,
     ),
+    "text_mixed_language_report": QuerySpec(
+        X.text_mixed_language_report,
+        rf"""
+        WITH s AS (
+            SELECT doc_id, lang AS doc_lang,
+                   unnest(list_filter(list_transform(
+                       string_split_regex(text, '[.!?]+\s*'),
+                       x -> trim(x)), x -> x <> '')) AS sentence
+            FROM documents
+        ), cls AS (
+            SELECT doc_id, doc_lang,
+                   CASE WHEN
+                       (CAST(len(list_filter(
+                            string_split_regex(trim(sentence), '\s+'),
+                            t -> list_contains([{_SW}], lower(t))))
+                             AS DOUBLE)
+                        / len(string_split_regex(trim(sentence), '\s+')))
+                       >= 0.08
+                   THEN 1 ELSE 0 END AS is_en
+            FROM s
+        ), agg AS (
+            SELECT doc_id, doc_lang, CAST(count(*) AS BIGINT) AS n_sent,
+                   CAST(sum(is_en) AS BIGINT) AS n_en
+            FROM cls GROUP BY 1, 2
+        )
+        SELECT doc_id, doc_lang, n_sent, n_en,
+               n_sent - n_en AS n_other,
+               round(CAST(least(n_en, n_sent - n_en) AS DOUBLE)
+                     / n_sent, 6) AS minority_share,
+               (n_en > 0 AND n_sent - n_en > 0) AS is_mixed
+        FROM agg
+        """,
+    ),
+    "corpus_quality_ablation": QuerySpec(
+        X.corpus_quality_ablation,
+        f"""
+        WITH m AS (
+            SELECT (len({_TOKS}) >= 20 AND len({_TOKS}) <= 100000) AS p_wc,
+                   (round(CAST(length(regexp_replace(text, '\\s+', '', 'g'))
+                               AS DOUBLE) / len({_TOKS}), 4) >= 3.0
+                    AND round(CAST(length(regexp_replace(text, '\\s+', '',
+                                                         'g'))
+                                   AS DOUBLE) / len({_TOKS}), 4) <= 10.0)
+                       AS p_mwl,
+                   (round({_PUNCT_RATIO}, 4) < 0.1) AS p_sym,
+                   (len(list_filter({_TOKS},
+                        t -> list_contains([{_SW}], lower(t)))) >= 2)
+                       AS p_stop
+            FROM documents
+        ), one AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN NOT (p_wc AND p_mwl AND p_sym
+                                           AND p_stop)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+                   CAST(sum(CASE WHEN NOT p_wc THEN 1 ELSE 0 END)
+                        AS BIGINT) AS fail_wc,
+                   CAST(sum(CASE WHEN NOT p_mwl THEN 1 ELSE 0 END)
+                        AS BIGINT) AS fail_mwl,
+                   CAST(sum(CASE WHEN NOT p_sym THEN 1 ELSE 0 END)
+                        AS BIGINT) AS fail_sym,
+                   CAST(sum(CASE WHEN NOT p_stop THEN 1 ELSE 0 END)
+                        AS BIGINT) AS fail_stop,
+                   CAST(sum(CASE WHEN NOT p_wc AND p_mwl AND p_sym
+                                      AND p_stop
+                            THEN 1 ELSE 0 END) AS BIGINT) AS uniq_wc,
+                   CAST(sum(CASE WHEN NOT p_mwl AND p_wc AND p_sym
+                                      AND p_stop
+                            THEN 1 ELSE 0 END) AS BIGINT) AS uniq_mwl,
+                   CAST(sum(CASE WHEN NOT p_sym AND p_wc AND p_mwl
+                                      AND p_stop
+                            THEN 1 ELSE 0 END) AS BIGINT) AS uniq_sym,
+                   CAST(sum(CASE WHEN NOT p_stop AND p_wc AND p_mwl
+                                      AND p_sym
+                            THEN 1 ELSE 0 END) AS BIGINT) AS uniq_stop
+            FROM m
+        ), rows_ AS (
+            SELECT 'word_count' AS rule, fail_wc AS n_fail,
+                   uniq_wc AS n_unique_fail, n_docs, n_removed FROM one
+            UNION ALL
+            SELECT 'mean_word_len', fail_mwl, uniq_mwl, n_docs, n_removed
+            FROM one
+            UNION ALL
+            SELECT 'symbol_ratio', fail_sym, uniq_sym, n_docs, n_removed
+            FROM one
+            UNION ALL
+            SELECT 'stopwords', fail_stop, uniq_stop, n_docs, n_removed
+            FROM one
+        )
+        SELECT rule, n_fail, n_unique_fail,
+               round(CAST(n_fail AS DOUBLE) / n_docs, 6) AS fail_share,
+               round(CAST(n_unique_fail AS DOUBLE)
+                     / greatest(n_removed, 1), 6)
+                   AS unique_share_of_removed
+        FROM rows_
+        """,
+    ),
     "join_cardinality_estimate": QuerySpec(
         X.join_cardinality_estimate,
         """

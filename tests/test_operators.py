@@ -4344,3 +4344,70 @@ def test_temperature_resample_flattens(spark):
     assert boosts == sorted(boosts, reverse=True)
     qs = [r.q for r in by_p]
     assert qs == sorted(qs)
+
+
+def test_mixed_language_report_python_parity(spark):
+    """text_mixed_language_report equals a pure-Python replay of the
+    sentence split + stopword-density classification, and the count
+    columns are internally consistent."""
+    import re
+
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.functions.text import (
+        EN_STOPWORDS,
+    )
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        text_mixed_language_report,
+    )
+
+    got = {r.doc_id: r
+           for r in text_mixed_language_report(spark, SF_SMALL).collect()}
+    docs = read_parquet_table(spark, SF_SMALL, "documents") \
+        .select("doc_id", "text").collect()
+    sw = set(EN_STOPWORDS)
+    for d in docs:
+        sents = [s.strip() for s in re.split(r"[.!?]+\s*", d.text)
+                 if s.strip()]
+        if not sents:
+            assert d.doc_id not in got
+            continue
+        n_en = 0
+        for s in sents:
+            toks = s.strip().split()
+            hits = sum(1 for t in toks if t.lower() in sw)
+            if hits / len(toks) >= 0.08:
+                n_en += 1
+        r = got[d.doc_id]
+        assert (r.n_sent, r.n_en) == (len(sents), n_en)
+        assert r.n_other == r.n_sent - r.n_en
+        assert r.is_mixed == (r.n_en > 0 and r.n_other > 0)
+        assert abs(r.minority_share
+                   - round(min(r.n_en, r.n_other) / r.n_sent, 6)) < 1e-9
+
+
+def test_quality_ablation_consistent_with_gopher_flags(spark):
+    """corpus_quality_ablation's fail / unique-fail counters equal a
+    recount over text_gopher_quality's per-doc booleans."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        corpus_quality_ablation,
+        text_gopher_quality,
+    )
+
+    flags = text_gopher_quality(spark, SF_SMALL).collect()
+    cols = {"word_count": "pass_word_count",
+            "mean_word_len": "pass_mean_word_len",
+            "symbol_ratio": "pass_symbol_ratio",
+            "stopwords": "pass_stopwords"}
+    n_removed = sum(1 for f in flags if not f.pass_all)
+    got = {r.rule: r for r in corpus_quality_ablation(spark, SF_SMALL)
+           .collect()}
+    assert set(got) == set(cols)
+    for rule, col in cols.items():
+        n_fail = sum(1 for f in flags if not f[col])
+        n_unique = sum(
+            1 for f in flags
+            if not f[col] and all(f[c] for c in cols.values() if c != col))
+        r = got[rule]
+        assert (r.n_fail, r.n_unique_fail) == (n_fail, n_unique)
+        assert abs(r.fail_share - round(n_fail / len(flags), 6)) < 1e-9
+        assert abs(r.unique_share_of_removed
+                   - round(n_unique / max(n_removed, 1), 6)) < 1e-9

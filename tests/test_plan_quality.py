@@ -1079,3 +1079,30 @@ def test_truncated_rerank_no_corpus_product(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("WindowGroupLimit") >= 2
+
+
+def test_mixed_language_one_rollup_no_join(spark):
+    """text_mixed_language_report: sentence fanout + map-side classify
+    + ONE doc-keyed rollup — no join anywhere, a single Exchange."""
+    import city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions as XX
+
+    plan = _plan(XX.text_mixed_language_report(spark, SF_SMALL))
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
+    assert "hashpartitioning(doc_id" in plan
+
+
+def test_quality_ablation_generate_above_scalar_agg(spark):
+    """corpus_quality_ablation: the per-rule unpivot Generate sits
+    ABOVE the keyless scalar aggregate (it explodes a ONE-row
+    relation); the corpus-side plan below the exchange is pure map +
+    partial aggregate."""
+    import city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions as XX
+
+    plan = _plan(XX.corpus_quality_ablation(spark, SF_SMALL))
+    lines = plan.splitlines()
+    gen = next(i for i, ln in enumerate(lines) if "Generate" in ln)
+    agg = next(i for i, ln in enumerate(lines)
+               if "HashAggregate" in ln and "keys=[]" in ln)
+    assert gen < agg, "Generate must consume the 1-row aggregate output"
+    assert plan.count("Exchange") == 1
