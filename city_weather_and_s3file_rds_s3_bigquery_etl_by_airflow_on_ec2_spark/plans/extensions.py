@@ -3620,6 +3620,83 @@ def tokenizer_fertility_report(spark: SparkSession,
                      .alias("bytes_per_subword")))
 
 
+def corpus_boilerplate_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate diagnosis — the data-card view of what
+    `text_line_dedup` REMOVES: for each source, how many of its
+    10-token spans are corpus-wide duplicates (same span text in ≥ 2
+    distinct documents) and the share.  A source dominated by
+    duplicated spans is template boilerplate (navigation chrome,
+    license footers) — the C4 removal step's per-provenance report,
+    read BEFORE deciding whether a source is worth keeping at all.
+
+    Plan: the same expression-only span chunking as `text_line_dedup`,
+    ONE content-keyed census shuffle (two-phase count-distinct), the
+    dup flag joins back on span text (content-keyed equi-join, the
+    standard shuffle-on-content shape), and a |sources|-row rollup
+    ends it.  Spans shuffle as hashes of ≤ ~60-char strings; document
+    bodies never move twice."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    span_starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.lit(0),
+                   F.floor((F.size(toks) - 1) / F.lit(10)).cast("int") * 10),
+        F.lit(10))
+    spans_arr = F.transform(
+        span_starts, lambda s: F.concat_ws(" ", F.slice(toks, s + 1, 10)))
+    spans = documents.select(
+        "doc_id", "source", F.explode(spans_arr).alias("span_text"))
+    dup = (spans.groupBy("span_text")
+           .agg(F.count_distinct("doc_id").alias("nd"))
+           .where(F.col("nd") >= 2)
+           .select("span_text", F.lit(1).alias("is_dup")))
+    flagged = spans.join(dup, "span_text", "left")
+    return (flagged.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_spans"),
+                 F.sum(F.coalesce(F.col("is_dup"), F.lit(0)).cast("long"))
+                  .alias("n_dup_spans"))
+            .select("source", "n_spans", "n_dup_spans",
+                    F.round(F.col("n_dup_spans").cast("double")
+                            / F.col("n_spans"), 6).alias("dup_share")))
+
+
+def grouped_arrow_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-native grouped map (`applyInArrow`, Spark 4) — the §2.11
+    UDF-family member below `applyInPandas`: each language group
+    crosses into Python as a ``pyarrow.Table`` (zero pandas
+    conversion, zero per-row objects) and a pure ``pyarrow.compute``
+    kernel reduces it.  The oracle is the plain GROUP BY, proving the
+    Arrow exchange is lossless for the engine's integer types.
+
+    Scale contract (same as every grouped-map op): ONE GROUP is fully
+    materialized in worker memory, so this path is for bounded-group
+    custom kernels (here: 5 languages); unbounded keys belong on the
+    expression path (`agg_*`), which every other entry uses.  The
+    kernel computes column-level min/max/sum through SIMD-backed
+    ``pyarrow.compute``, never iterating rows."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    (documents,) = _t(spark, sf_dir, "documents")
+
+    def stats(table: "pa.Table") -> "pa.Table":
+        nc = table.column("n_chars")
+        return pa.table({
+            "lang": pa.array([table.column("lang")[0].as_py()], pa.string()),
+            "n_docs": pa.array([table.num_rows], pa.int64()),
+            "min_chars": pa.array([pc.min(nc).as_py()], pa.int64()),
+            "max_chars": pa.array([pc.max(nc).as_py()], pa.int64()),
+            "sum_chars": pa.array([pc.sum(nc).as_py()], pa.int64()),
+        })
+
+    return (documents.select("lang", "n_chars")
+            .groupBy("lang")
+            .applyInArrow(stats,
+                          schema=("lang string, n_docs long, "
+                                  "min_chars long, max_chars long, "
+                                  "sum_chars long")))
+
+
 def text_mixed_language_report(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
     """Per-document code-switching screen at SENTENCE granularity —

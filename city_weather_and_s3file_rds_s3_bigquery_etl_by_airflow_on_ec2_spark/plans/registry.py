@@ -4344,6 +4344,46 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM d
         """,
     ),
+    "corpus_boilerplate_share": QuerySpec(
+        X.corpus_boilerplate_share,
+        f"""
+        WITH t AS (
+            SELECT doc_id, source, {_TOKS} AS toks FROM documents
+        ), sp AS (
+            SELECT doc_id, source,
+                   unnest(range(0, ((len(toks) - 1) // 10) + 1)) AS span_idx,
+                   toks
+            FROM t
+        ), spans AS (
+            SELECT doc_id, source,
+                   array_to_string(list_slice(toks, span_idx * 10 + 1,
+                                              span_idx * 10 + 10),
+                                   ' ') AS span_text
+            FROM sp
+        ), dup AS (
+            SELECT span_text FROM spans
+            GROUP BY span_text HAVING count(DISTINCT doc_id) >= 2
+        )
+        SELECT source, CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(sum(CASE WHEN span_text IN (SELECT span_text FROM dup)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+               round(CAST(sum(CASE WHEN span_text IN
+                                   (SELECT span_text FROM dup)
+                              THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*), 6) AS dup_share
+        FROM spans GROUP BY source
+        """,
+    ),
+    "grouped_arrow_lang_stats": QuerySpec(
+        X.grouped_arrow_lang_stats,
+        """
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(min(n_chars) AS BIGINT) AS min_chars,
+               CAST(max(n_chars) AS BIGINT) AS max_chars,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents GROUP BY lang
+        """,
+    ),
     "text_mixed_language_report": QuerySpec(
         X.text_mixed_language_report,
         rf"""

@@ -4411,3 +4411,61 @@ def test_quality_ablation_consistent_with_gopher_flags(spark):
         assert abs(r.fail_share - round(n_fail / len(flags), 6)) < 1e-9
         assert abs(r.unique_share_of_removed
                    - round(n_unique / max(n_removed, 1), 6)) < 1e-9
+
+
+def test_boilerplate_share_consistent_with_line_dedup_census(spark):
+    """corpus_boilerplate_share's per-source dup counts equal a direct
+    Python recount of the 10-token span census."""
+    from collections import defaultdict
+
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        corpus_boilerplate_share,
+    )
+
+    got = {r.source: r
+           for r in corpus_boilerplate_share(spark, SF_SMALL).collect()}
+    docs = read_parquet_table(spark, SF_SMALL, "documents") \
+        .select("doc_id", "source", "text").collect()
+    span_docs = defaultdict(set)
+    per_doc_spans = {}
+    for d in docs:
+        toks = d.text.strip().split()
+        spans = [" ".join(toks[i:i + 10])
+                 for i in range(0, max(len(toks) - 1, 0) + 1, 10)]
+        if not spans:
+            spans = [""]
+        per_doc_spans[d.doc_id] = spans
+        for s in spans:
+            span_docs[s].add(d.doc_id)
+    dup = {s for s, ds in span_docs.items() if len(ds) >= 2}
+    acc = defaultdict(lambda: [0, 0])
+    for d in docs:
+        for s in per_doc_spans[d.doc_id]:
+            acc[d.source][0] += 1
+            if s in dup:
+                acc[d.source][1] += 1
+    assert set(got) == set(acc)
+    for src, (n, nd) in acc.items():
+        r = got[src]
+        assert (r.n_spans, r.n_dup_spans) == (n, nd)
+        assert abs(r.dup_share - round(nd / n, 6)) < 1e-9
+
+
+def test_grouped_arrow_stats_matches_expression_agg(spark):
+    """grouped_arrow_lang_stats (applyInArrow kernel) is bit-identical
+    to the plain expression GROUP BY it escapes from."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        grouped_arrow_lang_stats,
+    )
+
+    got = sorted(map(tuple, grouped_arrow_lang_stats(spark, SF_SMALL)
+                     .collect()))
+    expect = sorted(map(tuple, (
+        read_parquet_table(spark, SF_SMALL, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.min("n_chars").cast("long").alias("min_chars"),
+             F.max("n_chars").cast("long").alias("max_chars"),
+             F.sum("n_chars").cast("long").alias("sum_chars"))
+        .collect())))
+    assert got == expect

@@ -1106,3 +1106,25 @@ def test_quality_ablation_generate_above_scalar_agg(spark):
                if "HashAggregate" in ln and "keys=[]" in ln)
     assert gen < agg, "Generate must consume the 1-row aggregate output"
     assert plan.count("Exchange") == 1
+
+
+def test_boilerplate_share_content_keyed_shapes(spark):
+    """corpus_boilerplate_share: span census + flag join are both
+    keyed on span content; no nested-loop shapes, no window."""
+    import city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions as XX
+
+    plan = _plan(XX.corpus_boilerplate_share(spark, SF_SMALL))
+    assert "hashpartitioning(span_text" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
+def test_grouped_arrow_plan_uses_arrow_exec(spark):
+    """grouped_arrow_lang_stats rides the Arrow grouped-map physical
+    operator (FlatMapGroupsInArrow/...InPandas family), keyed on lang."""
+    import city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions as XX
+
+    plan = _plan(XX.grouped_arrow_lang_stats(spark, SF_SMALL))
+    assert "Arrow" in plan, plan[:1500]
+    assert "hashpartitioning(lang" in plan
