@@ -3620,6 +3620,67 @@ def tokenizer_fertility_report(spark: SparkSession,
                      .alias("bytes_per_subword")))
 
 
+def agg_theta_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience-overlap matrix via Datasketches THETA sketches
+    (Spark 4 `theta_*`) — the set-operation sketch family above HLL:
+    theta supports INTERSECTION and DIFFERENCE estimates, which
+    HLL-union algebra cannot express.  Per event-type pair: distinct
+    users of each side, of the union, of the intersection, and the
+    Jaccard — the "how much do these segments overlap" question that
+    an exact COUNT(DISTINCT) join makes a full shuffle of user ids,
+    and a theta sketch answers from |types| × 4 KB of state.
+
+    At this SF every per-type cardinality (150) sits below the sketch's
+    k = 4096 exact-mode threshold, so the estimates are EXACT and the
+    entry is fully oracle-checked against the set-algebra ground truth;
+    at 100 TB the same plan returns (1 ± ε) estimates from the same
+    constant-size state — the trade the operator exists to make.
+
+    Plan: one partial-aggregated shuffle builds the 5-row sketch
+    relation; the pairwise stage is a `<` self-join OVER THAT 5-ROW
+    RELATION (metadata-sized nested loop by construction — |types|²
+    pairs of 4 KB sketches, never data)."""
+    (events,) = _t(spark, sf_dir, "events")
+    sk = (events.groupBy("event_type")
+          .agg(F.theta_sketch_agg("user_id").alias("sk"),
+               F.count_distinct("user_id").alias("n")))
+    a, b = sk.alias("a"), sk.alias("b")
+    pairs = a.join(F.broadcast(b),
+                   F.col("a.event_type") < F.col("b.event_type"), "inner")
+    n_union = F.theta_sketch_estimate(
+        F.theta_union(F.col("a.sk"), F.col("b.sk")))
+    n_int = F.theta_sketch_estimate(
+        F.theta_intersection(F.col("a.sk"), F.col("b.sk")))
+    return pairs.select(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+        F.col("a.n").alias("n_a"), F.col("b.n").alias("n_b"),
+        n_union.alias("n_union"), n_int.alias("n_intersect"),
+        F.round(n_int.cast("double") / n_union, 6).alias("jaccard"))
+
+
+def events_rate_limit_sample(spark: SparkSession, sf_dir: str,
+                             k: int = 3) -> DataFrame:
+    """Deterministic per-key rate limiting at ingest: keep the FIRST
+    ``k`` events per (user, hour), drop the rest — the bot/flood
+    damper a 100 TB event ingest applies before anything downstream
+    sees the stream.  Deterministic (ts order, event_id tiebreak), so
+    re-runs and replayed batches keep identical rows — the idempotence
+    a rate limiter needs to compose with at-least-once delivery.
+
+    Plan: ONE keyed window that compiles to WindowGroupLimit — each
+    reducer keeps ≤ k rows per (user, hour) streaming, the flood rows
+    are discarded at the shuffle reader, never buffered."""
+    from pyspark.sql import Window
+    (events,) = _t(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    w = Window.partitionBy("user_id", hour).orderBy("ts", "event_id")
+    return (events
+            .withColumn("rn", F.row_number().over(w).cast("long"))
+            .where(F.col("rn") <= k)
+            .select("event_id", "user_id", hour.alias("hour"), "rn"))
+
+
 def corpus_boilerplate_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source boilerplate diagnosis — the data-card view of what
     `text_line_dedup` REMOVES: for each source, how many of its

@@ -4344,6 +4344,43 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM d
         """,
     ),
+    "agg_theta_sketch_overlap": QuerySpec(
+        X.agg_theta_sketch_overlap,
+        """
+        WITH u AS (
+            SELECT DISTINCT event_type, user_id FROM events
+        ), n AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n
+            FROM u GROUP BY 1
+        ), i AS (
+            SELECT x.event_type AS ta, y.event_type AS tb,
+                   CAST(count(*) AS BIGINT) AS n_int
+            FROM u x JOIN u y
+              ON x.user_id = y.user_id AND x.event_type < y.event_type
+            GROUP BY 1, 2
+        )
+        SELECT na.event_type AS type_a, nb.event_type AS type_b,
+               na.n AS n_a, nb.n AS n_b,
+               na.n + nb.n - coalesce(i.n_int, 0) AS n_union,
+               coalesce(i.n_int, 0) AS n_intersect,
+               round(CAST(coalesce(i.n_int, 0) AS DOUBLE)
+                     / (na.n + nb.n - coalesce(i.n_int, 0)), 6) AS jaccard
+        FROM n na JOIN n nb ON na.event_type < nb.event_type
+        LEFT JOIN i ON i.ta = na.event_type AND i.tb = nb.event_type
+        """,
+    ),
+    "events_rate_limit_sample": QuerySpec(
+        X.events_rate_limit_sample,
+        """
+        SELECT event_id, user_id, hour, rn FROM (
+            SELECT event_id, user_id, date_trunc('hour', ts) AS hour,
+                   row_number() OVER (
+                       PARTITION BY user_id, date_trunc('hour', ts)
+                       ORDER BY ts, event_id) AS rn
+            FROM events)
+        WHERE rn <= 3
+        """,
+    ),
     "corpus_boilerplate_share": QuerySpec(
         X.corpus_boilerplate_share,
         f"""

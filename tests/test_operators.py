@@ -4469,3 +4469,58 @@ def test_grouped_arrow_stats_matches_expression_agg(spark):
              F.sum("n_chars").cast("long").alias("sum_chars"))
         .collect())))
     assert got == expect
+
+
+def test_theta_overlap_exact_mode_set_algebra(spark):
+    """agg_theta_sketch_overlap at small SF (cardinalities below the
+    sketch's exact-mode threshold): estimates equal the true set
+    algebra computed from collected user sets."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        agg_theta_sketch_overlap,
+    )
+
+    rows = agg_theta_sketch_overlap(spark, SF_SMALL).collect()
+    assert rows
+    ev = read_parquet_table(spark, SF_SMALL, "events") \
+        .select("event_type", "user_id").collect()
+    users: dict[str, set] = {}
+    for r in ev:
+        users.setdefault(r.event_type, set()).add(r.user_id)
+    n_types = len(users)
+    assert len(rows) == n_types * (n_types - 1) // 2
+    for r in rows:
+        assert r.type_a < r.type_b
+        ua, ub = users[r.type_a], users[r.type_b]
+        assert (r.n_a, r.n_b) == (len(ua), len(ub))
+        assert r.n_union == len(ua | ub)
+        assert r.n_intersect == len(ua & ub)
+        assert abs(r.jaccard
+                   - round(len(ua & ub) / len(ua | ub), 6)) < 1e-9
+
+
+def test_rate_limit_sample_keeps_earliest(spark):
+    """events_rate_limit_sample: <=3 rows per (user, hour), ranks
+    contiguous from 1, and the kept rows are exactly the earliest by
+    (ts, event_id) — verified by a Python replay."""
+    from collections import defaultdict
+
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        events_rate_limit_sample,
+    )
+
+    got = defaultdict(list)
+    for r in events_rate_limit_sample(spark, SF_SMALL).collect():
+        got[(r.user_id, r.hour)].append(r)
+    ev = read_parquet_table(spark, SF_SMALL, "events") \
+        .select("event_id", "user_id",
+                F.date_trunc("hour", "ts").alias("hour"), "ts").collect()
+    full = defaultdict(list)
+    for r in ev:
+        full[(r.user_id, r.hour)].append((r.ts, r.event_id))
+    assert set(got) == set(full)
+    for key, rows in got.items():
+        rows.sort(key=lambda r: r.rn)
+        assert [r.rn for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) <= 3
+        expect = [eid for _, eid in sorted(full[key])[:3]]
+        assert [r.event_id for r in rows] == expect

@@ -1128,3 +1128,26 @@ def test_grouped_arrow_plan_uses_arrow_exec(spark):
     plan = _plan(XX.grouped_arrow_lang_stats(spark, SF_SMALL))
     assert "Arrow" in plan, plan[:1500]
     assert "hashpartitioning(lang" in plan
+
+
+def test_theta_overlap_pairwise_stage_metadata_sized(spark):
+    """agg_theta_sketch_overlap: the corpus-side work is ONE
+    partial-aggregated shuffle on event_type; the `<` self-join runs
+    over the broadcast 5-row sketch relation (nested loop by
+    construction, metadata-sized)."""
+    import city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions as XX
+
+    plan = _plan(XX.agg_theta_sketch_overlap(spark, SF_SMALL))
+    assert "hashpartitioning(event_type" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_rate_limit_window_group_limit(spark):
+    """events_rate_limit_sample's cap compiles to WindowGroupLimit —
+    flood rows are discarded streaming at the shuffle reader."""
+    import city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions as XX
+
+    plan = _plan(XX.events_rate_limit_sample(spark, SF_SMALL))
+    assert "WindowGroupLimit" in plan
+    assert "Exchange SinglePartition" not in plan
