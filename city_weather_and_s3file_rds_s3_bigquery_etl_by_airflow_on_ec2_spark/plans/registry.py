@@ -1243,7 +1243,10 @@ REGISTRY: dict[str, QuerySpec] = {
             FROM documents
         )
         SELECT source, count(*) AS n_docs,
-               sum(CASE WHEN rk <= 25 THEN 1 ELSE 0 END) AS n_kept,
+               -- CAST: SUM(int) is HUGEINT in DuckDB -> float64 via the
+               -- driver pandas bridge -> hash mismatch (VERDICT r7 #1).
+               CAST(sum(CASE WHEN rk <= 25 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept,
                round(CAST(sum(CASE WHEN rk <= 25
                                    THEN CAST(quality AS DECIMAL(18,4))
                                    ELSE CAST(0.0 AS DECIMAL(18,4)) END)
@@ -1725,7 +1728,9 @@ REGISTRY: dict[str, QuerySpec] = {
         X.corpus_data_card,
         f"""
         SELECT source, lang, count(*) AS n_docs,
-               sum(len({_TOKS})) AS total_tokens,
+               -- CAST: SUM(BIGINT) is HUGEINT in DuckDB -> float64 via the
+               -- driver pandas bridge -> hash mismatch (VERDICT r7 #1).
+               CAST(sum(len({_TOKS})) AS BIGINT) AS total_tokens,
                round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4)
                    AS mean_chars,
                round(CAST(count(*) AS DOUBLE)
@@ -2261,7 +2266,12 @@ REGISTRY: dict[str, QuerySpec] = {
             FROM orders GROUP BY 1, 2
         ), r AS (
             SELECT o_orderstatus, o_orderpriority,
-                   SUM(cnt) OVER (PARTITION BY o_orderstatus) AS n,
+                   -- CAST: DuckDB types SUM(BIGINT) as HUGEINT, which the
+                   -- driver pandas .df() bridge converts to float64 and
+                   -- the value hash then disagrees with the Spark int64
+                   -- (VERDICT r7 "What's wrong #1").
+                   CAST(SUM(cnt) OVER (PARTITION BY o_orderstatus)
+                        AS BIGINT) AS n,
                    row_number() OVER (PARTITION BY o_orderstatus
                                       ORDER BY cnt DESC, o_orderpriority)
                        AS rn

@@ -49,6 +49,28 @@ def _normalize(rows, cols):
     return out
 
 
+# DuckDB output types that drift through a pandas `.df()` bridge: the
+# driver fetches oracle results as a DataFrame, so HUGEINT/UHUGEINT become
+# float64 (precision + dtype drift vs Spark's int64) and DECIMAL becomes
+# object.  The builder-side fetchall() path masks this (HUGEINT -> Python
+# int), which is exactly how the three r7 driver-hash failures shipped
+# (VERDICT r7 "What's wrong #1" / next-round #2).  Lint every oracle's
+# *bound* output schema — binding is free, no execution — so the seam
+# fails locally before an entry ever reaches a driver window.
+_PANDAS_DRIFT_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_oracle_output_dtypes_pandas_safe(duck, name):
+    rel = duck.sql(entrymod.oracle_sql()[name])
+    drifty = [(c, str(t)) for c, t in zip(rel.columns, rel.types)
+              if any(str(t).startswith(b) for b in _PANDAS_DRIFT_TYPES)]
+    assert not drifty, (
+        f"oracle '{name}' emits pandas-drifting DuckDB types {drifty}; "
+        "CAST the offending expression (e.g. CAST(SUM(x) AS BIGINT)) so "
+        "the driver's .df() bridge preserves the value dtype")
+
+
 @pytest.mark.parametrize("name", ORACLE_NAMES)
 def test_oracle_parity(spark, duck, name):
     sdf = entrymod.queries()[name](spark, SF_SMALL)

@@ -114,9 +114,19 @@ def main() -> int:
                             "oracle_rows": None, "err": None}
             continue
         try:
-            res = con.execute(oracles[name])
-            duck_cols = [d[0] for d in res.description]
-            duck_rows = res.fetchall()
+            rel = con.sql(oracles[name])
+            duck_cols = list(rel.columns)
+            # Driver-faithfulness lint (VERDICT r7 #2): the driver fetches
+            # oracle results through pandas (.df()), where HUGEINT/UHUGEINT
+            # become float64 and DECIMAL becomes object — so a fetchall()
+            # comparison here can pass bit-exact while the driver's value
+            # hash fails.  Flag any oracle whose bound output schema would
+            # drift through that bridge.
+            dtype_drift = [
+                (c, str(t)) for c, t in zip(rel.columns, rel.types)
+                if str(t).startswith(("HUGEINT", "UHUGEINT", "DECIMAL"))
+            ]
+            duck_rows = rel.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
             n_fail += 1
@@ -128,6 +138,10 @@ def main() -> int:
                             "err": f"duckdb error: {e}"}
             continue
         problems = []
+        if dtype_drift:
+            problems.append(
+                f"oracle emits pandas-drifting DuckDB types {dtype_drift} "
+                "(driver hash would fail; CAST to BIGINT/DOUBLE)")
         schema_match = sorted(spark_cols) == sorted(duck_cols)
         rows_match = len(spark_rows) == len(duck_rows)
         if not schema_match:
