@@ -29,6 +29,32 @@ from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.r
 )
 
 
+def _cpu_times() -> tuple[int, int] | None:
+    """(total, steal) jiffies from the aggregate /proc/stat cpu line.
+
+    Steal is the hypervisor's involuntary-wait counter — the signal
+    BASELINE.md's round-7 tail used to adjudicate 25-50 % cross-session
+    bench swings as co-tenant load rather than regressions.  Returning
+    it per run lets every recorded bench self-annotate."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+    except OSError:
+        return None
+    if not parts or parts[0] != "cpu":
+        return None
+    vals = [int(x) for x in parts[1:]]
+    steal = vals[7] if len(vals) > 7 else 0
+    return sum(vals), steal
+
+
+def _steal_pct(before, after) -> float | None:
+    if before is None or after is None:
+        return None
+    dt = after[0] - before[0]
+    return round(100.0 * (after[1] - before[1]) / dt, 3) if dt > 0 else 0.0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -74,12 +100,19 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     samples: dict[str, list[float]] = {name: [] for name, _ in items}
+    steal_samples: list[float] = []
+    bench_t0 = _cpu_times()
     for _ in range(n_runs):
         for name, fn in items:
+            c0 = _cpu_times()
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             samples[name].append(time.perf_counter() - t0)
+            s = _steal_pct(c0, _cpu_times())
+            if s is not None:
+                steal_samples.append(s)
+    bench_steal = _steal_pct(bench_t0, _cpu_times())
     # Cache lifecycle (VERDICT r6 #3): scoped_persist re-uses a cached
     # plan across the timed passes (historical steady-state behavior,
     # minus the "already cached" warnings) and everything is dropped
@@ -101,6 +134,15 @@ def main() -> None:
         "unit": "sec",
         "queries": per_query,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # Host-contention self-annotation (VERDICT r7 #5): steal% over
+        # the whole timed window plus the worst single-run steal.  Reads
+        # near 0 on a quiet host; the documented co-tenant episodes read
+        # 1.4-7.2 %.  Totals recorded under elevated steal should be
+        # compared against BASELINE.md's solo-floors table, not against
+        # other rounds' totals.
+        "steal_pct": bench_steal,
+        "steal_pct_max_run": (round(max(steal_samples), 3)
+                              if steal_samples else None),
         "method": f"median of n={n_runs} steady-state runs per query "
                   "after 1 untimed warm-up pass; execution order pinned "
                   "(registry-rotation-independent)",

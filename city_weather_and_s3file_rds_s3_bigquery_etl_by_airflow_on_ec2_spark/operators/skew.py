@@ -137,6 +137,19 @@ def salted_replicate_join(
     every other fact column — deterministic (no ``rand()``: retried
     tasks and re-runs agree) while decorrelating rows that share the
     hot key.
+
+    LIMITATION (duplicate-heavy facts): because the default salt is a
+    pure function of the row's bytes, BYTE-IDENTICAL duplicate fact
+    rows — common in exactly the hot-key flood scenario this operator
+    targets (replayed events, at-least-once ingestion) — all hash to
+    ONE salt bucket, and the hot key can still melt a single reducer
+    despite salting.  Callers with duplicate-heavy facts must pass an
+    explicit ``salt_source`` that disambiguates physical rows, e.g. a
+    pre-assigned ingest sequence column.  (Spark's own
+    ``monotonically_increasing_id``/``spark_partition_id`` are NOT
+    safe salts here: they are nondeterministic across task retries, so
+    a retried map task could emit rows under a different salt than the
+    lost shuffle files it is recomputing.)
     """
     salt = (salt_source if salt_source is not None
             else F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]),

@@ -4009,7 +4009,14 @@ def corpus_curriculum_order(spark: SparkSession, sf_dir: str,
     q = TX.quality_score("text")
     phase = F.least(F.floor((F.lit(1.0) - q) * n_phases),
                     F.lit(n_phases - 1)).cast("long")
-    skey = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    # 63-bit-safe Knuth hash: fold doc_id below 2^31 before the multiply
+    # (max product (2^31-1)*2654435761 ~ 5.7e18 < 2^63-1), as
+    # corpus_negative_sample does for its pair hash.  Without the fold,
+    # doc_id > ~3.47e9 overflows BIGINT — Spark wraps silently (non-ANSI)
+    # while DuckDB raises, so the cross-engine-deterministic order claim
+    # would break exactly at the 100 TB scale this entry targets.
+    skey = (((F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761))
+            % F.lit(4294967296))
     d = documents.select(
         "doc_id", phase.alias("phase"), skey.alias("skey"),
         (phase * F.lit(8589934592) + skey).alias("gkey"))

@@ -4345,7 +4345,10 @@ REGISTRY: dict[str, QuerySpec] = {
                                 + 0.2 * (1.0 - least({_PUNCT_RATIO} * 10.0,
                                                      1.0)), 4)) * 4), 3)
                         AS BIGINT) AS phase,
-                   (doc_id * 2654435761) % 4294967296 AS skey
+                   -- fold below 2^31 before the Knuth multiply: 63-bit
+                   -- safe at any doc_id (matches the Spark side)
+                   ((doc_id % 2147483648) * 2654435761)
+                       % 4294967296 AS skey
             FROM documents
         )
         SELECT row_number() OVER (ORDER BY phase * 8589934592 + skey,
@@ -4620,39 +4623,41 @@ REGISTRY: dict[str, QuerySpec] = {
 # future insertions anywhere in the literal above cannot silently push
 # an unchecked entry out of the window.
 _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
-    # Round-7 rotation (VERDICT r6 item #6): of the 236 entries, 87 had
-    # never received a driver row after six 50-entry windows.  This
-    # window takes the first 46 of the 77 never-hashed ORACLE-checked
-    # entries in registry insertion order (rows-only entries give the
-    # driver only a weak row, so oracle entries go first; the remaining
-    # 31 + the 10 never-hashed rows-only entries rotate in at r8),
-    # plus: flagship (always), the two r6-FAIL multimodal entries whose
-    # driver-facing projection changed to hex() THIS round (VERDICT r6
-    # #1 — they must re-enter the window to prove green), and
-    # dedup_token_jaccard (oversized-block degrade landed this round).
-    # All 50 are oracle-checked.  Entries not in the window are covered
-    # by the committed CORRECTNESS_full_r07.json artifact.
-    "flagship_weather_join", "multimodal_resize", "multimodal_frame_sample",
-    "dedup_token_jaccard",
+    # Round-8 rotation (VERDICT r7 items #1/#3): the three r7 hash-FAIL
+    # entries — corpus_source_quota / corpus_data_card /
+    # agg_mode_deterministic, whose oracles gained CAST(... AS BIGINT)
+    # around integer SUMs THIS round — re-enter the window to prove
+    # green under the driver's own pandas-bridge hash.  The other 47
+    # slots drain the driver-hash backlog: of the 269 entries, 74 had
+    # never received a driver row after seven windows (61 oracle-checked
+    # + 13 rows-only); this takes the first 47 of the 61 never-hashed
+    # ORACLE-checked entries in registry insertion order (rows-only
+    # entries give the driver only a weak row, so oracle entries go
+    # first).  The remaining 14 oracle + 13 rows-only never-hashed
+    # entries rotate in at r9, clearing the backlog.  All 50 here are
+    # oracle-checked and pre-audited by tools/audit_driver_window.py
+    # (bit-exact fetchall + pandas-bridge dtype drift) before commit.
+    # Entries not in the window are covered by the committed
+    # CORRECTNESS_full_r08.json artifact.
+    "corpus_source_quota", "corpus_data_card", "agg_mode_deterministic",
     # never-driver-hashed, registry insertion order
-    "streaming_date_bin", "events_anomaly_mad", "text_token_entropy",
-    "corpus_source_quota", "multimodal_arrow_meta", "udf_scalar_iter_tokens",
-    "events_date_bin_downsample", "multimodal_wav_roundtrip",
-    "multimodal_png_roundtrip", "embedding_dim_stats",
-    "streaming_interval_join", "streaming_interval_join_outer",
-    "sample_weighted", "corpus_data_card", "streaming_dedup_keys",
-    "streaming_dedup_watermarked", "recursive_cte_date_spine",
-    "window_gapfill_locf", "text_langid_confusion", "agg_linear_regression",
-    "join_exists_flag", "agg_higher_moments", "scalar_datetime_make",
-    "window_topk_with_ties", "multimodal_phash_pairs", "sql_udf_surface",
-    "set_union_evolved_schema", "agg_bitmap_distinct", "agg_filter_clause",
-    "sql_session_variables", "sql_scripting_control_flow", "join_null_safe",
-    "agg_histogram_fixed_bins", "table_profile", "window_time_range_rolling",
-    "window_linear_interpolate", "agg_mode_deterministic",
-    "agg_percentile_disc", "scalar_variant_json", "join_bloom_prefilter",
-    "join_lateral_topn", "window_count_distinct", "events_funnel_conversion",
-    "events_cohort_retention", "udaf_grouped_pandas_geomean",
-    "grouped_map_normalize",
+    "scalar_map_funcs", "agg_incremental_merge", "layout_zorder_keys",
+    "fuzzy_join_levenshtein", "events_anomaly_zscore",
+    "streaming_static_enrich", "agg_max_by_min_by", "scalar_url_funcs",
+    "sql_identifier_clause", "text_content_uuid", "scalar_mask_funcs",
+    "text_url_canonicalize", "window_rolling_median", "scalar_aes_roundtrip",
+    "events_value_islands", "sql_parameterized", "window_percent_of_total",
+    "sql_pipe_syntax", "agg_listagg", "scalar_try_arith", "join_asof_nearest",
+    "scalar_collation_group", "streaming_sliding_window",
+    "text_feature_hashing", "agg_group_by_all", "source_orc_roundtrip",
+    "scalar_time_type", "join_asof_tolerance", "corpus_source_gini",
+    "events_markov_transitions", "text_zipf_slope", "events_top_paths",
+    "table_checksum", "corpus_split_leakage", "table_k_anonymity",
+    "lineitem_copurchase_lift", "corpus_export_manifest", "events_hot_keys",
+    "text_quality_classifier_score", "graph_link_prediction",
+    "join_hot_slice_broadcast", "ann_dim_truncation_report",
+    "corpus_quality_calibration", "join_salted_replicate",
+    "ann_filtered_topk", "retrieval_hybrid_rrf", "corpus_domain_reweight",
 )
 assert set(_DRIVER_WINDOW_FIRST) <= set(REGISTRY), sorted(
     set(_DRIVER_WINDOW_FIRST) - set(REGISTRY))

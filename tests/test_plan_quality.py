@@ -701,13 +701,17 @@ def test_generate_entries_full_materialization_bounded(spark):
     # documented multi-second steal spikes) inflates ONE materialization;
     # a real recompute-above-Generate regression is deterministic and
     # fails the retry too.  Entries keep their flag only if the retry
-    # ALSO exceeds the threshold.
+    # ALSO exceeds the threshold.  ADVICE r7: the retry must rebuild the
+    # entry FRESH — re-collecting the same DataFrame object reuses the
+    # first run's materialized shuffle outputs (skipped stages), so a
+    # regression inside a shuffle map stage would run fast on retry and
+    # be silently unflagged.
     if slow:
-        by_name = dict(found)
         still_slow = {}
         for n in slow:
+            fresh = REGISTRY[n].fn(spark, SF_MED)
             t0 = time.perf_counter()
-            by_name[n].collect()
+            fresh.collect()
             dt = time.perf_counter() - t0
             if dt > threshold:
                 still_slow[n] = round(dt, 1)
@@ -966,19 +970,39 @@ def test_rrf_arm_topk_before_rank(spark):
     _SINGLE_PARTITION_WHITELIST)."""
     import city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions as XX
 
+    import re
+
     plan = _plan(XX.retrieval_hybrid_rrf(spark, SF_SMALL))
     # two arm top-k reductions + the final fused top-k
     assert plan.count("TakeOrderedAndProject") == 3
     assert plan.count("Window") == 2
-    assert "Sort " not in plan.replace("SortMergeJoin", "SMJ") \
-        .replace("SortAggregate", "SAgg") or True  # global sort absent
-    # no Sort operator outside the join/agg variants
-    sort_lines = [ln for ln in plan.splitlines()
-                  if ln.strip().startswith(("Sort ", "+- Sort ", ":- Sort "))
-                  or "- Sort [" in ln]
-    # SMJ needs local sorts on the keyed full-outer join only
-    assert all("ENSURE_REQUIREMENTS" in ln or "doc_id" in ln
-               for ln in sort_lines)
+    # ADVICE r7: the old `... or True` assertion was vacuous and the
+    # substring-'doc_id' fallback whitelisted the arm rank-window sorts.
+    # Precise gate: every Sort in the plan is a LOCAL (global=false),
+    # single-key doc_id sort — the SortMergeJoin requirement for the
+    # post-top-k full-outer fuse — and each one consumes an arm's
+    # TakeOrderedAndProject output (≤ n_arm rows), never a pre-top-k
+    # corpus relation.
+    lines = plan.splitlines()
+    sort_idx = [i for i, ln in enumerate(lines)
+                if re.search(r"(^|[+:]- )Sort \[", ln.strip())]
+    assert len(sort_idx) == 2, plan
+    for i in sort_idx:
+        # full key set: exactly one doc_id key, local sort
+        assert re.search(r"Sort \[doc_id#\d+L ASC NULLS FIRST\], false, 0",
+                         lines[i]), lines[i]
+        # below the sort, the arm's TakeOrderedAndProject must appear
+        # BEFORE any Exchange or scan — i.e. the sorted input is already
+        # reduced to ≤ n_arm rows (the rank Window in between runs over
+        # the same reduced rows), never the pre-top-k corpus relation
+        below = []
+        for ln in lines[i + 1:]:
+            below.append(ln)
+            if "TakeOrderedAndProject" in ln:
+                break
+        assert any("TakeOrderedAndProject" in ln for ln in below), plan
+        assert not any("Exchange" in ln or "Scan" in ln
+                       for ln in below[:-1]), "\n".join(below)
 
 
 def test_ann_filtered_topk_pushdown(spark):

