@@ -959,8 +959,11 @@ def corpus_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-ingestion: membership depends on the id alone, not on row order
     or partitioning.  Zero shuffles — the split is a projection."""
     (documents,) = _t(spark, sf_dir, "documents")
-    h = (F.col("doc_id") * F.lit(2654435761).cast("long")) \
-        % F.lit(4294967296).cast("long")
+    # 63-bit-safe Knuth hash: fold below 2^31 before the multiply
+    # (ADVICE r7 sweep — Spark wraps silently past ~3.47e9 ids while
+    # DuckDB raises, breaking cross-engine determinism at 100 TB scale)
+    h = ((F.col("doc_id") % F.lit(2147483648))
+         * F.lit(2654435761).cast("long")) % F.lit(4294967296).cast("long")
     return documents.select(
         "doc_id", "lang", "source",
         F.when(h < F.lit(int(0.95 * 4294967296)), F.lit("train"))
@@ -983,8 +986,11 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = _t(spark, sf_dir, "documents")
     floor_n = (documents.groupBy("source").count()
                .agg(F.min("count")).collect()[0][0])
-    h = (F.col("doc_id") * F.lit(2654435761).cast("long")) \
-        % F.lit(4294967296).cast("long")
+    # 63-bit-safe Knuth hash: fold below 2^31 before the multiply
+    # (ADVICE r7 sweep — Spark wraps silently past ~3.47e9 ids while
+    # DuckDB raises, breaking cross-engine determinism at 100 TB scale)
+    h = ((F.col("doc_id") % F.lit(2147483648))
+         * F.lit(2654435761).cast("long")) % F.lit(4294967296).cast("long")
     w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id"))
     return (documents
             .withColumn("rk", F.row_number().over(w).cast("long"))
@@ -1530,7 +1536,12 @@ def corpus_epoch_shuffle(spark: SparkSession, sf_dir: str,
         "doc_id",
         F.explode(F.array(*[F.lit(e) for e in range(n_epochs)]))
          .alias("epoch"))
-    skey = ((F.col("doc_id") + F.col("epoch").cast("long") * F.lit(1000003))
+    # 63-bit-safe Knuth hash: fold below 2^31 before the multiply
+    # (ADVICE r7 sweep — Spark wraps silently past ~3.47e9 ids while
+    # DuckDB raises, breaking cross-engine determinism at 100 TB scale)
+    skey = (((F.col("doc_id")
+              + F.col("epoch").cast("long") * F.lit(1000003))
+             % F.lit(2147483648))
             * F.lit(2654435761)) % F.lit(4294967296)
     k = d.select(
         "doc_id", "epoch", skey.alias("skey"),
@@ -1948,7 +1959,11 @@ def corpus_loader_pipeline(spark: SparkSession, sf_dir: str,
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum(seg_tokens).cast("long").alias("n_seq_tokens")))
 
-    skey = (F.col("seq_id") * F.lit(2654435761)) % F.lit(4294967296)
+    # 63-bit-safe Knuth hash: fold below 2^31 before the multiply
+    # (ADVICE r7 sweep — Spark wraps silently past ~3.47e9 ids while
+    # DuckDB raises, breaking cross-engine determinism at 100 TB scale)
+    skey = (((F.col("seq_id") % F.lit(2147483648))
+             * F.lit(2654435761)) % F.lit(4294967296))
     ranked = serial_id(seqs.withColumn("skey", skey),
                        ["skey", "seq_id"], id_col="shuffle_rank")
     return ranked.select(F.col("seq_id").cast("long").alias("seq_id"),
@@ -2877,7 +2892,9 @@ def corpus_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _is_val(c):
-        h = (c * F.lit(2654435761).cast("long")) \
+        # 63-bit-safe fold (ADVICE r7 sweep) — must stay identical to
+        # corpus_train_val_split's membership hash
+        h = ((c % F.lit(2147483648)) * F.lit(2654435761).cast("long")) \
             % F.lit(4294967296).cast("long")
         return h >= F.lit(int(0.95 * 4294967296))
 

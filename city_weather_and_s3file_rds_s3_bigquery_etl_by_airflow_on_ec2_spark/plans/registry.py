@@ -1826,7 +1826,8 @@ REGISTRY: dict[str, QuerySpec] = {
         X.corpus_train_val_split,
         """
         SELECT doc_id, lang, source,
-               CASE WHEN (doc_id * 2654435761) % 4294967296
+               -- fold below 2^31 first: 63-bit-safe at any doc_id
+               CASE WHEN ((doc_id % 2147483648) * 2654435761) % 4294967296
                          < CAST(0.95 * 4294967296 AS BIGINT)
                     THEN 'train' ELSE 'val' END AS split
         FROM documents
@@ -1839,7 +1840,8 @@ REGISTRY: dict[str, QuerySpec] = {
             SELECT doc_id, source,
                    CAST(row_number() OVER (
                        PARTITION BY source
-                       ORDER BY (doc_id * 2654435761) % 4294967296,
+                       ORDER BY ((doc_id % 2147483648) * 2654435761)
+                                    % 4294967296,
                                 doc_id) AS BIGINT) AS rk
             FROM documents
         )
@@ -2639,7 +2641,8 @@ REGISTRY: dict[str, QuerySpec] = {
             SELECT doc_id, unnest([0, 1]) AS epoch FROM documents
         ), k AS (
             SELECT doc_id, epoch,
-                   ((doc_id + epoch * 1000003) * 2654435761)
+                   -- fold below 2^31 first (matches the Spark side)
+                   (((doc_id + epoch * 1000003) % 2147483648) * 2654435761)
                        % 4294967296 AS skey
             FROM d
         )
@@ -2832,7 +2835,8 @@ REGISTRY: dict[str, QuerySpec] = {
         )
         SELECT CAST(seq_id AS BIGINT) AS seq_id,
                CAST(row_number() OVER (
-                        ORDER BY (seq_id * 2654435761) % 4294967296,
+                        ORDER BY ((seq_id % 2147483648) * 2654435761)
+                                     % 4294967296,
                                  seq_id) AS BIGINT) AS shuffle_rank,
                n_docs, n_seq_tokens
         FROM seqs
@@ -3834,7 +3838,7 @@ REGISTRY: dict[str, QuerySpec] = {
         WITH t AS (
             SELECT doc_id, lang, n_chars // 16 AS len_band,
                    list_distinct({_TOKS}) AS tokset,
-                   (doc_id * 2654435761) % 4294967296
+                   ((doc_id % 2147483648) * 2654435761) % 4294967296
                        >= CAST(0.95 * 4294967296 AS BIGINT) AS is_val
             FROM documents
         ), pairs AS (
@@ -4634,7 +4638,9 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     # ORACLE-checked entries in registry insertion order (rows-only
     # entries give the driver only a weak row, so oracle entries go
     # first).  The remaining 14 oracle + 13 rows-only never-hashed
-    # entries rotate in at r9, clearing the backlog.  All 50 here are
+    # entries rotate in at r9, clearing the backlog — all 27 were
+    # pre-audited green (bit-exact + bridge-dtype-symmetric / clean
+    # rows-only execution) by tools/audit_driver_window.py during r8.  All 50 here are
     # oracle-checked and pre-audited by tools/audit_driver_window.py
     # (bit-exact fetchall + pandas-bridge dtype drift) before commit.
     # Entries not in the window are covered by the committed

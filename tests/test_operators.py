@@ -4260,7 +4260,9 @@ def test_curriculum_order_dense_and_phase_monotone(spark):
     phases = [r.phase for r in rows]
     assert phases == sorted(phases)
     assert all(0 <= p <= 3 for p in phases)
-    keys = [(r.phase, (r.doc_id * 2654435761) % 4294967296, r.doc_id)
+    keys = [(r.phase,
+             ((r.doc_id % 2147483648) * 2654435761) % 4294967296,
+             r.doc_id)
             for r in rows]
     assert keys == sorted(keys)
 
