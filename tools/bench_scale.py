@@ -78,6 +78,22 @@ SCALE_QUERIES = [
     # token stream; a 10× lake multiplies every posting list's depth
     # but the cap keeps reducer output constant per token
     "text_inverted_index",
+    # r8 additions — four shapes the set had never measured at 10×:
+    # hybrid retrieval (BM25 census + dense arm, each reduced to a
+    # ≤ n_arm top-k BEFORE the rank windows — the reductions must keep
+    # the partitionless windows constant-size as the corpus grows)
+    "retrieval_hybrid_rrf",
+    # curriculum manifest (two-phase serial_id prefix sum over every
+    # doc — the naive plan is ONE global sort; the range-bucketed id
+    # must stay linear)
+    "corpus_curriculum_order",
+    # full-salting skew remedy (dim replicated salt_buckets× map-side;
+    # the fact-side shuffle must scale with rows, not with the hot key)
+    "join_salted_replicate",
+    # filtered ANN (the label PushedFilter must keep pruning row
+    # groups BEFORE vector math — at 10× the pruned fraction is the
+    # whole win)
+    "ann_filtered_topk",
 ]
 
 
