@@ -151,3 +151,32 @@ def test_compact_files_preserves_rows_and_reduces_files(spark, tmp_path):
     import os
     assert not os.path.exists(path + "__compact_tmp")
     assert not os.path.exists(path + "__compact_old")
+
+
+def test_bench_steal_sampling_contract():
+    """bench.py's host-contention self-annotation (VERDICT r7 #5): the
+    /proc/stat sampler returns monotone (total, steal) jiffies and the
+    derived steal%% is bounded — the fields future rounds read to tell
+    co-tenant inflation from real regressions (BASELINE.md solo
+    floors)."""
+    import importlib.util
+    import os
+    import time
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    a = bench._cpu_times()
+    assert a is not None and a[0] > 0 and a[1] >= 0
+    time.sleep(0.05)
+    b = bench._cpu_times()
+    assert b[0] >= a[0] and b[1] >= a[1]
+    pct = bench._steal_pct(a, b)
+    assert pct is None or 0.0 <= pct <= 100.0
+    # degenerate inputs: missing /proc/stat (None) and zero elapsed
+    assert bench._steal_pct(None, b) is None
+    assert bench._steal_pct(a, a) == 0.0
