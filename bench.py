@@ -45,7 +45,10 @@ def _cpu_times() -> tuple[int, int] | None:
         return None
     vals = [int(x) for x in parts[1:]]
     steal = vals[7] if len(vals) > 7 else 0
-    return sum(vals), steal
+    # sum only user..steal (first 8 fields): guest/guest_nice (fields
+    # 9-10) are already included in user/nice by the kernel, so adding
+    # them would double-count and understate steal% on a VM-hosting box
+    return sum(vals[:8]), steal
 
 
 def _steal_pct(before, after) -> float | None:

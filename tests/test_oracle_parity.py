@@ -49,22 +49,26 @@ def _normalize(rows, cols):
     return out
 
 
-# DuckDB output types that drift through a pandas `.df()` bridge: the
-# driver fetches oracle results as a DataFrame, so HUGEINT/UHUGEINT become
-# float64 (precision + dtype drift vs Spark's int64) and DECIMAL becomes
-# object.  The builder-side fetchall() path masks this (HUGEINT -> Python
-# int), which is exactly how the three r7 driver-hash failures shipped
-# (VERDICT r7 "What's wrong #1" / next-round #2).  Lint every oracle's
-# *bound* output schema — binding is free, no execution — so the seam
-# fails locally before an entry ever reaches a driver window.
-_PANDAS_DRIFT_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+# The builder-side fetchall() path masks pandas-bridge dtype drift
+# (HUGEINT -> Python int), which is exactly how the three r7 driver-hash
+# failures shipped (VERDICT r7 "What's wrong #1" / next-round #2).  Lint
+# every oracle's *bound* output schema — binding is free, no execution —
+# so the seam fails locally before an entry ever reaches a driver
+# window.  The drifting-type list lives in tools/check_correctness.py
+# (single source of truth shared with the checker's own lint).
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__))), "tools"))
+from check_correctness import PANDAS_DRIFT_TYPES  # noqa: E402
 
 
 @pytest.mark.parametrize("name", ORACLE_NAMES)
 def test_oracle_output_dtypes_pandas_safe(duck, name):
     rel = duck.sql(entrymod.oracle_sql()[name])
     drifty = [(c, str(t)) for c, t in zip(rel.columns, rel.types)
-              if any(str(t).startswith(b) for b in _PANDAS_DRIFT_TYPES)]
+              if str(t).startswith(PANDAS_DRIFT_TYPES)]
     assert not drifty, (
         f"oracle '{name}' emits pandas-drifting DuckDB types {drifty}; "
         "CAST the offending expression (e.g. CAST(SUM(x) AS BIGINT)) so "

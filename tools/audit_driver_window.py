@@ -48,6 +48,9 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# explicit tools/ entry so `from check_correctness import ...` works when
+# this module is imported rather than run as a script
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import duckdb  # noqa: E402
 
@@ -96,18 +99,21 @@ def main() -> int:
     failures = []
     for name in names:
         probs = []
+        has_oracle = name in oracles
         try:
             sdf = qs[name](spark, args.sf)
             spark_cols = sdf.columns
             spark_rows = [tuple(r) for r in sdf.collect()]
-            spark_pdf = sdf.toPandas()
+            # toPandas is a second full materialization — only pay it
+            # for oracle-backed entries that get a bridge-dtype check
+            spark_pdf = sdf.toPandas() if has_oracle else None
             release_persisted()
         except Exception as e:  # noqa: BLE001
             release_persisted()
             print(f"FAIL  {name}: spark error: {e}")
             failures.append(name)
             continue
-        if name not in oracles:
+        if not has_oracle:
             # rows-only entries get no driver hash — nothing to audit
             print(f"rows  {name}: {len(spark_rows)} rows [rows-only]")
             continue
@@ -115,7 +121,7 @@ def main() -> int:
             rel = con.sql(oracles[name])
             duck_cols = list(rel.columns)
             duck_rows = rel.fetchall()
-            duck_pdf = con.sql(oracles[name]).df()
+            duck_pdf = rel.df()  # re-executes the same relation
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
             failures.append(name)

@@ -31,6 +31,15 @@ from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.sources
 )
 
 
+# DuckDB output types that drift through a pandas ``.df()`` bridge —
+# the driver fetches oracle results as a DataFrame, so HUGEINT/UHUGEINT
+# become float64 and DECIMAL becomes object, breaking the value hash
+# against Spark even when fetchall() compares bit-exactly (VERDICT r7
+# #1/#2).  Single source of truth: tests/test_oracle_parity.py imports
+# this tuple for its bind-time lint.
+PANDAS_DRIFT_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
 def normalize(rows, cols, exact=False):
     """Sort columns by name, canonicalize cell values, sort rows.
 
@@ -124,7 +133,7 @@ def main() -> int:
             # drift through that bridge.
             dtype_drift = [
                 (c, str(t)) for c, t in zip(rel.columns, rel.types)
-                if str(t).startswith(("HUGEINT", "UHUGEINT", "DECIMAL"))
+                if str(t).startswith(PANDAS_DRIFT_TYPES)
             ]
             duck_rows = rel.fetchall()
         except Exception as e:  # noqa: BLE001
