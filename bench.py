@@ -130,12 +130,24 @@ def main() -> None:
     per_query = {name: round(median(xs), 3)
                  for name, xs in samples.items()}
     total = sum(per_query.values())
+    # Per-query MIN across the timed runs: the host's documented
+    # multi-second stalls hit 30-50 % of runs during a co-tenant
+    # episode, which inflates even a median-of-7 — but a stall can
+    # only ever ADD time, so the min is the steal-immune estimate of
+    # steady-state cost and is exactly what BASELINE.md's solo-floors
+    # table is built from.  Recording it in every run makes floor
+    # updates machine-derivable instead of requiring a dedicated solo
+    # diagnostic session.
+    per_query_min = {name: round(min(xs), 3)
+                     for name, xs in samples.items()}
 
     print(json.dumps({
         "metric": "bench_total_wall_sec",
         "value": round(total, 3),
         "unit": "sec",
         "queries": per_query,
+        "queries_min": per_query_min,
+        "value_min": round(sum(per_query_min.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # Host-contention self-annotation (VERDICT r7 #5): steal% over
         # the whole timed window plus the worst single-run steal.  Reads
