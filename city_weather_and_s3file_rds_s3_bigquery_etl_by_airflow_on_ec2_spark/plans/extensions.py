@@ -3578,23 +3578,30 @@ def text_inverted_index(spark: SparkSession, sf_dir: str,
 
 def corpus_cross_source_overlap(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
-    """Cross-source verbatim-overlap matrix — which sources mirror each
-    other: for every unordered source pair, how many distinct document
-    BODIES (md5 of the raw text) appear in both, and how many physical
-    docs each side contributes under those shared bodies.  The
-    provenance diagnosis a data card needs before mixture weighting:
-    two sources that share half their bodies are one source for
-    deduplication purposes, and `corpus_domain_reweight` shares would
-    double-count them.
+    """Cross-source mirror matrix — which sources mirror each other:
+    for every unordered source pair, how many distinct document
+    FINGERPRINTS (md5 of the lowercased 12-token prefix — the cheap
+    near-verbatim mirror detector: syndicated/mirrored copies edit
+    tails and boilerplate far more often than openings) appear in
+    both, and how many physical docs each side contributes under
+    those shared fingerprints.  The provenance diagnosis a data card
+    needs before mixture weighting: two sources that share half their
+    fingerprints are one source for deduplication purposes, and
+    `corpus_domain_reweight` shares would double-count them.  (An
+    exact-body variant is this same plan with ``md5(text)`` as the
+    key; the prefix key additionally catches the
+    mirrored-with-appended-footer copies exact hashing misses.)
 
-    Scale shape: one hash-agg shuffle to the (digest, source, n_docs)
-    census — digests (16 bytes) shuffle, bodies never do — then a
-    digest-keyed self-join whose per-key fanout is bounded by the
-    SOURCE CARDINALITY (≤ |sources|² pairs per body, and |sources| is
-    metadata-sized), then a pair-keyed rollup.  No window, no global
-    sort; fully oracle-checked."""
+    Scale shape: one hash-agg shuffle to the (fingerprint, source,
+    n_docs) census — 16-byte digests shuffle, bodies never do — then
+    a fingerprint-keyed self-join whose per-key fanout is bounded by
+    the SOURCE CARDINALITY (≤ |sources|² pairs per fingerprint, and
+    |sources| is metadata-sized), then a pair-keyed rollup.  No
+    window, no global sort; fully oracle-checked."""
     (documents,) = _t(spark, sf_dir, "documents")
-    census = (documents.select(F.md5("text").alias("h"), "source")
+    fp = F.md5(F.concat_ws(
+        " ", F.slice(TX.tokens(F.lower(F.col("text"))), 1, 12)))
+    census = (documents.select(fp.alias("h"), "source")
               .groupBy("h", "source")
               .agg(F.count(F.lit(1)).alias("n_docs")))
     a, b = census.alias("a"), census.alias("b")
@@ -3603,7 +3610,7 @@ def corpus_cross_source_overlap(spark: SparkSession,
            & (F.col("a.source") < F.col("b.source")), "inner")
     return (pairs.groupBy(F.col("a.source").alias("source_a"),
                           F.col("b.source").alias("source_b"))
-            .agg(F.count(F.lit(1)).alias("n_shared_bodies"),
+            .agg(F.count(F.lit(1)).alias("n_shared_fps"),
                  F.sum(F.col("a.n_docs")).alias("n_docs_a"),
                  F.sum(F.col("b.n_docs")).alias("n_docs_b")))
 

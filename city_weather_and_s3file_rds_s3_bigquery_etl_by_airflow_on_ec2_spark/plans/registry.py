@@ -4304,11 +4304,14 @@ REGISTRY: dict[str, QuerySpec] = {
         X.corpus_cross_source_overlap,
         """
         WITH census AS (
-            SELECT md5(text) AS h, source, CAST(count(*) AS BIGINT) AS n_docs
+            SELECT md5(array_to_string(list_slice(
+                       string_split_regex(trim(lower(text)), '\\s+'),
+                       1, 12), ' ')) AS h,
+                   source, CAST(count(*) AS BIGINT) AS n_docs
             FROM documents GROUP BY 1, 2
         )
         SELECT a.source AS source_a, b.source AS source_b,
-               CAST(count(*) AS BIGINT) AS n_shared_bodies,
+               CAST(count(*) AS BIGINT) AS n_shared_fps,
                CAST(sum(a.n_docs) AS BIGINT) AS n_docs_a,
                CAST(sum(b.n_docs) AS BIGINT) AS n_docs_b
         FROM census a JOIN census b ON a.h = b.h AND a.source < b.source

@@ -4230,9 +4230,12 @@ def test_inverted_index_contract_and_python_parity(spark):
 
 def test_cross_source_overlap_planted_matrix(spark, tmp_path):
     """corpus_cross_source_overlap on a planted 3-source lake: srcA and
-    srcB share two bodies (one of them twice in B), srcC shares one
-    body with each — the matrix reports exactly those counts, pairs
-    are strictly ordered, and a never-shared body appears nowhere."""
+    srcB share two fingerprints (one of them twice in B, one differing
+    only in CASE — the fingerprint lowercases), srcC shares one exact
+    body plus one MIRRORED doc (same 12-token opening, edited tail —
+    the near-verbatim case exact body hashing misses) — the matrix
+    reports exactly those counts, pairs are strictly ordered, and a
+    never-shared body appears nowhere."""
     from pyspark.sql import types as T
 
     from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
@@ -4247,15 +4250,22 @@ def test_cross_source_overlap_planted_matrix(spark, tmp_path):
         T.StructField("n_chars", T.LongType()),
     ])
     body1, body2, body3, solo = "shared one", "shared two", "bridge", "solo"
+    # 14-token opening; the mirror keeps tokens 1-12 and edits the tail
+    long_a = "alpha beta gamma delta epsilon zeta eta theta iota " \
+             "kappa lambda mu nu xi"
+    long_c = "alpha beta gamma delta epsilon zeta eta theta iota " \
+             "kappa lambda mu EDITED TAIL HERE"
     docs = [
         (0, body1, "en", "srcA", len(body1)),
         (1, body2, "en", "srcA", len(body2)),
         (2, body3, "en", "srcA", len(body3)),
         (3, body1, "en", "srcB", len(body1)),
-        (4, body2, "en", "srcB", len(body2)),
+        (4, body2.upper(), "en", "srcB", len(body2)),  # case-only variant
         (5, body2, "en", "srcB", len(body2)),   # body2 twice in B
         (6, body3, "en", "srcC", len(body3)),
         (7, solo, "en", "srcC", len(solo)),
+        (8, long_a, "en", "srcA", len(long_a)),
+        (9, long_c, "en", "srcC", len(long_c)),  # near-verbatim mirror
     ]
     lake = str(tmp_path / "overlap_lake")
     spark.createDataFrame(docs, schema).coalesce(1) \
@@ -4264,11 +4274,11 @@ def test_cross_source_overlap_planted_matrix(spark, tmp_path):
             for r in corpus_cross_source_overlap(spark, lake).collect()}
     assert set(rows) == {("srcA", "srcB"), ("srcA", "srcC")}
     ab = rows[("srcA", "srcB")]
-    assert ab.n_shared_bodies == 2
+    assert ab.n_shared_fps == 2
     assert ab.n_docs_a == 2 and ab.n_docs_b == 3
     ac = rows[("srcA", "srcC")]
-    assert ac.n_shared_bodies == 1
-    assert ac.n_docs_a == 1 and ac.n_docs_b == 1
+    assert ac.n_shared_fps == 2
+    assert ac.n_docs_a == 2 and ac.n_docs_b == 2
     assert all(a < b for a, b in rows)
 
 
