@@ -1315,22 +1315,33 @@ def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance <= 6 — the image-dedup shape (pHash banding) over the
     engine's multimodal column conventions.
 
-    Fingerprint stand-in: the first 16 hex chars of the payload sha256
-    (this container has no image codec — resolve_codec()'s tier
-    policy; a real pHash drops into the same 16-hex-char contract and
-    NOTHING downstream changes).  sha-fingerprints only collide for
-    byte-identical payloads, so at threshold 6 the result is exactly
-    the exact-duplicate pairs — deterministic, hence fully
-    oracle-checked; with a real pHash the same plan yields true
-    near-dups.  Plan: 4 narrow band equi-joins unioned, distinct,
-    then expression-only hamming on the candidates (never all-pairs).
+    Fingerprint stand-in: the first 16 hex chars of the sha256 of the
+    payload's 64-char OPENING (this container has no image codec —
+    resolve_codec()'s tier policy; a real pHash drops into the same
+    16-hex-char contract and NOTHING downstream changes).  Prefix
+    locality is the stand-in's analog of pHash's low-frequency bias:
+    mirrored/re-encoded assets share openings (header + leading
+    content) while tails drift — and unlike the full-payload sha used
+    before r8, it produces real pairs at the driver's sf0.01 lake
+    (the full-body key had ZERO duplicates there, making the oracle
+    comparison vacuously green).  Fingerprints still only collide
+    deterministically, so the result is fully oracle-checked; with a
+    real pHash the same plan yields true near-dups.  The opening is
+    sliced in CHARACTERS on both engines (Spark substring ≡ DuckDB
+    substr) so the hashed bytes agree for any UTF-8 payload — a
+    byte-slice of the binary column would need blob slicing DuckDB's
+    sha256 can't consume.  Plan: 4 narrow band equi-joins unioned,
+    distinct, then expression-only hamming on the candidates (never
+    all-pairs).
     """
     from ..operators.multimodal import attach_media_columns
     (documents,) = _t(spark, sf_dir, "documents")
     ph = (attach_media_columns(documents, "text")
           .select("doc_id",
-                  F.substring(F.col("media_meta.sha256"), 1, 16)
-                  .alias("ph")))
+                  F.substring(
+                      F.sha2(F.encode(F.substring(F.col("text"), 1, 64),
+                                      "UTF-8"), 256),
+                      1, 16).alias("ph")))
     bands = [F.substring("ph", 4 * i + 1, 4).alias(f"b{i}")
              for i in range(4)]
     t = ph.select("doc_id", "ph", *bands)

@@ -2037,7 +2037,8 @@ REGISTRY: dict[str, QuerySpec] = {
         X.multimodal_phash_pairs,
         """
         WITH p AS (
-            SELECT doc_id, substr(sha256(text), 1, 16) AS ph
+            SELECT doc_id,
+                   substr(sha256(substr(text, 1, 64)), 1, 16) AS ph
             FROM documents
         ), t AS (
             SELECT doc_id, ph,

@@ -1842,26 +1842,32 @@ def test_transform_with_state_v2_matches_batch_or_skips(spark):
 
 
 def test_multimodal_phash_planted_duplicates(spark, tmp_path):
-    """The banded pHash path promotes and verifies byte-identical
-    payloads (hamming 0) and rejects everything else at the strict
-    threshold; the sf-lake registry result being empty is the correct
-    output for a corpus with no identical payloads, and THIS test is
-    the non-empty proof of the path."""
+    """The banded pHash path promotes and verifies payloads whose
+    64-char OPENINGS are identical (hamming 0 under the prefix
+    fingerprint — r8: the full-payload sha key produced ZERO pairs on
+    the driver's sf0.01 lake, a vacuous green) and rejects everything
+    else at the strict threshold.  Planted cases: byte-identical
+    payloads, a mirrored payload with an edited tail past char 64
+    (caught), and an early-divergence doc (rejected)."""
     from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
         multimodal_phash_pairs,
     )
 
+    opening = ("shared sixty-four-plus-character opening text that the "
+               "fingerprint keys on")  # > 64 chars
     rows = [
         (0, "identical payload body", "en", "web"),
         (1, "identical payload body", "en", "web"),   # dup of 0
         (2, "a different document entirely", "en", "web"),
         (3, "identical payload body", "en", "books"),  # dup of 0 and 1
         (4, "yet another unrelated text", "de", "web"),
+        (5, opening + " original tail", "en", "web"),
+        (6, opening + " MIRRORED, tail edited", "en", "books"),  # dup of 5
     ]
     sf_dir = _write_documents(spark, tmp_path, rows)
     got = sorted((r.id_a, r.id_b, r.hamming)
                  for r in multimodal_phash_pairs(spark, sf_dir).collect())
-    assert got == [(0, 1, 0), (0, 3, 0), (1, 3, 0)]
+    assert got == [(0, 1, 0), (0, 3, 0), (1, 3, 0), (5, 6, 0)]
 
 
 # ------------------- round-5 continuation tranche -------------------------
