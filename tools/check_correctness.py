@@ -151,6 +151,18 @@ def main() -> int:
             problems.append(
                 f"oracle emits pandas-drifting DuckDB types {dtype_drift} "
                 "(driver hash would fail; CAST to BIGINT/DOUBLE)")
+        # Vacuity lint (r8): an oracle comparison over ZERO rows is
+        # trivially green — it proves nothing about the operator.  Two
+        # entries shipped that way (corpus_cross_source_overlap,
+        # multimodal_phash_pairs: keys whose collisions simply don't
+        # exist at this sf) and were only caught by a manual audit.
+        # Every oracle-checked entry must produce at least one row at
+        # the gate's sf; make the key/threshold meaningful at small sf
+        # or convert the entry to rows-only with a planted-lake test.
+        if len(spark_rows) == 0 and len(duck_rows) == 0:
+            problems.append(
+                "vacuous oracle: 0 rows on both engines at this sf — "
+                "the value comparison proves nothing")
         schema_match = sorted(spark_cols) == sorted(duck_cols)
         rows_match = len(spark_rows) == len(duck_rows)
         if not schema_match:
