@@ -114,6 +114,19 @@ def main() -> int:
                             "oracle_rows": None, "err": f"spark error: {e}"}
             continue
         if name not in oracles:
+            if len(spark_rows) == 0:
+                # same vacuity rule as the oracle path (r8): a
+                # rows-only entry whose registry run returns nothing
+                # exercises nothing at this sf
+                print(f"FAIL  {name}: rows-only entry returned 0 rows "
+                      "at this sf — the run proves nothing")
+                n_fail += 1
+                failures.append(name)
+                report[name] = {"rows_match": False, "schema_match": None,
+                                "hash_match": None, "spark_rows": 0,
+                                "oracle_rows": None,
+                                "err": "rows-only entry returned 0 rows"}
+                continue
             print(f"rows  {name}: {len(spark_rows)} rows "
                   f"({time.time()-t0:.1f}s) [rows-only]")
             n_rows_only += 1
