@@ -125,7 +125,7 @@ def main() -> None:
     spark = get_spark("bench-scale")
     fns = {name: queries()[name] for name in SCALE_QUERIES}
 
-    def profile(sf_dir: str) -> dict[str, float]:
+    def profile(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         for fn in fns.values():  # untimed warm-up
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         samples: dict[str, list[float]] = {n: [] for n in fns}
@@ -135,10 +135,11 @@ def main() -> None:
                 fn(spark, sf_dir).write.format("noop") \
                     .mode("overwrite").save()
                 samples[name].append(time.perf_counter() - t0)
-        return {n: round(median(xs), 3) for n, xs in samples.items()}
+        return ({n: round(median(xs), 3) for n, xs in samples.items()},
+                {n: round(min(xs), 3) for n, xs in samples.items()})
 
-    small = profile(args.src)     # same-session sf0.1 reference
-    big = profile(args.lake)
+    small, small_min = profile(args.src)  # same-session sf0.1 reference
+    big, big_min = profile(args.lake)
 
     out = {
         "metric": "bench_scale_sf1",
@@ -149,9 +150,20 @@ def main() -> None:
         "sf1_sec": big,
         "x_vs_linear": {
             n: round(big[n] / (args.reps * small[n]), 3) for n in fns},
+        # min-based ratio (r8, same rationale as bench.py queries_min):
+        # a host stall can only ADD time, and with a median of n=3 a
+        # single stalled run on one side already skews the ratio — a
+        # stall during a sf1 run fakes a scale regression, one during
+        # a sf0.1 run fakes super-linearity of everything.  The
+        # min/min ratio is the stall-immune reading; judge a claimed
+        # scale regression against THIS before re-litigating a shape.
+        "x_vs_linear_min": {
+            n: round(big_min[n] / (args.reps * small_min[n]), 3)
+            for n in fns},
         "method": "median of n runs after 1 untimed warm-up; sf0.1 and "
                   "sf1 profiled in the SAME session so x_vs_linear is "
-                  "host-drift-immune",
+                  "host-drift-immune; x_vs_linear_min is min-based and "
+                  "additionally stall-immune",
     }
     print(json.dumps(out))
 
