@@ -4641,10 +4641,17 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     # + 13 rows-only); this takes the first 47 of the 61 never-hashed
     # ORACLE-checked entries in registry insertion order (rows-only
     # entries give the driver only a weak row, so oracle entries go
-    # first).  The remaining 14 oracle + 13 rows-only never-hashed
-    # entries rotate in at r9, clearing the backlog — all 27 were
-    # pre-audited green (bit-exact + bridge-dtype-symmetric / clean
-    # rows-only execution) by tools/audit_driver_window.py during r8.  All 50 here are
+    # first).  Late-r8 amendment (precedent: the r6-changed and
+    # r7-fixed entries always re-enter the current window so the hard
+    # signal proves the change): the two entries whose keys were
+    # REKEYED this round to kill vacuous 0-row oracles —
+    # multimodal_phash_pairs and corpus_cross_source_overlap — take
+    # the last two slots, evicting retrieval_hybrid_rrf and
+    # corpus_domain_reweight back into the backlog.  The remaining
+    # 15 oracle + 13 rows-only never-hashed entries rotate in at r9,
+    # clearing the backlog — all were pre-audited green (bit-exact +
+    # bridge-dtype-symmetric / clean rows-only execution) by
+    # tools/audit_driver_window.py during r8.  All 50 here are
     # oracle-checked and pre-audited by tools/audit_driver_window.py
     # (bit-exact fetchall + pandas-bridge dtype drift) before commit.
     # Entries not in the window are covered by the committed
@@ -4667,7 +4674,8 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "text_quality_classifier_score", "graph_link_prediction",
     "join_hot_slice_broadcast", "ann_dim_truncation_report",
     "corpus_quality_calibration", "join_salted_replicate",
-    "ann_filtered_topk", "retrieval_hybrid_rrf", "corpus_domain_reweight",
+    "ann_filtered_topk", "multimodal_phash_pairs",
+    "corpus_cross_source_overlap",
 )
 assert set(_DRIVER_WINDOW_FIRST) <= set(REGISTRY), sorted(
     set(_DRIVER_WINDOW_FIRST) - set(REGISTRY))
