@@ -113,6 +113,16 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {e}")
             failures.append(name)
             continue
+        if len(spark_rows) == 0:
+            # vacuity rule (r8, same as check_correctness.py): a window
+            # slot spent on a 0-row result proves nothing — the hash of
+            # an empty set is trivially green (this tool blessed
+            # corpus_cross_source_overlap's empty result before the
+            # rule existed)
+            print(f"FAIL  {name}: 0 rows at this sf — vacuous window "
+                  "entry")
+            failures.append(name)
+            continue
         if not has_oracle:
             # rows-only entries get no driver hash — nothing to audit
             print(f"rows  {name}: {len(spark_rows)} rows [rows-only]")
