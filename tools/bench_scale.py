@@ -125,21 +125,35 @@ def main() -> None:
     spark = get_spark("bench-scale")
     fns = {name: queries()[name] for name in SCALE_QUERIES}
 
-    def profile(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
-        for fn in fns.values():  # untimed warm-up
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        samples: dict[str, list[float]] = {n: [] for n in fns}
-        for _ in range(args.runs):
-            for name, fn in fns.items():
-                t0 = time.perf_counter()
-                fn(spark, sf_dir).write.format("noop") \
-                    .mode("overwrite").save()
-                samples[name].append(time.perf_counter() - t0)
-        return ({n: round(median(xs), 3) for n, xs in samples.items()},
-                {n: round(min(xs), 3) for n, xs in samples.items()})
+    # INTERLEAVED passes (r8): the old shape profiled every sf0.1 pass,
+    # THEN every sf1 pass — two sequential phases, each minutes long on
+    # this host, so a co-tenant contention episode lands on ONE side of
+    # the ratio and whiplashes x_vs_linear both ways (observed same-day:
+    # one artifact read token_jaccard 0.41x with a contended sf0.1
+    # phase, the next 2.1x with a contended sf1 phase — identical
+    # code).  Alternating small-pass/big-pass samples both lakes across
+    # the SAME contention timeline, the within-session analog of the
+    # interleaved A/B the repo already uses for adjudications.
+    def one_pass(sf_dir: str, samples: dict[str, list[float]]) -> None:
+        for name, fn in fns.items():
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop") \
+                .mode("overwrite").save()
+            samples[name].append(time.perf_counter() - t0)
 
-    small, small_min = profile(args.src)  # same-session sf0.1 reference
-    big, big_min = profile(args.lake)
+    for fn in fns.values():  # untimed warm-up, both lakes
+        fn(spark, args.src).write.format("noop").mode("overwrite").save()
+        fn(spark, args.lake).write.format("noop").mode("overwrite").save()
+    s_small: dict[str, list[float]] = {n: [] for n in fns}
+    s_big: dict[str, list[float]] = {n: [] for n in fns}
+    for _ in range(args.runs):
+        one_pass(args.src, s_small)
+        one_pass(args.lake, s_big)
+
+    small = {n: round(median(xs), 3) for n, xs in s_small.items()}
+    small_min = {n: round(min(xs), 3) for n, xs in s_small.items()}
+    big = {n: round(median(xs), 3) for n, xs in s_big.items()}
+    big_min = {n: round(min(xs), 3) for n, xs in s_big.items()}
 
     out = {
         "metric": "bench_scale_sf1",
@@ -160,10 +174,12 @@ def main() -> None:
         "x_vs_linear_min": {
             n: round(big_min[n] / (args.reps * small_min[n]), 3)
             for n in fns},
-        "method": "median of n runs after 1 untimed warm-up; sf0.1 and "
-                  "sf1 profiled in the SAME session so x_vs_linear is "
-                  "host-drift-immune; x_vs_linear_min is min-based and "
-                  "additionally stall-immune",
+        "method": "median of n INTERLEAVED small/big passes after 1 "
+                  "untimed warm-up — alternating lakes samples both "
+                  "sides of every ratio across the same contention "
+                  "timeline, so x_vs_linear is host-drift-immune "
+                  "within the session too; x_vs_linear_min is "
+                  "min-based and additionally stall-immune",
     }
     print(json.dumps(out))
 
