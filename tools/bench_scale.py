@@ -39,6 +39,8 @@ from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.r
 )
 from tools._stats import median  # noqa: E402
 
+from bench import _cpu_times, _steal_pct  # noqa: E402  (repo root)
+
 SCALE_QUERIES = [
     "flagship_weather_join",
     "dedup_minhash_lsh",
@@ -146,9 +148,11 @@ def main() -> None:
         fn(spark, args.lake).write.format("noop").mode("overwrite").save()
     s_small: dict[str, list[float]] = {n: [] for n in fns}
     s_big: dict[str, list[float]] = {n: [] for n in fns}
+    c0 = _cpu_times()
     for _ in range(args.runs):
         one_pass(args.src, s_small)
         one_pass(args.lake, s_big)
+    steal = _steal_pct(c0, _cpu_times())
 
     small = {n: round(median(xs), 3) for n, xs in s_small.items()}
     small_min = {n: round(min(xs), 3) for n, xs in s_small.items()}
@@ -174,6 +178,10 @@ def main() -> None:
         "x_vs_linear_min": {
             n: round(big_min[n] / (args.reps * small_min[n]), 3)
             for n in fns},
+        # same self-annotation as bench.py: ≈0 on a quiet host,
+        # 1.4-7.2 % during the documented co-tenant episodes — read
+        # elevated-steal ratios against x_vs_linear_min first
+        "steal_pct": steal,
         "method": "median of n INTERLEAVED small/big passes after 1 "
                   "untimed warm-up — alternating lakes samples both "
                   "sides of every ratio across the same contention "
