@@ -1326,20 +1326,30 @@ def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the full-body key had ZERO duplicates there, making the oracle
     comparison vacuously green).  Fingerprints still only collide
     deterministically, so the result is fully oracle-checked; with a
-    real pHash the same plan yields true near-dups.  The opening is
-    sliced in CHARACTERS on both engines (Spark substring ≡ DuckDB
-    substr) so the hashed bytes agree for any UTF-8 payload — a
-    byte-slice of the binary column would need blob slicing DuckDB's
-    sha256 can't consume.  Plan: 4 narrow band equi-joins unioned,
-    distinct, then expression-only hamming on the candidates (never
-    all-pairs).
+    real pHash the same plan yields true near-dups.
+
+    The fingerprint is derived from ``media_bytes`` — the opaque
+    payload column attach_media_columns wraps — decoded through the
+    stub-codec text tier (this lake's payloads ARE UTF-8 text, the
+    documented stand-in) and sliced in CHARACTERS so the hashed bytes
+    agree with the DuckDB oracle's ``substr(text, 1, 64)`` for any
+    UTF-8 payload: a raw byte-slice of the binary column could split
+    a multi-byte code point AND DuckDB's sha256 only consumes VARCHAR
+    (ADVICE r8: before this, the fingerprint read the raw text column
+    and the attached media columns were dead weight — now the payload
+    column is load-bearing; media_meta stays attached per the column
+    conventions and Catalyst prunes it from this plan, which is the
+    conventions working as designed).  Plan: 4 narrow band equi-joins
+    unioned, distinct, then expression-only hamming on the candidates
+    (never all-pairs).
     """
     from ..operators.multimodal import attach_media_columns
     (documents,) = _t(spark, sf_dir, "documents")
+    payload_text = F.decode(F.col("media_bytes"), "UTF-8")
     ph = (attach_media_columns(documents, "text")
           .select("doc_id",
                   F.substring(
-                      F.sha2(F.encode(F.substring(F.col("text"), 1, 64),
+                      F.sha2(F.encode(F.substring(payload_text, 1, 64),
                                       "UTF-8"), 256),
                       1, 16).alias("ph")))
     bands = [F.substring("ph", 4 * i + 1, 4).alias(f"b{i}")

@@ -57,6 +57,15 @@ class QuerySpec:
     fn: Callable[[SparkSession, str], DataFrame]
     oracle: str | None          # ANSI SQL for DuckDB; None → rows-only
     bench: bool = False         # include in bench.py headline set
+    # Opt-out of the r8 zero-row vacuity gate (ADVICE r8): an entry
+    # whose CORRECT output is legitimately empty at the gate sf (e.g.
+    # an anomaly detector over a clean lake) sets this instead of
+    # redesigning its key; the flag obliges a planted-lake test that
+    # proves the non-empty behavior, cited in the entry's docstring.
+    # No current entry needs it — the mechanism exists so the gate
+    # can't force a threshold redesign on a future legitimately-empty
+    # entry.
+    may_be_empty: bool = False
 
 
 REGISTRY: dict[str, QuerySpec] = {

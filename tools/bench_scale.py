@@ -154,8 +154,17 @@ def main() -> None:
         one_pass(args.lake, s_big)
     steal = _steal_pct(c0, _cpu_times())
 
-    small = {n: round(median(xs), 3) for n, xs in s_small.items()}
-    small_min = {n: round(min(xs), 3) for n, xs in s_small.items()}
+    # Ratios divide by the UNROUNDED small-lake reading, floored at
+    # 1 ms (ADVICE r8: a sub-millisecond timing would round to 0.0 and
+    # the division would abort the whole artifact emission — only the
+    # REPORTED seconds are rounded, never a divisor).
+    def _guard(x: float) -> float:
+        return max(x, 1e-3)
+
+    small_raw = {n: median(xs) for n, xs in s_small.items()}
+    small_min_raw = {n: min(xs) for n, xs in s_small.items()}
+    small = {n: round(x, 3) for n, x in small_raw.items()}
+    small_min = {n: round(x, 3) for n, x in small_min_raw.items()}
     big = {n: round(median(xs), 3) for n, xs in s_big.items()}
     big_min = {n: round(min(xs), 3) for n, xs in s_big.items()}
 
@@ -167,7 +176,8 @@ def main() -> None:
         "sf0_1_sec": small,
         "sf1_sec": big,
         "x_vs_linear": {
-            n: round(big[n] / (args.reps * small[n]), 3) for n in fns},
+            n: round(big[n] / (args.reps * _guard(small_raw[n])), 3)
+            for n in fns},
         # min-based ratio (r8, same rationale as bench.py queries_min):
         # a host stall can only ADD time, and with a median of n=3 a
         # single stalled run on one side already skews the ratio — a
@@ -176,7 +186,7 @@ def main() -> None:
         # min/min ratio is the stall-immune reading; judge a claimed
         # scale regression against THIS before re-litigating a shape.
         "x_vs_linear_min": {
-            n: round(big_min[n] / (args.reps * small_min[n]), 3)
+            n: round(big_min[n] / (args.reps * _guard(small_min_raw[n])), 3)
             for n in fns},
         # same self-annotation as bench.py: ≈0 on a quiet host,
         # 1.4-7.2 % during the documented co-tenant episodes — read
