@@ -21,7 +21,9 @@ Steps (in order; the first failure stops the run):
 4. leak/copy tripwires: the package must not import the reference's
    stack (boto3/psycopg2/airflow DAG APIs) or contain credential-like
    markers
-5. headline bench (bench.py, sf0.1)        [skipped with --fast]
+5. headline bench (bench.py, sf0.1) -> BENCH_local_r{N}.json, then
+   the floor/2x gate (tools/check_floors.py vs tools/floors.json —
+   VERDICT r8 #3)                           [skipped with --fast]
 6. sf1 scale bench -> BENCH_scale_r{N}.json [skipped with --fast]
 
 Benches run LAST so their numbers are never polluted by the battery's
@@ -121,7 +123,28 @@ def main() -> None:
     doc_sync()
     leak_scan()
     if not args.fast:
-        run("headline bench (sf0.1)", [sys.executable, "bench.py"])
+        # headline bench, then the floor/2x gate over its record
+        # (VERDICT r8 #3: the gate is machine-enforced here, reading
+        # tools/floors.json — min > 2x floor fails outright; a
+        # steal-flat median > 2x floor fails; an elevated-steal median
+        # over the line with a passing min prints PENDING and requires
+        # a steal-flat follow-up before round close)
+        print("\n=== headline bench (sf0.1): bench.py", flush=True)
+        r = subprocess.run([sys.executable, "bench.py"],
+                           cwd=ROOT, capture_output=True, text=True)
+        sys.stderr.write(r.stderr)
+        if r.returncode != 0:
+            print("verify_round: FAILED at step 'headline bench'",
+                  file=sys.stderr)
+            sys.exit(r.returncode)
+        bench_line = [ln for ln in r.stdout.strip().splitlines()
+                      if ln.startswith("{")][-1]
+        print(bench_line)
+        bench_path = os.path.join(ROOT, f"BENCH_local_r{rnd:02d}.json")
+        with open(bench_path, "w") as f:
+            f.write(bench_line + "\n")
+        run("floor/2x gate",
+            [sys.executable, "tools/check_floors.py", bench_path])
         print("\n=== sf1 scale bench -> "
               f"BENCH_scale_r{rnd:02d}.json", flush=True)
         r = subprocess.run([sys.executable, "tools/bench_scale.py"],
