@@ -24,8 +24,12 @@ float-sum ordering; cluster MEMBERSHIP is stable under that noise for
 non-degenerate data, which is what the ground-truth test asserts
 against a NumPy reference implementation.
 
-Not SQL-expressible (unbounded iteration) — registry entry is
-rows-only by design; correctness is test-side.
+The unbounded-``tol`` loop is not SQL-expressible; as of r9 the
+registry entry runs a FIXED 2 Lloyd rounds with ``exact_means=True``
+(DECIMAL-summed centroid updates), which IS SQL-expressible — the
+DuckDB oracle replays the step algebra twice
+(``plans/registry._kmeans_unrolled_sql``).  The convergence-driven
+variant keeps its NumPy ground-truth test.
 """
 
 from __future__ import annotations
@@ -65,6 +69,7 @@ def assign_clusters(df: DataFrame, centroids: list[list[float]],
 def kmeans_train(df: DataFrame, init_centroids: list[list[float]],
                  vec_col: str = "embedding", id_col: str = "vec_id",
                  max_iter: int = 20, tol: float = 1e-6,
+                 exact_means: bool = False,
                  ) -> tuple[list[list[float]], DataFrame, int]:
     """Lloyd iterations from ``init_centroids`` until the max centroid
     shift (L2²) < ``tol`` or ``max_iter`` rounds; returns (final
@@ -72,6 +77,15 @@ def kmeans_train(df: DataFrame, init_centroids: list[list[float]],
 
     Empty clusters keep their previous centroid (the standard
     keep-stale rule — deterministic, no resampling).
+
+    ``exact_means=True`` computes the per-(cluster, dimension)
+    centroid update as ``CAST(sum(DECIMAL(28,15)) AS DOUBLE) / count``
+    instead of ``avg`` — the DECIMAL sum is addition-order-free across
+    partitions, so a fixed-iteration-count run is bit-deterministic
+    and SQL-oracle-replayable (the r9 promotion of the registry's
+    ``embedding_kmeans_train`` entry).  The default ``avg`` keeps the
+    cheaper double sum whose last-bit partition-order noise is
+    irrelevant when only converged MEMBERSHIP matters.
 
     Each iteration re-reads ``df`` from its lineage; for a multi-pass
     run over an expensive upstream, persist/checkpoint ``df`` before
@@ -81,6 +95,10 @@ def kmeans_train(df: DataFrame, init_centroids: list[list[float]],
     k = len(init_centroids)
     dim = len(init_centroids[0])
     cents = [list(map(float, c)) for c in init_centroids]
+    mean_expr = (
+        (F.sum(F.col("v").cast("decimal(28,15)")).cast("double")
+         / F.count(F.lit(1)))
+        if exact_means else F.avg("v"))
     it = 0
     for it in range(1, max_iter + 1):
         assigned = assign_clusters(df, cents, vec_col, id_col)
@@ -89,7 +107,7 @@ def kmeans_train(df: DataFrame, init_centroids: list[list[float]],
                 .select("c_id", F.posexplode(as_double(F.col(vec_col)))
                         .alias("dim", "v"))
                 .groupBy("c_id", "dim")
-                .agg(F.avg("v").alias("m"))
+                .agg(mean_expr.alias("m"))
                 .collect())
         new_cents = [list(c) for c in cents]  # keep-stale default
         acc: dict[int, list[float]] = {}

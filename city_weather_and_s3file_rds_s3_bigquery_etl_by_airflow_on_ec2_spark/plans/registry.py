@@ -52,6 +52,159 @@ _Z_INTERLEAVE = " | ".join(
     for i in range(16))
 
 
+# Shared PageRank graph CTEs (graph_pagerank_step / graph_pagerank):
+# the deterministic token-Jaccard edge set (extensions.
+# deterministic_jaccard_edges twin), its undirected explode, per-source
+# degree, and the node count as DOUBLE.
+_PR_GRAPH = f"""
+        t AS (
+            SELECT doc_id, lang, n_chars // 16 AS len_band,
+                   list_distinct({_TOKS}) AS tokset
+            FROM documents
+        ), pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM t a JOIN t b
+              ON a.lang = b.lang AND a.len_band = b.len_band
+             AND a.doc_id < b.doc_id
+            WHERE round(CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
+                        / len(list_distinct(list_concat(a.tokset, b.tokset))),
+                        4) >= 0.4
+        ), ed AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION ALL
+            SELECT id_b AS src, id_a AS dst FROM pairs
+        ), deg AS (
+            SELECT src, count(*) AS deg FROM ed GROUP BY src
+        ), nn AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n FROM documents
+        ), r0 AS (
+            SELECT doc_id, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS r
+            FROM documents
+        )"""
+
+
+def _pagerank_unrolled_sql(k: int) -> str:
+    """Unrolled ``k``-iteration PageRank oracle (VERDICT r8 #4 — the
+    fixed-iteration-count loop IS SQL-expressible): replays
+    operators/graph.pagerank_step's algebra ``k`` times from the
+    uniform vector, rounding only the FINAL rank to 9 (the Spark loop
+    runs ``round_to=None`` between iterations).
+
+    Bit-exactness contract, mirrored op-for-op from pagerank_step:
+    per-destination contribution sums and the dangling mass are
+    DECIMAL(28,15)-summed (order-free), every double expression is
+    written in Spark's evaluation order — ``(1-d)/n + d*dang/n`` uses
+    an explicit ``CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)`` because
+    Python's ``1.0 - 0.85`` is 0.15000000000000002, and a 0.15 literal
+    would drift the unrounded intermediates — and double/BIGINT
+    division promotes identically on both engines."""
+    parts = [_PR_GRAPH]
+    for i in range(1, k + 1):
+        p = f"r{i - 1}"
+        parts.append(f""", dang{i} AS (
+            SELECT CAST(coalesce(sum(CAST(r AS DECIMAL(28,15))), 0)
+                        AS DOUBLE) AS dm
+            FROM {p} WHERE doc_id NOT IN (SELECT src FROM deg)
+        ), s{i} AS (
+            SELECT ed.dst AS dst,
+                   sum(CAST(p.r / deg.deg AS DECIMAL(28,15))) AS s
+            FROM {p} p JOIN deg ON p.doc_id = deg.src
+                       JOIN ed ON p.doc_id = ed.src
+            GROUP BY ed.dst
+        ), r{i} AS (
+            SELECT d.doc_id,
+                   ((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+                        / (SELECT n FROM nn)
+                    + CAST(0.85 AS DOUBLE) * (SELECT dm FROM dang{i})
+                        / (SELECT n FROM nn))
+                   + CAST(0.85 AS DOUBLE)
+                     * coalesce(CAST(s{i}.s AS DOUBLE),
+                                CAST(0.0 AS DOUBLE)) AS r
+            FROM r0 d LEFT JOIN s{i} ON d.doc_id = s{i}.dst
+        )""")
+    parts.append(f"""
+        SELECT doc_id, round(r, 9) AS rank FROM r{k}
+        """)
+    return "WITH" + "".join(parts)
+
+
+def _kmeans_unrolled_sql(rounds: int) -> str:
+    """Unrolled ``rounds``-iteration Lloyd k-means oracle (VERDICT r8
+    #4): replays embedding_kmeans_step's assignment algebra after each
+    of ``rounds`` DECIMAL-exact centroid updates, then reports the
+    final assignment's per-cluster census — the twin of
+    ``operators/clustering.kmeans_train(..., exact_means=True,
+    tol=0.0, max_iter=rounds)``.
+
+    Bit-exactness contract: distances fold the zipped dimension list
+    sequentially in DOUBLE (list_aggregate 'sum' ≡ Spark F.aggregate —
+    the proven step-oracle pattern); centroid updates are
+    ``CAST(sum(DECIMAL(28,15)) AS DOUBLE) / count`` (order-free sum,
+    then one double division — exactly exact_means); empty clusters
+    keep the previous centroid via the per-dim LEFT JOIN coalesce
+    (Spark's keep-stale rule); argmin ties break on c_id asc (Spark's
+    min(struct(dist2, c_id))); inertia DECIMAL(28,10)-sums the final
+    dist2s."""
+    def d_a(i: int, cents: str) -> str:
+        return f""", d{i} AS (
+            SELECT e.vec_id, c.c_id,
+                   list_aggregate(list_transform(
+                       list_zip(e.v, c.cent),
+                       x -> (x[1] - x[2]) * (x[1] - x[2])),
+                       'sum') AS dist2
+            FROM e CROSS JOIN {cents} c
+        ), a{i} AS (
+            SELECT vec_id, c_id, dist2 FROM (
+                SELECT vec_id, c_id, dist2,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dist2, c_id) AS rk
+                FROM d{i}
+            ) WHERE rk = 1
+        )"""
+
+    parts = ["""
+        e AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ), ve AS (
+            SELECT vec_id, generate_subscripts(v, 1) AS dim,
+                   unnest(v) AS x
+            FROM e
+        ), cd0 AS (
+            SELECT vec_id AS c_id, generate_subscripts(v, 1) AS dim,
+                   unnest(v) AS x
+            FROM e WHERE vec_id < 8
+        ), cl0 AS (
+            SELECT vec_id AS c_id, v AS cent FROM e WHERE vec_id < 8
+        )"""]
+    for i in range(1, rounds + 1):
+        parts.append(d_a(i, f"cl{i - 1}"))
+        parts.append(f""", m{i} AS (
+            SELECT a{i}.c_id, ve.dim,
+                   CAST(sum(CAST(ve.x AS DECIMAL(28,15))) AS DOUBLE)
+                       / count(*) AS m
+            FROM a{i} JOIN ve USING (vec_id)
+            GROUP BY a{i}.c_id, ve.dim
+        ), cd{i} AS (
+            SELECT cd.c_id, cd.dim, coalesce(m.m, cd.x) AS x
+            FROM cd{i - 1} cd LEFT JOIN m{i} m
+              ON cd.c_id = m.c_id AND cd.dim = m.dim
+        ), cl{i} AS (
+            SELECT c_id, list(x ORDER BY dim) AS cent
+            FROM cd{i} GROUP BY c_id
+        )""")
+    final = rounds + 1
+    parts.append(d_a(final, f"cl{rounds}"))
+    parts.append(f"""
+        SELECT c_id, count(*) AS n_members,
+               round(CAST(sum(CAST(dist2 AS DECIMAL(28,10))) AS DOUBLE), 4)
+                   AS inertia
+        FROM a{final} GROUP BY c_id
+        """)
+    return "WITH" + "".join(parts)
+
+
 @dataclass(frozen=True)
 class QuerySpec:
     fn: Callable[[SparkSession, str], DataFrame]
@@ -82,7 +235,34 @@ REGISTRY: dict[str, QuerySpec] = {
         """,
         bench=True,
     ),
-    "ref_pipeline_golden": QuerySpec(R.ref_pipeline_golden, None),
+    # Promoted rows-only -> oracle in r9 (VERDICT r8 #4): the pipeline
+    # is fixture-driven and its correct output is ONE fully-pinned
+    # golden row (FIXTURES.md A4; reference README.md:299-344 payload +
+    # codes/us_cities.csv lookup), so the strongest possible oracle is
+    # the literal row itself — the driver now hash-verifies the whole
+    # flatten/convert/join pipeline (P1+F1+F2+J1+P2/P3) against the
+    # independently-stated golden values, not just a row count.  The
+    # doubles are the HALF_UP-rounded conversion outputs; CAST(... AS
+    # DOUBLE) parses the same decimal string both engines print.
+    "ref_pipeline_golden": QuerySpec(
+        R.ref_pipeline_golden,
+        """
+        SELECT 'Houston' AS city, 'clear sky' AS description,
+               CAST(55.148 AS DOUBLE) AS temperature_fahrenheit,
+               CAST(53.654 AS DOUBLE) AS feels_like_fahrenheit,
+               CAST(50.198 AS DOUBLE) AS min_temperature_fahrenheit,
+               CAST(57.11 AS DOUBLE) AS max_temperature_fahrenheit,
+               CAST(1024 AS BIGINT) AS pressure,
+               CAST(70 AS BIGINT) AS humidity,
+               CAST(0.0 AS DOUBLE) AS wind_speed,
+               TIMESTAMP '2025-03-17 04:31:08' AS time_of_record,
+               TIMESTAMP '2025-03-17 07:28:35' AS sunrise,
+               TIMESTAMP '2025-03-17 19:30:53' AS sunset,
+               'Texas' AS state,
+               CAST(2304580 AS BIGINT) AS census_2020,
+               CAST(640.4 AS DOUBLE) AS land_area_sq_mile_2020
+        """,
+    ),
     "serial_id_assignment": QuerySpec(
         R.serial_id_assignment,
         """
@@ -1687,7 +1867,12 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     # full iterative Lloyd training — unbounded iteration is not
     # SQL-expressible; NumPy-ground-truthed in tests (rows-only)
-    "embedding_kmeans_train": QuerySpec(X.embedding_kmeans_train, None),
+    # Promoted rows-only -> oracle in r9 (VERDICT r8 #4): fixed 2
+    # Lloyd rounds with DECIMAL-exact centroid updates — the unrolled
+    # oracle replays the step algebra twice; the tol-driven variant
+    # keeps its NumPy parity test in tests/.
+    "embedding_kmeans_train": QuerySpec(
+        X.embedding_kmeans_train, _kmeans_unrolled_sql(2)),
     "corpus_clean_pipeline": QuerySpec(
         X.corpus_clean_pipeline,
         f"""
@@ -1748,53 +1933,18 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM documents GROUP BY source, lang
         """,
     ),
+    # Both PageRank oracles come from one generator: the step is the
+    # k=1 unroll (same values as the previous hand-written step oracle
+    # — the final round(.,9) absorbs the 0.15-literal vs 1.0-0.85
+    # double difference that matters for unrounded intermediates).
     "graph_pagerank_step": QuerySpec(
-        X.graph_pagerank_step,
-        f"""
-        WITH t AS (
-            SELECT doc_id, lang, n_chars // 16 AS len_band,
-                   list_distinct({_TOKS}) AS tokset
-            FROM documents
-        ), pairs AS (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM t a JOIN t b
-              ON a.lang = b.lang AND a.len_band = b.len_band
-             AND a.doc_id < b.doc_id
-            WHERE round(CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
-                        / len(list_distinct(list_concat(a.tokset, b.tokset))),
-                        4) >= 0.4
-        ), ed AS (
-            SELECT id_a AS src, id_b AS dst FROM pairs
-            UNION ALL
-            SELECT id_b AS src, id_a AS dst FROM pairs
-        ), deg AS (
-            SELECT src, count(*) AS deg FROM ed GROUP BY src
-        ), nn AS (
-            SELECT CAST(count(*) AS DOUBLE) AS n FROM documents
-        ), dang AS (
-            SELECT CAST(coalesce(sum(
-                       CAST(1.0 / (SELECT n FROM nn) AS DECIMAL(28,15))),
-                       0) AS DOUBLE) AS dm
-            FROM documents d
-            WHERE d.doc_id NOT IN (SELECT src FROM deg)
-        ), contrib AS (
-            SELECT ed.dst AS dst,
-                   CAST((1.0 / (SELECT n FROM nn)) / deg.deg
-                        AS DECIMAL(28,15)) AS c
-            FROM ed JOIN deg USING (src)
-        ), s AS (
-            SELECT dst, sum(c) AS s FROM contrib GROUP BY dst
-        )
-        SELECT d.doc_id,
-               round((0.15 / (SELECT n FROM nn)
-                      + 0.85 * (SELECT dm FROM dang) / (SELECT n FROM nn))
-                     + 0.85 * coalesce(CAST(s.s AS DOUBLE), 0.0), 9) AS rank
-        FROM documents d LEFT JOIN s ON d.doc_id = s.dst
-        """,
-    ),
-    # full power iteration — unbounded loop, not SQL-expressible;
-    # NumPy power-iteration ground truth in tests (rows-only)
-    "graph_pagerank": QuerySpec(X.graph_pagerank, None),
+        X.graph_pagerank_step, _pagerank_unrolled_sql(1)),
+    # Promoted rows-only -> oracle in r9 (VERDICT r8 #4): the registry
+    # entry runs a FIXED 5 power iterations (tol=0.0), so the loop is
+    # expressible as the k=5 unroll; the convergence-driven variant
+    # stays NumPy-parity-tested in tests/ via operators/graph.pagerank.
+    "graph_pagerank": QuerySpec(
+        X.graph_pagerank, _pagerank_unrolled_sql(5)),
     # Payload columns face the driver as hex STRINGs (injective, so the
     # byte-exactness claim is unchanged): the driver's pandas
     # canonicalizer cannot factorize bytearray (VERDICT r6 #1). Both
@@ -4640,51 +4790,47 @@ REGISTRY: dict[str, QuerySpec] = {
 # future insertions anywhere in the literal above cannot silently push
 # an unchecked entry out of the window.
 _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
-    # Round-8 rotation (VERDICT r7 items #1/#3): the three r7 hash-FAIL
-    # entries — corpus_source_quota / corpus_data_card /
-    # agg_mode_deterministic, whose oracles gained CAST(... AS BIGINT)
-    # around integer SUMs THIS round — re-enter the window to prove
-    # green under the driver's own pandas-bridge hash.  The other 47
-    # slots drain the driver-hash backlog: of the 269 entries, 74 had
-    # never received a driver row after seven windows (61 oracle-checked
-    # + 13 rows-only); this takes the first 47 of the 61 never-hashed
-    # ORACLE-checked entries in registry insertion order (rows-only
-    # entries give the driver only a weak row, so oracle entries go
-    # first).  Late-r8 amendment (precedent: the r6-changed and
-    # r7-fixed entries always re-enter the current window so the hard
-    # signal proves the change): the two entries whose keys were
-    # REKEYED this round to kill vacuous 0-row oracles —
-    # multimodal_phash_pairs and corpus_cross_source_overlap — take
-    # the last two slots, evicting retrieval_hybrid_rrf and
-    # corpus_domain_reweight back into the backlog.  The remaining
-    # 15 oracle + 13 rows-only never-hashed entries rotate in at r9,
-    # clearing the backlog — all were pre-audited green (bit-exact +
-    # bridge-dtype-symmetric / clean rows-only execution) by
-    # tools/audit_driver_window.py during r8.  All 50 here are
-    # oracle-checked and pre-audited by tools/audit_driver_window.py
-    # (bit-exact fetchall + pandas-bridge dtype drift) before commit.
-    # Entries not in the window are covered by the committed
-    # CORRECTNESS_full_r08.json artifact.
-    "corpus_source_quota", "corpus_data_card", "agg_mode_deterministic",
-    # never-driver-hashed, registry insertion order
-    "scalar_map_funcs", "agg_incremental_merge", "layout_zorder_keys",
-    "fuzzy_join_levenshtein", "events_anomaly_zscore",
-    "streaming_static_enrich", "agg_max_by_min_by", "scalar_url_funcs",
-    "sql_identifier_clause", "text_content_uuid", "scalar_mask_funcs",
-    "text_url_canonicalize", "window_rolling_median", "scalar_aes_roundtrip",
-    "events_value_islands", "sql_parameterized", "window_percent_of_total",
-    "sql_pipe_syntax", "agg_listagg", "scalar_try_arith", "join_asof_nearest",
-    "scalar_collation_group", "streaming_sliding_window",
-    "text_feature_hashing", "agg_group_by_all", "source_orc_roundtrip",
-    "scalar_time_type", "join_asof_tolerance", "corpus_source_gini",
-    "events_markov_transitions", "text_zipf_slope", "events_top_paths",
-    "table_checksum", "corpus_split_leakage", "table_k_anonymity",
-    "lineitem_copurchase_lift", "corpus_export_manifest", "events_hot_keys",
-    "text_quality_classifier_score", "graph_link_prediction",
-    "join_hot_slice_broadcast", "ann_dim_truncation_report",
-    "corpus_quality_calibration", "join_salted_replicate",
-    "ann_filtered_topk", "multimodal_phash_pairs",
-    "corpus_cross_source_overlap",
+    # Round-9 rotation — TOOL-GENERATED (VERDICT r8 #6/ADVICE r8: the
+    # window is derived, not hand-picked) by
+    #   python tools/audit_driver_window.py --propose --changed \
+    #     multimodal_phash_pairs ref_pipeline_golden \
+    #     graph_pagerank_step graph_pagerank embedding_kmeans_train \
+    #     ann_lsh_topk
+    # Standing policy, in priority order: (1) entries whose fn or
+    # oracle changed this round re-enter first (this round: the
+    # payload-derived phash fingerprint, the three rows-only->oracle
+    # promotions ref_pipeline_golden / graph_pagerank /
+    # embedding_kmeans_train plus the step oracle's generator rewrite,
+    # and ann_lsh_topk's in-entry recall floor); (2) never-driver-
+    # hashed entries, oracle-checked before rows-only, in registry
+    # order — this drains the ENTIRE remaining backlog (26 here + 2
+    # already counted under "changed"), making the r1-r9 window union
+    # 269/269; (3) leftover slots to the stalest previously-hashed
+    # entries, oldest hashed round first (r1/r2/r3 scalars, then r4).
+    # All 50 pre-audited green by tools/audit_driver_window.py
+    # (bit-exact fetchall + pandas-bridge dtype symmetry / clean
+    # rows-only execution) before commit; entries not in the window
+    # are covered by the committed CORRECTNESS_full_r09.json artifact.
+    "multimodal_phash_pairs", "ref_pipeline_golden", "ann_lsh_topk",
+    "embedding_kmeans_train", "graph_pagerank_step", "graph_pagerank",
+    "retrieval_hybrid_rrf", "corpus_domain_reweight",
+    "corpus_negative_sample", "text_inverted_index",
+    "tokenizer_fertility_report", "corpus_curriculum_order",
+    "agg_theta_sketch_overlap", "events_rate_limit_sample",
+    "corpus_boilerplate_share", "grouped_arrow_lang_stats",
+    "text_mixed_language_report", "corpus_quality_ablation",
+    "join_cardinality_estimate", "ann_truncated_rerank",
+    "corpus_temperature_resample", "agg_hll_sketch_union",
+    "text_top_tokens_sketch", "embedding_pq_encode", "ann_pq_topk",
+    "ml_minhash_lsh_pairs", "ml_langid_classifier", "text_bpe_train",
+    "ann_recall_report", "dedup_cap_recall_report", "embedding_pca_power",
+    "text_bpe_encode", "scalar_null_safe_eq", "scalar_conditional_funcs",
+    "scalar_try_cast", "scalar_date_arith", "scalar_json_extract",
+    "generator_range", "sample_bernoulli", "agg_string_concat",
+    "scalar_bitwise", "scalar_format", "subquery_scalar", "subquery_in",
+    "subquery_exists_correlated", "subquery_correlated_min",
+    "subquery_in_grouped", "subquery_not_in", "cte_multi_step",
+    "events_tumbling_hour",
 )
 assert set(_DRIVER_WINDOW_FIRST) <= set(REGISTRY), sorted(
     set(_DRIVER_WINDOW_FIRST) - set(REGISTRY))

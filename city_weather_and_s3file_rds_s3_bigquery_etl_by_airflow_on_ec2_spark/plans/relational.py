@@ -70,8 +70,11 @@ def flagship_weather_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ref_pipeline_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full reference pipeline on the golden fixture payload
-    (FIXTURES.md A1-A4) — fixture-driven, so rows-only for the driver;
-    the exact golden-row assertion lives in tests/."""
+    (FIXTURES.md A1-A4).  Oracle-checked as of r9: the correct output
+    is one fully-pinned golden row, so the registry oracle is the
+    literal row itself and the driver hash-verifies the whole
+    flatten/convert/join lineage; the same assertion lives in tests/
+    (test_reference_pipeline.test_golden_row)."""
     return run_reference_pipeline(spark)
 
 

@@ -36,9 +36,28 @@ Two checks per entry, both required:
 Usage::
 
     python tools/audit_driver_window.py [--sf DIR] [name ...]
+    python tools/audit_driver_window.py --propose [--changed NAME ...]
 
 Exit 0 = every window entry passes both checks (safe to commit the
 rotation); nonzero otherwise.
+
+``--propose`` (VERDICT r8 #6) derives the NEXT round's 50-entry window
+from the committed ``CORRECTNESS_r*.json`` artifacts instead of a
+hand-picked list, applying the standing rotation policy in priority
+order:
+
+1. entries whose fn or oracle changed this round (``--changed``, named
+   by the builder — the tool cannot diff semantics) re-enter so the
+   hard signal proves the change;
+2. never-driver-hashed entries, oracle-checked before rows-only, in
+   registry order (clears the coverage backlog first);
+3. remaining slots go to previously-hashed entries, oldest-hashed
+   round first (registry order tiebreak) — staleness-derived, not
+   hand-maintained arithmetic (ADVICE r8).
+
+The output is a ready-to-paste Python tuple body for
+``_DRIVER_WINDOW_FIRST``; the normal audit should then be run over the
+new window before committing.
 """
 
 from __future__ import annotations
@@ -70,6 +89,80 @@ from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.sources
 from check_correctness import may_be_empty, normalize  # noqa: E402
 
 
+WINDOW_SIZE = 50
+
+
+def propose_window(changed: list[str]) -> list[str]:
+    """Derive the next driver window per the standing rotation policy
+    (module docstring).  Reads CORRECTNESS_r*.json from the repo root;
+    pure metadata — no Spark session."""
+    import glob
+    import json
+
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.registry import (
+        REGISTRY,
+    )
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last_hashed: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(root,
+                                              "CORRECTNESS_r[0-9]*.json"))):
+        rnd = int(os.path.basename(path).split("_r")[1].split(".")[0])
+        for name in json.load(open(path)):
+            if name in REGISTRY:
+                last_hashed[name] = max(last_hashed.get(name, 0), rnd)
+
+    names = list(REGISTRY)
+    unknown = sorted(set(changed) - set(names))
+    if unknown:
+        raise SystemExit(f"--changed names not in registry: {unknown}")
+
+    window: list[str] = []
+
+    def take(pool: list[str]) -> None:
+        for n in pool:
+            if len(window) >= WINDOW_SIZE:
+                return
+            if n not in window:
+                window.append(n)
+
+    # 1. changed-this-round entries re-enter first
+    take([n for n in names if n in set(changed)])
+    # 2. never-hashed: oracle-checked before rows-only, registry order
+    never = [n for n in names if n not in last_hashed]
+    take([n for n in never if REGISTRY[n].oracle is not None])
+    take([n for n in never if REGISTRY[n].oracle is None])
+    # 3. stalest previously-hashed (oldest round first, registry order)
+    stale = sorted((n for n in names if n in last_hashed),
+                   key=lambda n: (last_hashed[n], names.index(n)))
+    take(stale)
+    return window
+
+
+def _print_proposal(window: list[str], changed: list[str]) -> None:
+    import glob
+    import json
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    hashed = set()
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r[0-9]*.json")):
+        hashed |= set(json.load(open(path)))
+    n_changed = sum(1 for n in window if n in set(changed))
+    n_never = sum(1 for n in window
+                  if n not in hashed and n not in set(changed))
+    n_stale = len(window) - n_changed - n_never
+    print(f"# proposed window: {len(window)} entries = {n_changed} "
+          f"changed-this-round + {n_never} never-hashed + {n_stale} "
+          "stale re-entries (oldest-hashed first)")
+    line = "    "
+    for n in window:
+        tok = f'"{n}", '
+        if len(line) + len(tok) > 76:
+            print(line.rstrip())
+            line = "    "
+        line += tok
+    print(line.rstrip().rstrip(","))
+
+
 def _kind_class(kind: str) -> str:
     """Collapse numpy dtype kinds into driver-hash equivalence classes
     (see module docstring for the green/fail calibration evidence)."""
@@ -83,9 +176,20 @@ def _kind_class(kind: str) -> str:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--propose", action="store_true",
+                    help="derive the next window from CORRECTNESS_r*.json "
+                         "staleness instead of auditing the current one")
+    ap.add_argument("--changed", nargs="*", default=[],
+                    help="entries whose fn/oracle changed this round "
+                         "(re-enter the window first)")
     ap.add_argument("names", nargs="*",
                     help="subset of window entries (default: all 50)")
     args = ap.parse_args()
+
+    if args.propose:
+        window = propose_window(args.changed)
+        _print_proposal(window, args.changed)
+        return 0
 
     spark = get_spark("audit_driver_window")
     con = duckdb.connect()
