@@ -117,10 +117,16 @@ def ivf_topk(
 
     "Training" takes a FIXED budget of ``num_centroids`` corpus
     vectors as centroids — a deterministic hash-ordered sample
-    (TakeOrderedAndProject over xxhash64 of the id; no kmeans
-    iterations, which keeps the operator oracle-reproducible and
-    cheap; swap in real kmeans centroids at production scale without
-    changing the plan shape).  The budget is independent of corpus
+    (TakeOrderedAndProject over the repo's standard 63-bit-safe Knuth
+    multiplicative hash of the id; no kmeans iterations, which keeps
+    the operator oracle-reproducible and cheap; swap in real kmeans
+    centroids at production scale without changing the plan shape).
+    r9: the selection hash moved from Spark-private ``xxhash64`` to
+    the same cross-engine arithmetic hash the split/sample operators
+    use — the ONLY thing that kept this operator rows-only was a hash
+    DuckDB cannot evaluate; with an engine-neutral selection the whole
+    IVF path (assignment, probing, pruned exact re-rank) is
+    oracle-checked end to end.  The budget is independent of corpus
     size — VERDICT r1 flagged the previous every-Nth-row selection,
     whose n/N centroids made assignment O(n²/N) with an unbounded
     broadcast; a constant (or √n, chosen by the caller) budget keeps
@@ -133,9 +139,15 @@ def ivf_topk(
     """
     from pyspark.sql import Window
 
+    # 63-bit-safe Knuth multiplicative hash (same scheme as
+    # corpus_train_val_split: fold below 2^31 before the multiply so
+    # the product can't wrap int64 at any realistic id range)
+    _knuth = (((F.col("cent_id") % F.lit(2147483648))
+               * F.lit(2654435761).cast("long"))
+              % F.lit(4294967296).cast("long"))
     cents = (corpus.select(F.col(corpus_id).alias("cent_id"),
                            as_double(vec_col).alias("cv"))
-             .orderBy(F.xxhash64(F.col("cent_id")), F.col("cent_id"))
+             .orderBy(_knuth.asc(), F.col("cent_id"))
              .limit(num_centroids))
 
     def assign(df: DataFrame, id_out: str, n: int) -> DataFrame:

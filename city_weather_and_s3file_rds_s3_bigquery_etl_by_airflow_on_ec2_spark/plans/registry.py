@@ -1128,7 +1128,70 @@ REGISTRY: dict[str, QuerySpec] = {
         bench=True,
     ),
     "ann_lsh_topk": QuerySpec(X.ann_lsh_topk, None),
-    "ann_ivf_topk": QuerySpec(X.ann_ivf_topk, None),
+    # Promoted rows-only -> oracle in r9: the coarse-quantizer sample
+    # now uses the cross-engine Knuth hash (operators/similarity.py),
+    # so centroid selection, nearest-centroid assignment, nprobe=4
+    # probing and the pruned exact re-rank all replay in DuckDB.
+    # Assignment/probe ranks order by the UNROUNDED cosine (Spark
+    # computes them unrounded); only the emitted cos_sim rounds to 6.
+    "ann_ivf_topk": QuerySpec(
+        X.ann_ivf_topk,
+        """
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ), cents AS (
+            SELECT vec_id AS cent_id, v AS cv FROM e
+            ORDER BY ((vec_id % 2147483648) * 2654435761) % 4294967296,
+                     vec_id
+            LIMIT 64
+        ), c_assign AS (
+            SELECT vec_id, cent_id FROM (
+                SELECT e.vec_id, c.cent_id,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY list_dot_product(e.v, c.cv)
+                                    / (sqrt(list_dot_product(e.v, e.v))
+                                       * sqrt(list_dot_product(c.cv, c.cv)))
+                                    DESC,
+                                    c.cent_id) AS rn
+                FROM e CROSS JOIN cents c
+            ) WHERE rn <= 1
+        ), q AS (
+            SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 20
+        ), q_assign AS (
+            SELECT q_id, cent_id FROM (
+                SELECT q.q_id, c.cent_id,
+                       row_number() OVER (
+                           PARTITION BY q.q_id
+                           ORDER BY list_dot_product(q.qv, c.cv)
+                                    / (sqrt(list_dot_product(q.qv, q.qv))
+                                       * sqrt(list_dot_product(c.cv, c.cv)))
+                                    DESC,
+                                    c.cent_id) AS rn
+                FROM q CROSS JOIN cents c
+            ) WHERE rn <= 4
+        ), cands AS (
+            SELECT DISTINCT q_id, vec_id
+            FROM q_assign JOIN c_assign USING (cent_id)
+            WHERE q_id <> vec_id
+        ), scored AS (
+            SELECT cands.q_id, cands.vec_id,
+                   round(list_dot_product(q.qv, e.v)
+                         / (sqrt(list_dot_product(q.qv, q.qv))
+                            * sqrt(list_dot_product(e.v, e.v))), 6)
+                       AS cos_sim
+            FROM cands
+            JOIN q ON cands.q_id = q.q_id
+            JOIN e ON cands.vec_id = e.vec_id
+        )
+        SELECT q_id, vec_id, cos_sim FROM (
+            SELECT *, row_number() OVER (PARTITION BY q_id
+                                         ORDER BY cos_sim DESC, vec_id) AS rn
+            FROM scored
+        ) WHERE rn <= 5
+        """,
+    ),
     "embedding_norm_stats": QuerySpec(
         X.embedding_norm_stats,
         """

@@ -96,8 +96,12 @@ def check(bench: dict, floors: dict[str, dict]) -> tuple[list[str], list[str]]:
             if flat:
                 failures.append(
                     f"{q}: median {med:.3f}s > 2x floor {floor:.3f}s on a "
-                    f"steal-flat run (steal {steal}%) — no stall story "
-                    "available; real regression")
+                    f"steal-flat run (steal {steal}%) — likely regression; "
+                    "NOTE steal-flat is necessary but not sufficient for a "
+                    "quiet host (BASELINE.md r9: memory-bandwidth "
+                    "contention is steal-invisible) — re-run once and/or "
+                    "run tools/diag_cpu_variance.py to distinguish "
+                    "constant-work contention from a real plan change")
             else:
                 pending.append(
                     f"{q}: median {med:.3f}s > 2x floor {floor:.3f}s under "
