@@ -4858,25 +4858,26 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     #   python tools/audit_driver_window.py --propose --changed \
     #     multimodal_phash_pairs ref_pipeline_golden \
     #     graph_pagerank_step graph_pagerank embedding_kmeans_train \
-    #     ann_lsh_topk
+    #     ann_lsh_topk ann_ivf_topk
     # Standing policy, in priority order: (1) entries whose fn or
     # oracle changed this round re-enter first (this round: the
-    # payload-derived phash fingerprint, the three rows-only->oracle
+    # payload-derived phash fingerprint, the FOUR rows-only->oracle
     # promotions ref_pipeline_golden / graph_pagerank /
-    # embedding_kmeans_train plus the step oracle's generator rewrite,
-    # and ann_lsh_topk's in-entry recall floor); (2) never-driver-
-    # hashed entries, oracle-checked before rows-only, in registry
-    # order — this drains the ENTIRE remaining backlog (26 here + 2
-    # already counted under "changed"), making the r1-r9 window union
-    # 269/269; (3) leftover slots to the stalest previously-hashed
-    # entries, oldest hashed round first (r1/r2/r3 scalars, then r4).
+    # embedding_kmeans_train / ann_ivf_topk plus the step oracle's
+    # generator rewrite, and ann_lsh_topk's in-entry recall floor);
+    # (2) never-driver-hashed entries, oracle-checked before
+    # rows-only, in registry order — this drains the ENTIRE remaining
+    # backlog (26 here + 2 already counted under "changed"), making
+    # the r1-r9 window union 269/269; (3) leftover slots to the 17
+    # stalest previously-hashed entries, oldest hashed round first
+    # (r1/r2/r3 scalars, then r4).
     # All 50 pre-audited green by tools/audit_driver_window.py
     # (bit-exact fetchall + pandas-bridge dtype symmetry / clean
     # rows-only execution) before commit; entries not in the window
     # are covered by the committed CORRECTNESS_full_r09.json artifact.
     "multimodal_phash_pairs", "ref_pipeline_golden", "ann_lsh_topk",
     "embedding_kmeans_train", "graph_pagerank_step", "graph_pagerank",
-    "retrieval_hybrid_rrf", "corpus_domain_reweight",
+    "ann_ivf_topk", "retrieval_hybrid_rrf", "corpus_domain_reweight",
     "corpus_negative_sample", "text_inverted_index",
     "tokenizer_fertility_report", "corpus_curriculum_order",
     "agg_theta_sketch_overlap", "events_rate_limit_sample",
@@ -4893,7 +4894,6 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "scalar_bitwise", "scalar_format", "subquery_scalar", "subquery_in",
     "subquery_exists_correlated", "subquery_correlated_min",
     "subquery_in_grouped", "subquery_not_in", "cte_multi_step",
-    "events_tumbling_hour",
 )
 assert set(_DRIVER_WINDOW_FIRST) <= set(REGISTRY), sorted(
     set(_DRIVER_WINDOW_FIRST) - set(REGISTRY))
