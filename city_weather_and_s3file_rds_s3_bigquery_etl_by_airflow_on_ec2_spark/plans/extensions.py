@@ -64,8 +64,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash banded near-dup candidates (rows-only: pandas-UDF
-    signature), capped to close pairs by hamming distance."""
+    """SimHash banded near-dup candidates, capped to close pairs by
+    hamming distance.
+
+    Promoted rows-only -> oracle in r9: the pandas-UDF signature is
+    md5-based (engine-neutral by design — operators/dedup.simhash64),
+    so the DuckDB oracle recomputes the 64-bit signatures, the 4x16
+    banding, and the bit_count(xor) hamming verification in SQL and
+    the driver hash-verifies the whole detector — the Arrow-batched
+    UDF path included."""
     (documents,) = _t(spark, sf_dir, "documents")
     return D.simhash_near_pairs(documents, "text", "doc_id") \
             .where(F.col("hamming") <= 12)

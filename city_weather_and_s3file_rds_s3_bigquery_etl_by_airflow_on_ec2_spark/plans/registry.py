@@ -1024,7 +1024,53 @@ REGISTRY: dict[str, QuerySpec] = {
         """,
     ),
     "dedup_minhash_lsh": QuerySpec(X.dedup_minhash_lsh, None, bench=True),
-    "dedup_simhash_pairs": QuerySpec(X.dedup_simhash_pairs, None),
+    # Promoted rows-only -> oracle in r9: the pandas-UDF SimHash is
+    # md5-based and therefore engine-neutral — the oracle recomputes
+    # the 64-bit signature in SQL (token multiset -> per-bit +/-1
+    # weights -> sign bits via HUGEINT shifts summed into UBIGINT),
+    # bands it 4 x 16 bits exactly like the Spark side
+    # (shiftrightunsigned ≡ UBIGINT >>), and verifies hamming via
+    # bit_count(xor).  Docs whose token list is empty get signature 0
+    # (the UDF's behavior) via the LEFT JOIN coalesce.
+    "dedup_simhash_pairs": QuerySpec(
+        X.dedup_simhash_pairs,
+        f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+        ), th AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h
+            FROM toks WHERE tok <> ''
+        ), bits AS (
+            SELECT doc_id, bs.b AS b,
+                   sum(CASE WHEN ((h >> bs.b) & 1::UBIGINT) = 1::UBIGINT
+                            THEN 1 ELSE -1 END) AS w
+            FROM th CROSS JOIN
+                 (SELECT unnest(generate_series(0, 63)) AS b) bs
+            GROUP BY doc_id, bs.b
+        ), sig0 AS (
+            SELECT doc_id,
+                   sum(CASE WHEN w > 0 THEN (1::HUGEINT << b)
+                            ELSE 0::HUGEINT END)::UBIGINT AS usig
+            FROM bits GROUP BY doc_id
+        ), sigs AS (
+            SELECT d.doc_id, coalesce(s.usig, 0::UBIGINT) AS usig
+            FROM documents d LEFT JOIN sig0 s ON d.doc_id = s.doc_id
+        ), banded AS (
+            SELECT doc_id, usig, bi.i AS band_idx,
+                   (usig >> (bi.i * 16)) & 65535::UBIGINT AS band_val
+            FROM sigs CROSS JOIN
+                 (SELECT unnest(generate_series(0, 3)) AS i) bi
+        )
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.usig, b.usig)) AS INTEGER) AS hamming
+        FROM banded a
+        JOIN banded b ON a.band_idx = b.band_idx
+                     AND a.band_val = b.band_val
+                     AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.usig, b.usig)) <= 12
+        """,
+    ),
     "dedup_token_jaccard": QuerySpec(
         X.dedup_token_jaccard,
         f"""
@@ -4858,17 +4904,18 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     #   python tools/audit_driver_window.py --propose --changed \
     #     multimodal_phash_pairs ref_pipeline_golden \
     #     graph_pagerank_step graph_pagerank embedding_kmeans_train \
-    #     ann_lsh_topk ann_ivf_topk
+    #     ann_lsh_topk ann_ivf_topk dedup_simhash_pairs
     # Standing policy, in priority order: (1) entries whose fn or
     # oracle changed this round re-enter first (this round: the
-    # payload-derived phash fingerprint, the FOUR rows-only->oracle
+    # payload-derived phash fingerprint, the FIVE rows-only->oracle
     # promotions ref_pipeline_golden / graph_pagerank /
-    # embedding_kmeans_train / ann_ivf_topk plus the step oracle's
-    # generator rewrite, and ann_lsh_topk's in-entry recall floor);
+    # embedding_kmeans_train / ann_ivf_topk / dedup_simhash_pairs plus
+    # the step oracle's generator rewrite, and ann_lsh_topk's in-entry
+    # recall floor);
     # (2) never-driver-hashed entries, oracle-checked before
     # rows-only, in registry order — this drains the ENTIRE remaining
     # backlog (26 here + 2 already counted under "changed"), making
-    # the r1-r9 window union 269/269; (3) leftover slots to the 17
+    # the r1-r9 window union 269/269; (3) leftover slots to the 16
     # stalest previously-hashed entries, oldest hashed round first
     # (r1/r2/r3 scalars, then r4).
     # All 50 pre-audited green by tools/audit_driver_window.py
@@ -4877,7 +4924,8 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     # are covered by the committed CORRECTNESS_full_r09.json artifact.
     "multimodal_phash_pairs", "ref_pipeline_golden", "ann_lsh_topk",
     "embedding_kmeans_train", "graph_pagerank_step", "graph_pagerank",
-    "ann_ivf_topk", "retrieval_hybrid_rrf", "corpus_domain_reweight",
+    "ann_ivf_topk", "dedup_simhash_pairs",
+    "retrieval_hybrid_rrf", "corpus_domain_reweight",
     "corpus_negative_sample", "text_inverted_index",
     "tokenizer_fertility_report", "corpus_curriculum_order",
     "agg_theta_sketch_overlap", "events_rate_limit_sample",
@@ -4893,7 +4941,7 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "generator_range", "sample_bernoulli", "agg_string_concat",
     "scalar_bitwise", "scalar_format", "subquery_scalar", "subquery_in",
     "subquery_exists_correlated", "subquery_correlated_min",
-    "subquery_in_grouped", "subquery_not_in", "cte_multi_step",
+    "subquery_in_grouped", "subquery_not_in",
 )
 assert set(_DRIVER_WINDOW_FIRST) <= set(REGISTRY), sorted(
     set(_DRIVER_WINDOW_FIRST) - set(REGISTRY))
