@@ -121,11 +121,23 @@ def main() -> None:
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--reps", type=int, default=10)
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--queries", default=None,
+                    help="comma-separated subset of SCALE_QUERIES (r9: "
+                         "lets a second-decade probe — e.g. --src "
+                         "/tmp/scale_sf1 --lake /tmp/scale_sf10 — run "
+                         "only the shapes worth 100x-scale wall-clock)")
+    ap.add_argument("--metric", default="bench_scale_sf1",
+                    help="metric label for the emitted record")
     args = ap.parse_args()
+
+    names = (args.queries.split(",") if args.queries else SCALE_QUERIES)
+    unknown = sorted(set(names) - set(SCALE_QUERIES))
+    if unknown:
+        raise SystemExit(f"--queries not in SCALE_QUERIES: {unknown}")
 
     ensure_lake(args.lake, args.src, args.reps)
     spark = get_spark("bench-scale")
-    fns = {name: queries()[name] for name in SCALE_QUERIES}
+    fns = {name: queries()[name] for name in names}
 
     # INTERLEAVED passes (r8): the old shape profiled every sf0.1 pass,
     # THEN every sf1 pass — two sequential phases, each minutes long on
@@ -169,9 +181,11 @@ def main() -> None:
     big_min = {n: round(min(xs), 3) for n, xs in s_big.items()}
 
     out = {
-        "metric": "bench_scale_sf1",
+        "metric": args.metric,
         "unit": "sec",
         "reps": args.reps,
+        "src": args.src,
+        "lake": args.lake,
         "runs_per_query": args.runs,
         "sf0_1_sec": small,
         "sf1_sec": big,
