@@ -2275,6 +2275,109 @@ def table_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("change_type").isNotNull()))
 
 
+def etl_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension maintenance — the warehouse-ETL companion
+    to `table_snapshot_diff` (that op EMITS a change feed; this op
+    CONSUMES one into a versioned dimension, the shape the reference's
+    RDS→warehouse load would need the day a dimension starts changing;
+    ref README.md:78-103 loads dimensions as truncate-and-replace,
+    which loses history — SCD2 is the standard fix).
+
+    The change batch is derived deterministically from the lake so the
+    whole apply is oracle-replayable: customers ≡0 mod 7 arrive with a
+    bumped balance (updates), ≡0 mod 5 (and not mod 7) arrive
+    byte-identical (no-op rows — a MERGE must NOT version those), and
+    fresh keys shifted by 10⁸ for ≡0 mod 11 arrive as inserts.
+    Effective date 1996-06-01 closes superseded versions.
+
+    Plan: ONE full-outer join on the business key, then a
+    conditionally-built array of 1–2 version structs exploded — no
+    second join, no window. At 100 TB the dimension and the batch each
+    shuffle once on the key (zero times when both are bucketed by it),
+    and the no-op suppression drops unchanged keys before the explode."""
+    (customer,) = _t(spark, sf_dir, "customer")
+    eff = F.to_date(F.lit("1996-06-01"))
+    t0 = F.to_date(F.lit("1995-01-01"))
+    dim = customer.select(F.col("c_custkey").alias("dk"),
+                          F.round(F.col("c_acctbal"), 2).alias("dbal"))
+    base = customer.select(F.col("c_custkey").alias("bk"),
+                           F.round(F.col("c_acctbal"), 2).alias("bbal"))
+    updates = (base.where(F.col("bk") % 7 == 0)
+               .select("bk", F.round(F.col("bbal") + 50.0, 2).alias("bbal")))
+    noops = base.where((F.col("bk") % 5 == 0) & (F.col("bk") % 7 != 0))
+    inserts = (base.where(F.col("bk") % 11 == 0)
+               .select((F.col("bk") + 100_000_000).alias("bk"), "bbal"))
+    batch = updates.unionByName(noops).unionByName(inserts)
+
+    j = dim.join(batch, dim.dk == batch.bk, "full_outer")
+
+    def ver(key, bal, vfrom, vto, cur):
+        return F.struct(key.alias("custkey"), bal.alias("acctbal"),
+                        vfrom.alias("valid_from"), vto.alias("valid_to"),
+                        cur.alias("is_current"))
+
+    no_date = F.lit(None).cast("date")
+    changed = (F.col("dk").isNotNull() & F.col("bk").isNotNull()
+               & (F.col("dbal") != F.col("bbal")))
+    rows = (
+        F.when(changed, F.array(
+            ver(F.col("dk"), F.col("dbal"), t0, eff, F.lit(False)),
+            ver(F.col("dk"), F.col("bbal"), eff, no_date, F.lit(True))))
+        .when(F.col("dk").isNotNull(), F.array(          # dim-only or no-op
+            ver(F.col("dk"), F.col("dbal"), t0, no_date, F.lit(True))))
+        .otherwise(F.array(                              # batch-only insert
+            ver(F.col("bk"), F.col("bbal"), eff, no_date, F.lit(True)))))
+    return (j.select(F.explode(rows).alias("v"))
+            .select("v.custkey", "v.acctbal", "v.valid_from",
+                    "v.valid_to", "v.is_current"))
+
+
+def etl_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Validation-rule quarantine routing — the row-level complement of
+    `table_expectations` (that op REPORTS table-level pass/fail
+    metrics; this op ROUTES the failing rows, tagged with every rule
+    they broke, to the quarantine side a production loader replays
+    after repair; the reference pipeline has no bad-record path at all
+    — a silent-corruption hazard its README never addresses).
+
+    The dirty feed is derived deterministically from the lake (orders
+    ≡0 mod 53 get a negated price, ≡0 mod 59 an out-of-domain status,
+    ≡0 mod 61 a NULL custkey, ≡0 mod 67 a far-future date) so the
+    split is oracle-replayable and non-vacuous at every SF.
+
+    `failed_rules` is a concat_ws over WHEN-guarded literals (both
+    engines skip NULLs), listed in fixed alphabetical order so the tag
+    string is deterministic. Plan: pure narrow map + filter — ZERO
+    shuffles; at 100 TB the quarantine path costs one scan and the
+    rule predicates sit in the same WholeStageCodegen as the scan."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    dirty = orders.select(
+        k.alias("orderkey"),
+        F.when(k % 53 == 0, -F.col("o_totalprice"))
+         .otherwise(F.col("o_totalprice")).alias("price"),
+        F.when(k % 59 == 0, F.lit("X"))
+         .otherwise(F.col("o_orderstatus")).alias("status"),
+        F.when(k % 61 == 0, F.lit(None).cast("long"))
+         .otherwise(F.col("o_custkey")).alias("custkey"),
+        F.when(k % 67 == 0, F.to_timestamp(F.lit("2099-01-01 00:00:00")))
+         .otherwise(F.col("o_orderdate")).alias("orderdate"))
+    fails = [  # alphabetical: tag-string order is part of the contract
+        ("custkey_present", F.col("custkey").isNull()),
+        ("date_in_range",
+         F.col("orderdate") >= F.to_timestamp(F.lit("2020-01-01 00:00:00"))),
+        ("price_positive", F.col("price") <= 0),
+        ("status_domain", ~F.col("status").isin("O", "F", "P")),
+    ]
+    tags = [F.when(cond, F.lit(name)) for name, cond in fails]
+    n_failed = sum(cond.cast("int") for _, cond in fails)
+    return (dirty
+            .select("orderkey",
+                    F.concat_ws(",", *tags).alias("failed_rules"),
+                    n_failed.alias("n_failed"))
+            .where(F.col("n_failed") >= 1))
+
+
 def _bpe_tokens_expr():
     """Lowercased whitespace tokens with the ␞-sentinel guard — the
     shared tokenization of the BPE train/step/encode family (the guard

@@ -3598,6 +3598,74 @@ REGISTRY: dict[str, QuerySpec] = {
         WHERE change_type IS NOT NULL
         """,
     ),
+    "etl_scd2_apply": QuerySpec(
+        X.etl_scd2_apply,
+        """
+        WITH dim AS (
+            SELECT c_custkey AS dk, round(c_acctbal, 2) AS dbal
+            FROM customer),
+        b AS (
+            SELECT c_custkey AS bk,
+                   round(round(c_acctbal, 2) + 50.0, 2) AS bbal
+            FROM customer WHERE c_custkey % 7 = 0
+            UNION ALL
+            SELECT c_custkey, round(c_acctbal, 2) FROM customer
+            WHERE c_custkey % 5 = 0 AND c_custkey % 7 <> 0
+            UNION ALL
+            SELECT c_custkey + 100000000, round(c_acctbal, 2) FROM customer
+            WHERE c_custkey % 11 = 0),
+        j AS (SELECT dk, dbal, bk, bbal
+              FROM dim FULL OUTER JOIN b ON dk = bk)
+        SELECT dk AS custkey, dbal AS acctbal,
+               DATE '1995-01-01' AS valid_from,
+               DATE '1996-06-01' AS valid_to, FALSE AS is_current
+        FROM j WHERE dk IS NOT NULL AND bk IS NOT NULL AND dbal <> bbal
+        UNION ALL
+        SELECT dk, bbal, DATE '1996-06-01', CAST(NULL AS DATE), TRUE
+        FROM j WHERE dk IS NOT NULL AND bk IS NOT NULL AND dbal <> bbal
+        UNION ALL
+        SELECT dk, dbal, DATE '1995-01-01', CAST(NULL AS DATE), TRUE
+        FROM j WHERE dk IS NOT NULL AND (bk IS NULL OR dbal = bbal)
+        UNION ALL
+        SELECT bk, bbal, DATE '1996-06-01', CAST(NULL AS DATE), TRUE
+        FROM j WHERE dk IS NULL
+        """,
+    ),
+    "etl_quarantine_split": QuerySpec(
+        X.etl_quarantine_split,
+        """
+        WITH dirty AS (
+            SELECT o_orderkey AS orderkey,
+                   CASE WHEN o_orderkey % 53 = 0 THEN -o_totalprice
+                        ELSE o_totalprice END AS price,
+                   CASE WHEN o_orderkey % 59 = 0 THEN 'X'
+                        ELSE o_orderstatus END AS status,
+                   CASE WHEN o_orderkey % 61 = 0 THEN NULL
+                        ELSE o_custkey END AS custkey,
+                   CASE WHEN o_orderkey % 67 = 0
+                        THEN TIMESTAMP '2099-01-01 00:00:00'
+                        ELSE o_orderdate END AS orderdate
+            FROM orders)
+        SELECT * FROM (
+            SELECT orderkey,
+                   concat_ws(',',
+                       CASE WHEN custkey IS NULL
+                            THEN 'custkey_present' END,
+                       CASE WHEN orderdate >= TIMESTAMP '2020-01-01 00:00:00'
+                            THEN 'date_in_range' END,
+                       CASE WHEN price <= 0 THEN 'price_positive' END,
+                       CASE WHEN status NOT IN ('O', 'F', 'P')
+                            THEN 'status_domain' END) AS failed_rules,
+                   (CASE WHEN custkey IS NULL THEN 1 ELSE 0 END
+                    + CASE WHEN orderdate >= TIMESTAMP '2020-01-01 00:00:00'
+                           THEN 1 ELSE 0 END
+                    + CASE WHEN price <= 0 THEN 1 ELSE 0 END
+                    + CASE WHEN status NOT IN ('O', 'F', 'P')
+                           THEN 1 ELSE 0 END) AS n_failed
+            FROM dirty)
+        WHERE n_failed >= 1
+        """,
+    ),
     "text_bpe_train": QuerySpec(X.text_bpe_train, None),
     "text_bpe_merge_step": QuerySpec(
         X.text_bpe_merge_step,
@@ -4922,6 +4990,10 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     # (bit-exact fetchall + pandas-bridge dtype symmetry / clean
     # rows-only execution) before commit; entries not in the window
     # are covered by the committed CORRECTNESS_full_r09.json artifact.
+    # NOTE: etl_scd2_apply / etl_quarantine_split were added AFTER this
+    # window was frozen and pre-audited; as new entries they enter the
+    # r10 window under policy rule (1) — the r9 union claim above is
+    # over the 269 entries that existed at rotation time.
     "multimodal_phash_pairs", "ref_pipeline_golden", "ann_lsh_topk",
     "embedding_kmeans_train", "graph_pagerank_step", "graph_pagerank",
     "ann_ivf_topk", "dedup_simhash_pairs",

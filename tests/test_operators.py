@@ -4672,3 +4672,84 @@ def test_rate_limit_sample_keeps_earliest(spark):
         assert len(rows) <= 3
         expect = [eid for _, eid in sorted(full[key])[:3]]
         assert [r.event_id for r in rows] == expect
+
+
+def test_scd2_apply_version_chain_invariants(spark):
+    """etl_scd2_apply invariants, recomputed independently in Python:
+    updated keys carry a closed old version + an open new one, no-op
+    batch rows do NOT version, batch-only keys insert one current row,
+    and every key ends with exactly one is_current version."""
+    from collections import defaultdict
+    from datetime import date
+
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        etl_scd2_apply,
+    )
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.sources.tables import (
+        read_parquet_table,
+    )
+
+    bal = {r.c_custkey: round(r.c_acctbal, 2)
+           for r in read_parquet_table(spark, SF_SMALL, "customer")
+           .select("c_custkey", "c_acctbal").collect()}
+    by_key = defaultdict(list)
+    for r in etl_scd2_apply(spark, SF_SMALL).collect():
+        by_key[r.custkey].append(r)
+
+    t0, eff = date(1995, 1, 1), date(1996, 6, 1)
+    for k, old in bal.items():
+        rows = by_key.pop(k)
+        if k % 7 == 0:                       # updated: closed + current
+            assert len(rows) == 2
+            closed, = [r for r in rows if not r.is_current]
+            cur, = [r for r in rows if r.is_current]
+            assert (closed.acctbal, closed.valid_from,
+                    closed.valid_to) == (old, t0, eff)
+            assert (cur.acctbal, cur.valid_from,
+                    cur.valid_to) == (round(old + 50.0, 2), eff, None)
+        else:                                # no-op or untouched: as-is
+            (r,) = rows
+            assert (r.acctbal, r.valid_from, r.valid_to,
+                    r.is_current) == (old, t0, None, True)
+    # the remainder must be exactly the shifted inserts, one current row
+    assert set(by_key) == {k + 100_000_000 for k in bal if k % 11 == 0}
+    for k, rows in by_key.items():
+        (r,) = rows
+        assert (r.acctbal, r.valid_from, r.valid_to, r.is_current) == (
+            bal[k - 100_000_000], eff, None, True)
+
+
+def test_quarantine_split_routes_exactly_the_planted_failures(spark):
+    """etl_quarantine_split: the quarantined key set and the per-row
+    tag strings equal an independent Python recomputation of the
+    planted corruption rules, tags stay alphabetical, and clean rows
+    never route."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        etl_quarantine_split,
+    )
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.sources.tables import (
+        read_parquet_table,
+    )
+
+    orders = read_parquet_table(spark, SF_SMALL, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus", "o_custkey",
+        "o_orderdate").collect()
+    want = {}
+    for r in orders:
+        fails = []
+        if r.o_orderkey % 61 == 0:
+            fails.append("custkey_present")
+        if r.o_orderkey % 67 == 0:
+            fails.append("date_in_range")
+        if r.o_orderkey % 53 == 0 or r.o_totalprice <= 0:
+            fails.append("price_positive")
+        if r.o_orderkey % 59 == 0:
+            fails.append("status_domain")
+        if fails:
+            want[r.o_orderkey] = ",".join(fails)  # already alphabetical
+    got = {r.orderkey: (r.failed_rules, r.n_failed)
+           for r in etl_quarantine_split(spark, SF_SMALL).collect()}
+    assert {k: v for k, (v, _) in got.items()} == want
+    for tags, n in got.values():
+        parts = tags.split(",")
+        assert parts == sorted(parts) and n == len(parts)

@@ -1175,3 +1175,30 @@ def test_rate_limit_window_group_limit(spark):
     plan = _plan(XX.events_rate_limit_sample(spark, SF_SMALL))
     assert "WindowGroupLimit" in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_scd2_apply_single_full_outer_join_then_explode(spark):
+    """etl_scd2_apply is ONE full-outer SMJ on the business key (full
+    outer cannot broadcast-hash, so two key exchanges is the minimal
+    plan) and the version fan-out is a generate above it — no second
+    join, no window, no post-explode reshuffle."""
+    df = X.etl_scd2_apply(spark, SF_SMALL)
+    plan = _plan(df)
+    assert "FullOuter" in plan
+    assert "Window" not in plan
+    assert plan.count("Join") == 1
+    assert "Generate explode" in plan
+    exchanges = [ln for ln in plan.splitlines()
+                 if "Exchange" in ln and "BroadcastExchange" not in ln]
+    assert len(exchanges) == 2, exchanges
+
+
+def test_quarantine_split_zero_shuffle_single_stage(spark):
+    """etl_quarantine_split is a pure narrow map + filter: zero
+    exchanges, zero joins, and the rule predicates fused into the
+    scan's WholeStageCodegen."""
+    df = X.etl_quarantine_split(spark, SF_SMALL)
+    plan = _plan(df)
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert plan.lstrip().startswith("*(1)")   # codegen stage 1 = whole plan
