@@ -99,7 +99,8 @@ SCALE_QUERIES = [
 ]
 
 
-def ensure_lake(lake: str, src: str, reps: int) -> None:
+def ensure_lake(lake: str, src: str, reps: int,
+                dedup_fair: bool = False) -> None:
     # embeddings is the LAST table make_scale_lake.py writes, so its
     # presence means the build ran to completion (lineitem, written
     # 7th, would accept an interrupted build — r5 review)
@@ -107,12 +108,13 @@ def ensure_lake(lake: str, src: str, reps: int) -> None:
     if os.path.exists(marker):
         return
     print(f"building {reps}x scale lake at {lake} ...", file=sys.stderr)
-    subprocess.run(
-        [sys.executable,
-         os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                      "make_scale_lake.py"),
-         "--src", src, "--out", lake, "--reps", str(reps)],
-        check=True)
+    cmd = [sys.executable,
+           os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "make_scale_lake.py"),
+           "--src", src, "--out", lake, "--reps", str(reps)]
+    if dedup_fair:
+        cmd.append("--dedup-fair")
+    subprocess.run(cmd, check=True)
 
 
 def main() -> None:
@@ -128,6 +130,12 @@ def main() -> None:
                          "only the shapes worth 100x-scale wall-clock)")
     ap.add_argument("--metric", default="bench_scale_sf1",
                     help="metric label for the emitted record")
+    ap.add_argument("--dedup-fair", action="store_true",
+                    help="build the lake with make_scale_lake.py "
+                         "--dedup-fair (constant duplicate-cluster "
+                         "width — the construction under which a dedup "
+                         "linearity ratio is meaningful); recorded in "
+                         "the artifact")
     args = ap.parse_args()
 
     names = (args.queries.split(",") if args.queries else SCALE_QUERIES)
@@ -135,7 +143,8 @@ def main() -> None:
     if unknown:
         raise SystemExit(f"--queries not in SCALE_QUERIES: {unknown}")
 
-    ensure_lake(args.lake, args.src, args.reps)
+    ensure_lake(args.lake, args.src, args.reps,
+                dedup_fair=args.dedup_fair)
     spark = get_spark("bench-scale")
     fns = {name: queries()[name] for name in names}
 
@@ -186,6 +195,7 @@ def main() -> None:
         "reps": args.reps,
         "src": args.src,
         "lake": args.lake,
+        "dedup_fair": args.dedup_fair,
         "runs_per_query": args.runs,
         "sf0_1_sec": small,
         "sf1_sec": big,

@@ -60,6 +60,18 @@ def main() -> None:
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default="/tmp/scale_sf1")
     ap.add_argument("--reps", type=int, default=10)
+    ap.add_argument("--dedup-fair", action="store_true",
+                    help="suffix EVERY token of replica i's documents "
+                         "with _i (not just the document tail): a "
+                         "bijective token mapping per replica, so "
+                         "intra-replica near-dup structure is exactly "
+                         "preserved while cross-replica token/shingle "
+                         "overlap is ZERO. Duplicate-cluster width then "
+                         "stays constant as replicas grow — the lake a "
+                         "dedup linearity claim needs (the default "
+                         "per-doc suffix widens every cluster with the "
+                         "replica count, growing pair counts "
+                         "quadratically by construction)")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
     con = duckdb.connect()
@@ -83,6 +95,19 @@ def main() -> None:
             for c in cols:
                 if c in shift_cols:
                     exprs.append(f"{c} + {i * strides[c]} AS {c}")
+                elif (tab == "documents" and c == "text" and i > 0
+                      and args.dedup_fair):
+                    exprs.append(
+                        r"array_to_string(list_transform("
+                        r"regexp_split_to_array(trim(text), '\s+'), "
+                        f"t -> t || '_{i}'), ' ') AS text")
+                elif (tab == "documents" and c == "n_chars" and i > 0
+                      and args.dedup_fair):
+                    # recompute from the rewritten text (every token grew)
+                    exprs.append(
+                        r"length(array_to_string(list_transform("
+                        r"regexp_split_to_array(trim(text), '\s+'), "
+                        f"t -> t || '_{i}'), ' ')) AS n_chars")
                 elif tab == "documents" and c == "text" and i > 0:
                     exprs.append(f"text || ' r{i}' AS text")
                 elif tab == "documents" and c == "n_chars" and i > 0:
