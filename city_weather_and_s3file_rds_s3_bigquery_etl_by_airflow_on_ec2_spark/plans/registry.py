@@ -4990,10 +4990,14 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     # (bit-exact fetchall + pandas-bridge dtype symmetry / clean
     # rows-only execution) before commit; entries not in the window
     # are covered by the committed CORRECTNESS_full_r09.json artifact.
-    # NOTE: etl_scd2_apply / etl_quarantine_split were added AFTER this
-    # window was frozen and pre-audited; as new entries they enter the
-    # r10 window under policy rule (1) — the r9 union claim above is
-    # over the 269 entries that existed at rotation time.
+    # LATE-r9 SWAP: etl_scd2_apply / etl_quarantine_split were added
+    # after the original rotation; per policy rule (1) (new entries
+    # enter the window first) they displace the two STALEST re-entry
+    # slots (subquery_in_grouped / subquery_not_in — both r1-hashed, so
+    # the union stays complete), keeping the never-hashed backlog empty
+    # in-round. The swapped window was re-audited green in full before
+    # commit (bit-exact fetchall + dtype symmetry).
+    "etl_scd2_apply", "etl_quarantine_split",
     "multimodal_phash_pairs", "ref_pipeline_golden", "ann_lsh_topk",
     "embedding_kmeans_train", "graph_pagerank_step", "graph_pagerank",
     "ann_ivf_topk", "dedup_simhash_pairs",
@@ -5013,7 +5017,6 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "generator_range", "sample_bernoulli", "agg_string_concat",
     "scalar_bitwise", "scalar_format", "subquery_scalar", "subquery_in",
     "subquery_exists_correlated", "subquery_correlated_min",
-    "subquery_in_grouped", "subquery_not_in",
 )
 assert set(_DRIVER_WINDOW_FIRST) <= set(REGISTRY), sorted(
     set(_DRIVER_WINDOW_FIRST) - set(REGISTRY))
