@@ -2332,6 +2332,67 @@ def etl_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "v.valid_to", "v.is_current"))
 
 
+def table_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor between two table snapshots via the
+    Population Stability Index — the standard "did this feed shift
+    under me?" check a production warehouse/corpus load runs per batch
+    (completing the monitoring triad: `table_profile` describes ONE
+    snapshot, `table_snapshot_diff` lists row-level changes, this
+    scores the DISTRIBUTIONAL shift; the reference reloads its tables
+    blind, README.md:104-118).
+
+    The "new" snapshot is derived deterministically from the lake so
+    the score is oracle-replayable: keys ≡0 mod 97 churn out, and keys
+    ≡0 mod 3 get a 7 % price inflation — a real mean-shift the PSI
+    must flag. Prices bin into 12 fixed-width 50 k buckets (top bucket
+    open-ended) and both histograms are Laplace-smoothed, so no bin's
+    log-ratio can blow up on an empty cell.
+
+    PSI convention: per-bin term (actual−expected)·ln(actual/expected),
+    summed by the consumer; total < 0.1 ≙ stable, > 0.25 ≙ major shift.
+
+    Plan: two parquet scans → two 12-row hash-aggs → a 12-row join —
+    partial aggregation map-side, nothing but bin counts ever
+    shuffles; at 100 TB this costs exactly the two scans."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+
+    def binned(df):
+        b = F.least(F.floor(F.col("o_totalprice") / 50_000.0),
+                    F.lit(11)).cast("int")
+        return df.select(b.alias("bin")).groupBy("bin") \
+                 .agg(F.count(F.lit(1)).alias("n"))
+
+    old = binned(orders)
+    new = binned(orders.where(k % 97 != 0).select(
+        k.alias("o_orderkey"),
+        F.when(k % 3 == 0, F.col("o_totalprice") * 1.07)
+         .otherwise(F.col("o_totalprice")).alias("o_totalprice")))
+
+    # full outer on bin id keeps bins that exist in only one snapshot;
+    # Laplace add-one over the 12-bin support smooths the empty side
+    j = (old.withColumnRenamed("n", "n_old")
+         .join(new.withColumnRenamed("n", "n_new"), "bin", "full_outer")
+         .select("bin",
+                 F.coalesce("n_old", F.lit(0)).alias("n_old"),
+                 F.coalesce("n_new", F.lit(0)).alias("n_new")))
+    # single-partition window over ≤12 bin rows: a driver-sized no-op,
+    # not the global-funnel anti-pattern (the corpus never windows)
+    from pyspark.sql import Window
+    w = Window.partitionBy()
+    tot_old = F.sum("n_old").over(w)
+    tot_new = F.sum("n_new").over(w)
+    exp_pct = (F.col("n_old") + 1) / (tot_old + 12)
+    act_pct = (F.col("n_new") + 1) / (tot_new + 12)
+    return (j.select(
+        "bin", "n_old", "n_new",
+        F.round(exp_pct, 6).alias("expected_pct"),
+        F.round(act_pct, 6).alias("actual_pct"),
+        F.round((act_pct - exp_pct) * F.log(act_pct / exp_pct), 6)
+         .alias("psi_term"))
+    )
+
+
 def etl_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Validation-rule quarantine routing — the row-level complement of
     `table_expectations` (that op REPORTS table-level pass/fail

@@ -3631,6 +3631,42 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM j WHERE dk IS NULL
         """,
     ),
+    "table_drift_psi": QuerySpec(
+        X.table_drift_psi,
+        """
+        WITH old_b AS (
+            SELECT LEAST(CAST(floor(o_totalprice / 50000.0) AS INTEGER),
+                         11) AS bin,
+                   count(*) AS n_old
+            FROM orders GROUP BY 1),
+        new_b AS (
+            SELECT LEAST(CAST(floor(price / 50000.0) AS INTEGER),
+                         11) AS bin,
+                   count(*) AS n_new
+            FROM (SELECT CASE WHEN o_orderkey % 3 = 0
+                              THEN o_totalprice * 1.07
+                              ELSE o_totalprice END AS price
+                  FROM orders WHERE o_orderkey % 97 <> 0)
+            GROUP BY 1),
+        j AS (SELECT coalesce(o.bin, n.bin) AS bin,
+                     coalesce(n_old, 0) AS n_old,
+                     coalesce(n_new, 0) AS n_new
+              FROM old_b o FULL OUTER JOIN new_b n ON o.bin = n.bin),
+        t AS (SELECT bin, n_old, n_new,
+                     sum(n_old) OVER () AS tot_old,
+                     sum(n_new) OVER () AS tot_new
+              FROM j)
+        SELECT bin, n_old, n_new,
+               round((n_old + 1) / (tot_old + 12), 6) AS expected_pct,
+               round((n_new + 1) / (tot_new + 12), 6) AS actual_pct,
+               round(((n_new + 1) / (tot_new + 12)
+                      - (n_old + 1) / (tot_old + 12))
+                     * ln(((n_new + 1) / (tot_new + 12))
+                          / ((n_old + 1) / (tot_old + 12))), 6)
+                   AS psi_term
+        FROM t
+        """,
+    ),
     "etl_quarantine_split": QuerySpec(
         X.etl_quarantine_split,
         """
@@ -4990,14 +5026,15 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     # (bit-exact fetchall + pandas-bridge dtype symmetry / clean
     # rows-only execution) before commit; entries not in the window
     # are covered by the committed CORRECTNESS_full_r09.json artifact.
-    # LATE-r9 SWAP: etl_scd2_apply / etl_quarantine_split were added
-    # after the original rotation; per policy rule (1) (new entries
-    # enter the window first) they displace the two STALEST re-entry
-    # slots (subquery_in_grouped / subquery_not_in — both r1-hashed, so
-    # the union stays complete), keeping the never-hashed backlog empty
-    # in-round. The swapped window was re-audited green in full before
-    # commit (bit-exact fetchall + dtype symmetry).
-    "etl_scd2_apply", "etl_quarantine_split",
+    # LATE-r9 SWAPS: etl_scd2_apply / etl_quarantine_split /
+    # table_drift_psi were added after the original rotation; per
+    # policy rule (1) (new entries enter the window first) they
+    # displace the three STALEST re-entry slots (subquery_in_grouped /
+    # subquery_not_in / subquery_correlated_min — all r1-hashed, so
+    # the union stays complete), keeping the never-hashed backlog
+    # empty in-round. Each swapped window was re-audited green in full
+    # before commit (bit-exact fetchall + dtype symmetry).
+    "etl_scd2_apply", "etl_quarantine_split", "table_drift_psi",
     "multimodal_phash_pairs", "ref_pipeline_golden", "ann_lsh_topk",
     "embedding_kmeans_train", "graph_pagerank_step", "graph_pagerank",
     "ann_ivf_topk", "dedup_simhash_pairs",
@@ -5016,7 +5053,7 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "scalar_try_cast", "scalar_date_arith", "scalar_json_extract",
     "generator_range", "sample_bernoulli", "agg_string_concat",
     "scalar_bitwise", "scalar_format", "subquery_scalar", "subquery_in",
-    "subquery_exists_correlated", "subquery_correlated_min",
+    "subquery_exists_correlated",
 )
 assert set(_DRIVER_WINDOW_FIRST) <= set(REGISTRY), sorted(
     set(_DRIVER_WINDOW_FIRST) - set(REGISTRY))

@@ -4753,3 +4753,40 @@ def test_quarantine_split_routes_exactly_the_planted_failures(spark):
     for tags, n in got.values():
         parts = tags.split(",")
         assert parts == sorted(parts) and n == len(parts)
+
+
+def test_drift_psi_matches_python_and_flags_the_shift(spark):
+    """table_drift_psi: per-bin terms equal an independent Python
+    recomputation (same binning, same Laplace smoothing), every term is
+    non-negative (PSI's (a-e)*ln(a/e) factors share sign), and the
+    total flags the planted 7% inflation as a real shift (> 0)."""
+    import math
+    from collections import Counter
+
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        table_drift_psi,
+    )
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.sources.tables import (
+        read_parquet_table,
+    )
+
+    rows = read_parquet_table(spark, SF_SMALL, "orders").select(
+        "o_orderkey", "o_totalprice").collect()
+    binof = lambda p: min(int(p // 50_000), 11)
+    old = Counter(binof(r.o_totalprice) for r in rows)
+    new = Counter(
+        binof(r.o_totalprice * 1.07 if r.o_orderkey % 3 == 0
+              else r.o_totalprice)
+        for r in rows if r.o_orderkey % 97 != 0)
+    tot_old, tot_new = sum(old.values()), sum(new.values())
+    want = {}
+    for b in sorted(set(old) | set(new)):
+        e = (old.get(b, 0) + 1) / (tot_old + 12)
+        a = (new.get(b, 0) + 1) / (tot_new + 12)
+        want[b] = round((a - e) * math.log(a / e), 6)
+
+    got = {r.bin: r.psi_term for r in table_drift_psi(spark, SF_SMALL)
+           .collect()}
+    assert got == want
+    assert sum(got.values()) > 0               # the shift is detected
+    assert all(v >= 0 for v in got.values())   # PSI terms can't go negative
