@@ -282,6 +282,12 @@ _SINGLE_PARTITION_WHITELIST: dict[str, str] = {
         "a bounded top-k result, not data; the corpus itself is never "
         "globally sorted (test_rrf_arm_topk_before_rank proves the "
         "TakeOrderedAndProject sits below each Window)"),
+    "table_drift_psi": (
+        "the totals window runs over the joined bin censuses — at most "
+        "12 rows by construction (fixed 12-bin histogram), already "
+        "collapsed map-side by partial hash-aggs; the exchange moves "
+        "bin counts, never data (test_drift_psi_aggregates_before_"
+        "everything proves the aggregation sits below the exchange)"),
 }
 
 
