@@ -4790,3 +4790,50 @@ def test_drift_psi_matches_python_and_flags_the_shift(spark):
     assert got == want
     assert sum(got.values()) > 0               # the shift is detected
     assert all(v >= 0 for v in got.values())   # PSI terms can't go negative
+
+
+def test_quarantine_split_fires_on_natural_dirt(spark, tmp_path):
+    """etl_quarantine_split must route NATURALLY dirty rows, not just
+    its mod-derived corruption: the real lake carries no violations, so
+    this plants a lake where rows arrive already broken (negative
+    price, NULL custkey, bogus status, far-future date) at keys none of
+    the derivation mods touch — every rule must still fire, and a clean
+    row at an untouched key must not route."""
+    from datetime import datetime
+
+    from pyspark.sql import types as T
+
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        etl_quarantine_split,
+    )
+
+    # keys coprime to 53/59/61/67 so the mod-derivation leaves them be
+    d0 = datetime(1997, 5, 1)
+    rows = [
+        (1, 100.0, "O", 10, d0),                       # clean
+        (2, -5.0, "O", 10, d0),                        # natural bad price
+        (3, 100.0, "X", 10, d0),                       # natural bad status
+        (4, 100.0, "O", None, d0),                     # natural NULL custkey
+        (5, 100.0, "O", 10, datetime(2031, 1, 1)),     # natural future date
+        (7, 0.0, "Z", None, datetime(2040, 2, 2)),     # everything at once
+    ]
+    schema = T.StructType([
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+        T.StructField("o_orderstatus", T.StringType()),
+        T.StructField("o_custkey", T.LongType()),
+        T.StructField("o_orderdate", T.TimestampType()),
+    ])
+    lake = str(tmp_path / "dirty_lake")
+    spark.createDataFrame(rows, schema).coalesce(1) \
+        .write.parquet(f"{lake}/orders.parquet")
+
+    got = {r.orderkey: (r.failed_rules, r.n_failed)
+           for r in etl_quarantine_split(spark, lake).collect()}
+    assert 1 not in got                                 # clean row stays
+    assert got[2] == ("price_positive", 1)
+    assert got[3] == ("status_domain", 1)
+    assert got[4] == ("custkey_present", 1)
+    assert got[5] == ("date_in_range", 1)
+    assert got[7] == ("custkey_present,date_in_range,"
+                      "price_positive,status_domain", 4)
