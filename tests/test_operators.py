@@ -4837,3 +4837,37 @@ def test_quarantine_split_fires_on_natural_dirt(spark, tmp_path):
     assert got[5] == ("date_in_range", 1)
     assert got[7] == ("custkey_present,date_in_range,"
                       "price_positive,status_domain", 4)
+
+
+def test_drift_psi_smoothing_survives_disjoint_bins(spark, tmp_path):
+    """table_drift_psi's Laplace claim under the worst case: a lake
+    whose derived snapshot occupies a bin the old snapshot never had
+    (and vice versa). Every term must come back finite and non-negative
+    — the full-outer + add-one smoothing path, exercised for real."""
+    import math
+
+    from pyspark.sql import types as T
+
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        table_drift_psi,
+    )
+
+    # keys !=0 mod 97 (nothing churns) and chosen so the 7% inflation
+    # jumps keys%3==0 across the 50k bin edge: old bin 0 only, new gains
+    # bin 1 for the inflated third
+    rows = [(k, 48_000.0) for k in range(1, 31)]
+    schema = T.StructType([
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+    ])
+    lake = str(tmp_path / "edge_lake")
+    spark.createDataFrame(rows, schema).coalesce(1) \
+        .write.parquet(f"{lake}/orders.parquet")
+
+    got = {r.bin: r for r in table_drift_psi(spark, lake).collect()}
+    assert set(got) == {0, 1}
+    assert got[1].n_old == 0 and got[1].n_new > 0      # new-only bin
+    for r in got.values():
+        assert r.psi_term is not None and math.isfinite(r.psi_term)
+        assert r.psi_term >= 0
+        assert 0 < r.expected_pct < 1 and 0 < r.actual_pct < 1
