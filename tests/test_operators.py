@@ -4871,3 +4871,40 @@ def test_drift_psi_smoothing_survives_disjoint_bins(spark, tmp_path):
         assert r.psi_term is not None and math.isfinite(r.psi_term)
         assert r.psi_term >= 0
         assert 0 < r.expected_pct < 1 and 0 < r.actual_pct < 1
+
+
+def test_scd2_apply_exact_rows_on_controlled_dim(spark, tmp_path):
+    """etl_scd2_apply on a 4-key dimension chosen to hit each branch
+    exactly once: key 7 updates (two versions), key 5 arrives as a
+    no-op (one untouched row), key 13 is absent from the batch (one
+    untouched row), key 11 stays untouched AND spawns the shifted
+    insert. The full expected relation is asserted literally."""
+    from datetime import date
+
+    from pyspark.sql import types as T
+
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        etl_scd2_apply,
+    )
+
+    schema = T.StructType([
+        T.StructField("c_custkey", T.LongType()),
+        T.StructField("c_acctbal", T.DoubleType()),
+    ])
+    lake = str(tmp_path / "dim_lake")
+    spark.createDataFrame(
+        [(5, 10.0), (7, 20.0), (11, 30.0), (13, 40.0)], schema) \
+        .coalesce(1).write.parquet(f"{lake}/customer.parquet")
+
+    t0, eff = date(1995, 1, 1), date(1996, 6, 1)
+    got = sorted(
+        (r.custkey, r.acctbal, r.valid_from, r.valid_to, r.is_current)
+        for r in etl_scd2_apply(spark, lake).collect())
+    assert got == [
+        (5, 10.0, t0, None, True),            # no-op: never versions
+        (7, 20.0, t0, eff, False),            # update: closed old
+        (7, 70.0, eff, None, True),           # update: open new
+        (11, 30.0, t0, None, True),           # untouched in the dim
+        (13, 40.0, t0, None, True),           # absent from the batch
+        (100_000_011, 30.0, eff, None, True),  # the shifted insert
+    ]
