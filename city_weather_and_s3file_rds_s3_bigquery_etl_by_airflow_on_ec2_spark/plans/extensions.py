@@ -1249,12 +1249,20 @@ def embedding_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/clustering.py pq_train/pq_encode): m=4 subspaces x
     k=16 centroids — 64-dim float vectors compressed to 4 codes.
     Rows-only (iterative k-means training); roundtrip and
-    error-monotonicity are ground-truthed in tests."""
+    error-monotonicity are ground-truthed in tests.
+
+    Driver surface (VERDICT r9 #1): the raw ``pq_codes array<int>``
+    crashes the driver's pandas canonicalizer (lists are unhashable),
+    so this entry projects the codes injectively as a '-'-joined
+    STRING — same convention as the hex() rule for BinaryType.  The
+    array stays on the operator API (``pq_encode``) and in tests."""
     from ..operators.clustering import pq_encode, pq_train
     (embeddings,) = _t(spark, sf_dir, "embeddings")
     books = pq_train(embeddings, m=4, k=16, max_iter=5)
     return (pq_encode(embeddings, books)
-            .select("vec_id", "pq_codes",
+            .select("vec_id",
+                    F.concat_ws("-", F.col("pq_codes").cast(
+                        "array<string>")).alias("pq_code_str"),
                     F.round("recon_err", 6).alias("recon_err")))
 
 

@@ -728,18 +728,41 @@ def test_generate_entries_full_materialization_bounded(spark):
         f"recompute-above-Generate regression?): {slow}")
 
 
-def test_no_binary_type_faces_the_driver(spark):
-    """VERDICT r6 #2: the driver's canonicalizer (a pandas
-    order-insensitive sort) cannot factorize ``bytearray``, so any
-    oracle-checked registry entry whose top-level schema contains
-    BinaryType crashes the driver window with `err` even when the
-    bytes are bit-exact.  Convention: project payloads as
-    ``hex(...)`` / ``sha2(...)`` STRINGs in the driver-facing entry
-    (injective, byte-exactness preserved) and keep the raw-bytes path
-    in unit tests.  Rows-only entries (no oracle) never reach the
-    canonicalizer and are exempt."""
-    from pyspark.sql.types import BinaryType
+def _pandas_unhashable_cols(schema) -> list[str]:
+    """Top-level columns the driver's pandas canonicalizer cannot
+    factorize: bytearray (Binary), list (Array), dict (Map)."""
+    from pyspark.sql.types import ArrayType, BinaryType, MapType
+    return [f.name for f in schema.fields
+            if isinstance(f.dataType, (BinaryType, ArrayType, MapType))]
 
+
+def test_unhashable_lint_catches_planted_offenders(spark):
+    """The lint predicate itself must flag each unhashable class (and
+    only those) on a planted schema — VERDICT r9 #2's done-criterion."""
+    df = spark.range(1).select(
+        F.array(F.lit(1), F.lit(2)).alias("arr"),
+        F.create_map(F.lit("k"), F.lit(1)).alias("map"),
+        F.lit(b"\x00").alias("bin"),
+        F.lit("ok").alias("str"),
+        F.lit(1.5).alias("dbl"),
+        F.struct(F.lit(1).alias("x")).alias("strct"))
+    assert _pandas_unhashable_cols(df.schema) == ["arr", "map", "bin"]
+
+
+def test_no_unhashable_type_faces_the_driver(spark):
+    """VERDICT r6 #2, extended per VERDICT r9 #2: the driver's
+    canonicalizer (a pandas order-insensitive sort) cannot factorize
+    anything pandas can't hash — ``bytearray`` (BinaryType), ``list``
+    (ArrayType), ``dict`` (MapType) — so ANY registry entry whose
+    top-level schema contains one crashes the driver window with
+    `err`.  r9 driver evidence (``embedding_pq_encode``,
+    ``CORRECTNESS_r09.json``) disproved the old assumption that
+    rows-only entries never reach the canonicalizer — the driver
+    runs its rows-only check through the same pandas path — so the
+    lint now covers EVERY entry, oracle or not.  Convention: project
+    payloads injectively as STRINGs (``hex(...)``, ``sha2(...)``,
+    ``concat_ws('-', ...)``) in the driver-facing entry and keep the
+    raw bytes/array on the operator API and in unit tests."""
     from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.registry import (
         REGISTRY,
     )
@@ -749,16 +772,15 @@ def test_no_binary_type_faces_the_driver(spark):
         # streaming builders execute a full micro-batch harness just to
         # produce a schema; their settled outputs are numeric/timestamp
         # aggregates already exercised by the oracle parity suite
-        if spec.oracle is None or name.startswith("streaming_"):
+        if name.startswith("streaming_"):
             continue
-        schema = spec.fn(spark, SF_SMALL).schema
-        bin_cols = [f.name for f in schema.fields
-                    if isinstance(f.dataType, BinaryType)]
-        if bin_cols:
-            offenders[name] = bin_cols
+        bad_cols = _pandas_unhashable_cols(spec.fn(spark, SF_SMALL).schema)
+        if bad_cols:
+            offenders[name] = bad_cols
     assert not offenders, (
-        "oracle-checked entries expose raw BinaryType to the driver "
-        f"(project hex()/sha2() strings instead): {offenders}")
+        "registry entries expose pandas-unhashable top-level columns "
+        "(binary/array/map) to the driver's canonicalizer — project "
+        f"injective STRINGs instead: {offenders}")
 
 
 def test_date_bin_downsample_single_aggregate_shuffle(spark):

@@ -44,7 +44,7 @@ def test_propose_window_shape_and_priorities():
     hashed = _hashed_union()
     never = [n for n in REGISTRY
              if n not in hashed and n not in changed]
-    if len(never) + len(changed) <= WINDOW_SIZE:
+    if never and len(never) + len(changed) <= WINDOW_SIZE:
         assert set(never) <= set(window)
         last_never = max(window.index(n) for n in never)
         stale = [n for n in window

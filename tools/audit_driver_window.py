@@ -207,6 +207,22 @@ def main() -> int:
         try:
             sdf = qs[name](spark, args.sf)
             spark_cols = sdf.columns
+            # VERDICT r9 #2: the driver canonicalizes EVERY window entry
+            # (rows-only included) through pandas, which cannot hash
+            # binary/array/map cells — catch the pq_encode class here,
+            # before the window ships, not in the driver artifact
+            from pyspark.sql.types import (ArrayType, BinaryType,
+                                           MapType)
+            unhashable = [f.name for f in sdf.schema.fields
+                          if isinstance(f.dataType,
+                                        (BinaryType, ArrayType,
+                                         MapType))]
+            if unhashable:
+                release_persisted()
+                print(f"FAIL  {name}: pandas-unhashable driver columns "
+                      f"{unhashable} — project injective STRINGs")
+                failures.append(name)
+                continue
             spark_rows = [tuple(r) for r in sdf.collect()]
             # toPandas is a second full materialization — only pay it
             # for oracle-backed entries that get a bridge-dtype check
