@@ -2247,8 +2247,10 @@ def table_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline consumes): given two versions of a table, emit one row per
     insert / update / delete with old and new values — here the "new"
     snapshot is derived deterministically from the lake (drop keys
-    ≡0 mod 97, bump price on keys ≡0 mod 13, insert fresh keys shifted
-    by 10⁸ for keys ≡0 mod 101) so the diff is oracle-replayable.
+    ≡0 mod 97, bump price on keys ≡0 mod 13, insert fresh −key−1 keys
+    for keys ≡0 mod 101 — strictly negative, outside the non-negative
+    key domain at every SF)
+    so the diff is oracle-replayable.
 
     Plan: ONE full-outer join on the primary key plus row-level
     comparison — the minimal diff plan; at 100 TB both snapshots
@@ -2264,8 +2266,8 @@ def table_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                          .otherwise(F.col("o_totalprice"))
                          .alias("o_totalprice")))
     inserted = (orders.where(F.col("o_orderkey") % 101 == 0)
-                .select((F.col("o_orderkey") + 100_000_000)
-                        .alias("o_orderkey"), "o_totalprice"))
+                .select((-F.col("o_orderkey") - 1).alias("o_orderkey"),
+                        "o_totalprice"))
     new = modified.unionByName(inserted)
     o, n = old.alias("o"), new.alias("n")
     j = o.join(n, F.col("o.o_orderkey") == F.col("n.o_orderkey"),
@@ -2295,7 +2297,10 @@ def etl_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole apply is oracle-replayable: customers ≡0 mod 7 arrive with a
     bumped balance (updates), ≡0 mod 5 (and not mod 7) arrive
     byte-identical (no-op rows — a MERGE must NOT version those), and
-    fresh keys shifted by 10⁸ for ≡0 mod 11 arrive as inserts.
+    fresh keys arrive as −key−1 for ≡0 mod 11 (strictly negative, so
+    provably outside the non-negative key domain at every SF — ADVICE
+    r9: a fixed +10⁸ shift collides with real custkeys past SF ≈ 667,
+    and bare negation would collide at key 0).
     Effective date 1996-06-01 closes superseded versions.
 
     Plan: ONE full-outer join on the business key, then a
@@ -2314,7 +2319,7 @@ def etl_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select("bk", F.round(F.col("bbal") + 50.0, 2).alias("bbal")))
     noops = base.where((F.col("bk") % 5 == 0) & (F.col("bk") % 7 != 0))
     inserts = (base.where(F.col("bk") % 11 == 0)
-               .select((F.col("bk") + 100_000_000).alias("bk"), "bbal"))
+               .select((-F.col("bk") - 1).alias("bk"), "bbal"))
     batch = updates.unionByName(noops).unionByName(inserts)
 
     j = dim.join(batch, dim.dk == batch.bk, "full_outer")
@@ -2358,10 +2363,15 @@ def table_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     PSI convention: per-bin term (actual−expected)·ln(actual/expected),
     summed by the consumer; total < 0.1 ≙ stable, > 0.25 ≙ major shift.
+    ALL 12 bins are emitted (ADVICE r9: censuses joined onto a fixed
+    12-row bin spine, not onto each other), so the emitted psi_term
+    rows sum to the COMPLETE smoothed PSI — bins empty in both
+    snapshots contribute their small nonzero term — and each pct
+    column sums to exactly 1.
 
-    Plan: two parquet scans → two 12-row hash-aggs → a 12-row join —
-    partial aggregation map-side, nothing but bin counts ever
-    shuffles; at 100 TB this costs exactly the two scans."""
+    Plan: two parquet scans → two 12-row hash-aggs broadcast onto the
+    12-row spine — partial aggregation map-side, nothing but bin
+    counts ever shuffles; at 100 TB this costs exactly the two scans."""
     (orders,) = _t(spark, sf_dir, "orders")
     k = F.col("o_orderkey")
 
@@ -2377,10 +2387,15 @@ def table_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(k % 3 == 0, F.col("o_totalprice") * 1.07)
          .otherwise(F.col("o_totalprice")).alias("o_totalprice")))
 
-    # full outer on bin id keeps bins that exist in only one snapshot;
-    # Laplace add-one over the 12-bin support smooths the empty side
-    j = (old.withColumnRenamed("n", "n_old")
-         .join(new.withColumnRenamed("n", "n_new"), "bin", "full_outer")
+    # fixed 12-row bin spine: bins absent from BOTH snapshots still
+    # emit their (smoothed, tiny) term, so the output is the complete
+    # PSI; Laplace add-one over the 12-bin support smooths empty cells
+    spine = spark.range(12).select(F.col("id").cast("int").alias("bin"))
+    j = (spine
+         .join(F.broadcast(old.withColumnRenamed("n", "n_old")),
+               "bin", "left")
+         .join(F.broadcast(new.withColumnRenamed("n", "n_new")),
+               "bin", "left")
          .select("bin",
                  F.coalesce("n_old", F.lit(0)).alias("n_old"),
                  F.coalesce("n_new", F.lit(0)).alias("n_new")))

@@ -3583,7 +3583,7 @@ REGISTRY: dict[str, QuerySpec] = {
                         ELSE o_totalprice END AS o_totalprice
             FROM orders WHERE o_orderkey % 97 <> 0
             UNION ALL
-            SELECT o_orderkey + 100000000, o_totalprice
+            SELECT -o_orderkey - 1, o_totalprice
             FROM orders WHERE o_orderkey % 101 = 0)
         SELECT * FROM (
             SELECT coalesce(o.o_orderkey, n.o_orderkey) AS orderkey,
@@ -3612,7 +3612,7 @@ REGISTRY: dict[str, QuerySpec] = {
             SELECT c_custkey, round(c_acctbal, 2) FROM customer
             WHERE c_custkey % 5 = 0 AND c_custkey % 7 <> 0
             UNION ALL
-            SELECT c_custkey + 100000000, round(c_acctbal, 2) FROM customer
+            SELECT -c_custkey - 1, round(c_acctbal, 2) FROM customer
             WHERE c_custkey % 11 = 0),
         j AS (SELECT dk, dbal, bk, bbal
               FROM dim FULL OUTER JOIN b ON dk = bk)
@@ -3648,10 +3648,13 @@ REGISTRY: dict[str, QuerySpec] = {
                               ELSE o_totalprice END AS price
                   FROM orders WHERE o_orderkey % 97 <> 0)
             GROUP BY 1),
-        j AS (SELECT coalesce(o.bin, n.bin) AS bin,
+        bins AS (SELECT CAST(range AS INTEGER) AS bin FROM range(12)),
+        j AS (SELECT b.bin,
                      coalesce(n_old, 0) AS n_old,
                      coalesce(n_new, 0) AS n_new
-              FROM old_b o FULL OUTER JOIN new_b n ON o.bin = n.bin),
+              FROM bins b
+              LEFT JOIN old_b o ON b.bin = o.bin
+              LEFT JOIN new_b n ON b.bin = n.bin),
         t AS (SELECT bin, n_old, n_new,
                      sum(n_old) OVER () AS tot_old,
                      sum(n_new) OVER () AS tot_new

@@ -3367,8 +3367,7 @@ def test_snapshot_diff_reconstructs_new_version(spark):
     # independent recomputation of the "new" snapshot
     want = {k: (round(v + 10.0, 2) if k % 13 == 0 else v)
             for k, v in old.items() if k % 97 != 0}
-    want.update({k + 100_000_000: v for k, v in old.items()
-                 if k % 101 == 0})
+    want.update({-k - 1: v for k, v in old.items() if k % 101 == 0})
     assert rebuilt == want
     assert {r.change_type for r in diff} == {"delete", "insert", "update"}
 
@@ -4711,12 +4710,12 @@ def test_scd2_apply_version_chain_invariants(spark):
             (r,) = rows
             assert (r.acctbal, r.valid_from, r.valid_to,
                     r.is_current) == (old, t0, None, True)
-    # the remainder must be exactly the shifted inserts, one current row
-    assert set(by_key) == {k + 100_000_000 for k in bal if k % 11 == 0}
+    # the remainder must be exactly the -key-1 inserts, one current row
+    assert set(by_key) == {-k - 1 for k in bal if k % 11 == 0}
     for k, rows in by_key.items():
         (r,) = rows
         assert (r.acctbal, r.valid_from, r.valid_to, r.is_current) == (
-            bal[k - 100_000_000], eff, None, True)
+            bal[-k - 1], eff, None, True)
 
 
 def test_quarantine_split_routes_exactly_the_planted_failures(spark):
@@ -4780,16 +4779,19 @@ def test_drift_psi_matches_python_and_flags_the_shift(spark):
         for r in rows if r.o_orderkey % 97 != 0)
     tot_old, tot_new = sum(old.values()), sum(new.values())
     want = {}
-    for b in sorted(set(old) | set(new)):
+    for b in range(12):      # ALL 12 bins: the emitted terms ARE the PSI
         e = (old.get(b, 0) + 1) / (tot_old + 12)
         a = (new.get(b, 0) + 1) / (tot_new + 12)
         want[b] = round((a - e) * math.log(a / e), 6)
 
-    got = {r.bin: r.psi_term for r in table_drift_psi(spark, SF_SMALL)
-           .collect()}
+    rows12 = table_drift_psi(spark, SF_SMALL).collect()
+    got = {r.bin: r.psi_term for r in rows12}
     assert got == want
     assert sum(got.values()) > 0               # the shift is detected
     assert all(v >= 0 for v in got.values())   # PSI terms can't go negative
+    # completeness (ADVICE r9): each smoothed pct column sums to 1
+    assert round(sum(r.expected_pct for r in rows12), 4) == 1.0
+    assert round(sum(r.actual_pct for r in rows12), 4) == 1.0
 
 
 def test_quarantine_split_fires_on_natural_dirt(spark, tmp_path):
@@ -4865,8 +4867,12 @@ def test_drift_psi_smoothing_survives_disjoint_bins(spark, tmp_path):
         .write.parquet(f"{lake}/orders.parquet")
 
     got = {r.bin: r for r in table_drift_psi(spark, lake).collect()}
-    assert set(got) == {0, 1}
+    assert set(got) == set(range(12))          # complete 12-bin spine
     assert got[1].n_old == 0 and got[1].n_new > 0      # new-only bin
+    for b in range(2, 12):                     # both-empty spine bins:
+        r = got[b]                             # equal totals here, so
+        assert r.n_old == 0 and r.n_new == 0   # smoothed a == e and the
+        assert r.psi_term == 0.0               # term is exactly zero
     for r in got.values():
         assert r.psi_term is not None and math.isfinite(r.psi_term)
         assert r.psi_term >= 0
@@ -4901,10 +4907,10 @@ def test_scd2_apply_exact_rows_on_controlled_dim(spark, tmp_path):
         (r.custkey, r.acctbal, r.valid_from, r.valid_to, r.is_current)
         for r in etl_scd2_apply(spark, lake).collect())
     assert got == [
+        (-12, 30.0, eff, None, True),         # the -key-1 insert
         (5, 10.0, t0, None, True),            # no-op: never versions
         (7, 20.0, t0, eff, False),            # update: closed old
         (7, 70.0, eff, None, True),           # update: open new
         (11, 30.0, t0, None, True),           # untouched in the dim
         (13, 40.0, t0, None, True),           # absent from the batch
-        (100_000_011, 30.0, eff, None, True),  # the shifted insert
     ]

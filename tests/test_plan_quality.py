@@ -1234,14 +1234,15 @@ def test_quarantine_split_zero_shuffle_single_stage(spark):
 
 def test_drift_psi_aggregates_before_everything(spark):
     """table_drift_psi: both snapshots collapse to 12-row bin censuses
-    (partial+final hash-agg per side) BEFORE the join and the totals
-    window — the corpus itself never joins, never windows."""
+    (partial+final hash-agg per side) BEFORE joining onto the 12-row
+    bin spine (broadcast, both of them) and the totals window — the
+    corpus itself never joins, never windows."""
     df = X.table_drift_psi(spark, SF_SMALL)
     plan = _plan(df)
     assert plan.count("HashAggregate") >= 4    # partial+final, each side
-    assert "Join" in plan and "Window" in plan
+    assert plan.count("BroadcastHashJoin") == 2  # censuses onto the spine
+    assert "Window" in plan
     # the single-partition exchange feeds the 12-row post-agg relation,
-    # so it must sit ABOVE the join of the two censuses in the tree
-    # (printed plans indent children below parents: SinglePartition
-    # appears before the join lines)
+    # so it must sit ABOVE the joins in the tree (printed plans indent
+    # children below parents: SinglePartition precedes the join lines)
     assert plan.index("SinglePartition") < plan.index("Join")

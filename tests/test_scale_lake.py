@@ -5,7 +5,10 @@ default per-doc ` r{i}` suffix makes every replica a near-twin of the
 source doc, so duplicate-cluster WIDTH grows with the replica count and
 verified pair counts grow quadratically by construction (BASELINE.md
 round-9 second-decade section).  --dedup-fair instead suffixes EVERY
-token with ``_{i}`` — a bijective token mapping per replica — so:
+token with ``␞i`` (a reserved sentinel no source token contains, so
+the per-replica images are provably disjoint even for corpora whose
+tokens end in ``_N`` — ADVICE r9) — a bijective token mapping per
+replica — so:
 
 1. intra-replica token-set Jaccard is exactly preserved (pair count
    scales exactly linearly with replicas), and
@@ -99,6 +102,42 @@ def test_fair_lake_n_chars_matches_rewritten_text(fair_lake):
         f"SELECT count(*) FROM '{fair_lake}/documents.parquet' "
         f"WHERE n_chars <> length(text)").fetchone()[0]
     assert bad == 0
+
+
+def test_meta_records_build_mode(fair_lake):
+    """ADVICE r9: the lake carries its own build provenance, written
+    LAST (it doubles as the completed-build marker)."""
+    import json
+    meta = json.load(open(os.path.join(fair_lake, "_meta.json")))
+    assert meta["dedup_fair"] is True
+    assert meta["reps"] == 3
+    assert os.path.normpath(meta["src"]) == os.path.normpath(SRC)
+
+
+def test_ensure_lake_rebuilds_on_mode_mismatch(tmp_path):
+    """bench_scale.ensure_lake must refuse to bench the wrong lake: a
+    classic-mode lake requested as dedup-fair is rebuilt (and the
+    returned metadata — the artifact's label — reflects the rebuild)."""
+    sys.path.insert(0, os.path.join(ROOT, "tools"))
+    from bench_scale import ensure_lake
+
+    out = str(tmp_path / "lake")
+    meta = ensure_lake(out, SRC, 2, dedup_fair=False)
+    assert meta["dedup_fair"] is False
+    # same parameters: reuse, no rebuild (meta returned verbatim)
+    again = ensure_lake(out, SRC, 2, dedup_fair=False)
+    assert again == meta
+    # mode flip: must rebuild as fair and say so in the metadata
+    flipped = ensure_lake(out, SRC, 2, dedup_fair=True)
+    assert flipped["dedup_fair"] is True
+    con = duckdb.connect()
+    n_src = con.execute(
+        f"SELECT count(*) FROM '{SRC}/documents.parquet'").fetchone()[0]
+    # and the documents really are fair-mode now (sentinel suffix)
+    suffixed = con.execute(
+        f"SELECT count(*) FROM '{out}/documents.parquet' "
+        f"WHERE doc_id >= {n_src} AND text LIKE '%␞1%'").fetchone()[0]
+    assert suffixed > 0
 
 
 def test_default_mode_unchanged(tmp_path):

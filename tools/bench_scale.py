@@ -100,13 +100,36 @@ SCALE_QUERIES = [
 
 
 def ensure_lake(lake: str, src: str, reps: int,
-                dedup_fair: bool = False) -> None:
-    # embeddings is the LAST table make_scale_lake.py writes, so its
-    # presence means the build ran to completion (lineitem, written
-    # 7th, would accept an interrupted build — r5 review)
-    marker = os.path.join(lake, "embeddings.parquet")
-    if os.path.exists(marker):
-        return
+                dedup_fair: bool = False) -> dict:
+    """Build the scale lake if absent, REBUILD it if it was built with
+    different parameters (ADVICE r9: benching a dedup-fair run against
+    a classic-mode lake — or vice versa — silently mislabels the
+    evidence).  make_scale_lake.py writes ``_meta.json`` LAST, so its
+    presence is both the completed-build marker and the provenance
+    record; pre-meta lakes (unknown mode) are rebuilt rather than
+    guessed at.  Returns the lake's metadata — the artifact's
+    ``dedup_fair`` field derives from THIS, not from the CLI flag."""
+    import glob
+    import json
+    meta_path = os.path.join(lake, "_meta.json")
+    want = {"src": os.path.normpath(src), "reps": reps,
+            "dedup_fair": bool(dedup_fair)}
+    if os.path.exists(meta_path):
+        meta = json.load(open(meta_path))
+        got = {"src": os.path.normpath(meta.get("src", "")),
+               "reps": meta.get("reps"),
+               "dedup_fair": meta.get("dedup_fair")}
+        if got == want:
+            return meta
+        print(f"lake at {lake} was built as {got}, this run needs "
+              f"{want} — rebuilding", file=sys.stderr)
+    elif os.path.exists(os.path.join(lake, "embeddings.parquet")):
+        print(f"lake at {lake} predates _meta.json (mode unknown) — "
+              "rebuilding", file=sys.stderr)
+    for stale in glob.glob(os.path.join(lake, "*.parquet")):
+        os.remove(stale)
+    if os.path.exists(meta_path):
+        os.remove(meta_path)
     print(f"building {reps}x scale lake at {lake} ...", file=sys.stderr)
     cmd = [sys.executable,
            os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -115,6 +138,7 @@ def ensure_lake(lake: str, src: str, reps: int,
     if dedup_fair:
         cmd.append("--dedup-fair")
     subprocess.run(cmd, check=True)
+    return json.load(open(meta_path))
 
 
 def main() -> None:
@@ -143,8 +167,8 @@ def main() -> None:
     if unknown:
         raise SystemExit(f"--queries not in SCALE_QUERIES: {unknown}")
 
-    ensure_lake(args.lake, args.src, args.reps,
-                dedup_fair=args.dedup_fair)
+    lake_meta = ensure_lake(args.lake, args.src, args.reps,
+                            dedup_fair=args.dedup_fair)
     spark = get_spark("bench-scale")
     fns = {name: queries()[name] for name in names}
 
@@ -195,7 +219,9 @@ def main() -> None:
         "reps": args.reps,
         "src": args.src,
         "lake": args.lake,
-        "dedup_fair": args.dedup_fair,
+        # derived from the lake's _meta.json, not the CLI flag — the
+        # artifact labels what was actually benched (ADVICE r9)
+        "dedup_fair": bool(lake_meta["dedup_fair"]),
         "runs_per_query": args.runs,
         "sf0_1_sec": small,
         "sf1_sec": big,

@@ -62,7 +62,11 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=10)
     ap.add_argument("--dedup-fair", action="store_true",
                     help="suffix EVERY token of replica i's documents "
-                         "with _i (not just the document tail): a "
+                         "with ␞i (not just the document tail; ␞ is a "
+                         "reserved sentinel no source token contains — "
+                         "ADVICE r9: a plain _i suffix would collide "
+                         "with source tokens that already end in _N, "
+                         "breaking the disjoint-images guarantee): a "
                          "bijective token mapping per replica, so "
                          "intra-replica near-dup structure is exactly "
                          "preserved while cross-replica token/shingle "
@@ -100,14 +104,14 @@ def main() -> None:
                     exprs.append(
                         r"array_to_string(list_transform("
                         r"regexp_split_to_array(trim(text), '\s+'), "
-                        f"t -> t || '_{i}'), ' ') AS text")
+                        f"t -> t || '␞{i}'), ' ') AS text")
                 elif (tab == "documents" and c == "n_chars" and i > 0
                       and args.dedup_fair):
                     # recompute from the rewritten text (every token grew)
                     exprs.append(
                         r"length(array_to_string(list_transform("
                         r"regexp_split_to_array(trim(text), '\s+'), "
-                        f"t -> t || '_{i}'), ' ')) AS n_chars")
+                        f"t -> t || '␞{i}'), ' ')) AS n_chars")
                 elif tab == "documents" and c == "text" and i > 0:
                     exprs.append(f"text || ' r{i}' AS text")
                 elif tab == "documents" and c == "n_chars" and i > 0:
@@ -119,6 +123,16 @@ def main() -> None:
                 f"(FORMAT PARQUET)")
         n = con.sql(f"SELECT count(*) FROM '{out}'").fetchone()[0]
         print(f"{tab}: {n} rows")
+
+    # build provenance (ADVICE r9): consumers (bench_scale.ensure_lake)
+    # must be able to tell WHICH mode built this lake — a dedup-fair
+    # linearity claim against a classic-mode lake is mislabeled evidence.
+    # Written LAST, after every table, so it doubles as the
+    # completed-build marker.
+    import json
+    with open(os.path.join(args.out, "_meta.json"), "w") as fh:
+        json.dump({"src": args.src, "reps": args.reps,
+                   "dedup_fair": bool(args.dedup_fair)}, fh)
 
 
 if __name__ == "__main__":
