@@ -93,6 +93,10 @@ def main() -> None:
         # headline so gram-census / prefix-sum regressions are caught by
         # the per-round artifact, not only the sf1 scale tool
         "corpus_dsir_weights", "corpus_loader_pipeline",
+        # r10 addition (VERDICT r9 #8): one warehouse-ETL headline so
+        # the floor gate also guards the r9 surface (SCD2 = the
+        # full-outer MERGE shape)
+        "etl_scd2_apply",
     ]
     fns = bench_queries()
     assert set(order) == set(fns), (

@@ -2543,8 +2543,11 @@ def text_bpe_train(spark: SparkSession, sf_dir: str,
     the merge application is a zero-shuffle executor-local fold.  The
     re-tokenized corpus is persisted each round and the previous
     round's cache released, so round k costs one census over the
-    current corpus, not k chained recomputes.  Rows-only entry (a K-
-    step fold is not reasonably SQL-expressible); ground truth is a
+    current corpus, not k chained recomputes.  Oracle-checked as of
+    r10: the K=3 loop unrolls into 3 census→argmax rounds in SQL, with
+    each greedy merge re-spelled as a boundary-safe whole-token string
+    replace applied twice (exactly equivalent for a ≠ b pairs — see
+    the registry comment); ground truth additionally includes a
     pure-Python BPE trainer over the same lake in tests."""
     merges = _bpe_train_merges(spark, sf_dir, n_merges)
     return spark.createDataFrame(

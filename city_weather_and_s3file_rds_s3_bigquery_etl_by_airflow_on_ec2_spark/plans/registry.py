@@ -761,7 +761,14 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM range(0, 1000)
         """,
     ),
-    "sample_bernoulli": QuerySpec(R.sample_bernoulli, None),
+    "sample_bernoulli": QuerySpec(
+        R.sample_bernoulli,
+        """
+        SELECT o_orderkey FROM orders
+        WHERE ((o_orderkey % 2147483648) * 2654435761) % 4294967296
+              < 429496729
+        """,
+    ),
     "agg_string_concat": QuerySpec(
         R.agg_string_concat,
         """
@@ -3600,7 +3607,11 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "etl_scd2_apply": QuerySpec(
         X.etl_scd2_apply,
-        """
+        bench=True,   # r10 (VERDICT r9 #8): the floor gate guards the
+        # r9 warehouse-ETL surface through its joiniest member — the
+        # full-outer MERGE shape regresses if a second join/window or a
+        # post-explode reshuffle ever sneaks into the plan
+        oracle="""
         WITH dim AS (
             SELECT c_custkey AS dk, round(c_acctbal, 2) AS dbal
             FROM customer),
@@ -3705,7 +3716,65 @@ REGISTRY: dict[str, QuerySpec] = {
         WHERE n_failed >= 1
         """,
     ),
-    "text_bpe_train": QuerySpec(X.text_bpe_train, None),
+    # Oracle promoted in r10 (VERDICT r9 #6, the kmeans_train unroll
+    # trick): the K=3 training loop unrolls into 3 census→argmax rounds
+    # with the corpus REWRITTEN between rounds.  The greedy merge fold
+    # re-spells as a whole-token string replace on the single-space
+    # join (tokens never contain spaces; merged symbols join with ␞):
+    # for a <> b pairs — the census excludes self-pairs — merge sites
+    # never overlap, so greedy == replace-ALL-occurrences; replace()
+    # resumes after each match, which skips an occurrence whose leading
+    # boundary space the previous match consumed, but two missed sites
+    # are never adjacent (a missed site's predecessor was matched), so
+    # applying the SAME replace twice provably catches every site.
+    "text_bpe_train": QuerySpec(
+        X.text_bpe_train,
+        f"""
+        WITH d0 AS (
+            SELECT doc_id,
+                   list_filter(list_transform({_TOKS}, t -> lower(t)),
+                               t -> NOT contains(t, '␞')) AS tk
+            FROM documents
+        ), m1 AS (
+            SELECT tk[i] AS a, tk[i+1] AS b, count(*) AS cnt
+            FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM d0)
+            WHERE tk[i] <> tk[i+1]
+            GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 1
+        ), d1 AS (
+            SELECT doc_id, CASE WHEN len(tk) = 0 THEN tk ELSE
+                string_split(trim(replace(replace(
+                    ' ' || array_to_string(tk, ' ') || ' ',
+                    ' ' || a || ' ' || b || ' ',
+                    ' ' || a || '␞' || b || ' '),
+                    ' ' || a || ' ' || b || ' ',
+                    ' ' || a || '␞' || b || ' ')), ' ') END AS tk
+            FROM d0 CROSS JOIN m1
+        ), m2 AS (
+            SELECT tk[i] AS a, tk[i+1] AS b, count(*) AS cnt
+            FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM d1)
+            WHERE tk[i] <> tk[i+1]
+            GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 1
+        ), d2 AS (
+            SELECT doc_id, CASE WHEN len(tk) = 0 THEN tk ELSE
+                string_split(trim(replace(replace(
+                    ' ' || array_to_string(tk, ' ') || ' ',
+                    ' ' || a || ' ' || b || ' ',
+                    ' ' || a || '␞' || b || ' '),
+                    ' ' || a || ' ' || b || ' ',
+                    ' ' || a || '␞' || b || ' ')), ' ') END AS tk
+            FROM d1 CROSS JOIN m2
+        ), m3 AS (
+            SELECT tk[i] AS a, tk[i+1] AS b, count(*) AS cnt
+            FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM d2)
+            WHERE tk[i] <> tk[i+1]
+            GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 1
+        )
+        SELECT 0 AS rank, a AS pair_a, b AS pair_b,
+               CAST(cnt AS BIGINT) AS freq FROM m1
+        UNION ALL SELECT 1, a, b, CAST(cnt AS BIGINT) FROM m2
+        UNION ALL SELECT 2, a, b, CAST(cnt AS BIGINT) FROM m3
+        """,
+    ),
     "text_bpe_merge_step": QuerySpec(
         X.text_bpe_merge_step,
         f"""

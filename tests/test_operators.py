@@ -4914,3 +4914,30 @@ def test_scd2_apply_exact_rows_on_controlled_dim(spark, tmp_path):
         (11, 30.0, t0, None, True),           # untouched in the dim
         (13, 40.0, t0, None, True),           # absent from the batch
     ]
+
+
+def test_sample_bernoulli_hash_threshold_exact(spark):
+    """sample_bernoulli (Knuth-hash promoted in r10): the sampled key
+    set equals an independent Python recomputation of the threshold
+    predicate, the realized rate sits near the nominal 10 %, and
+    membership is key-deterministic (identical on a re-read — the
+    property df.sample() cannot give across re-partitioning)."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.relational import (
+        sample_bernoulli,
+    )
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.sources.tables import (
+        read_parquet_table,
+    )
+
+    keys = [r.o_orderkey for r in read_parquet_table(
+        spark, SF_SMALL, "orders").select("o_orderkey").collect()]
+    want = {k for k in keys
+            if ((k % 2147483648) * 2654435761) % 4294967296
+            < int(0.1 * 4294967296)}
+    got = {r.o_orderkey
+           for r in sample_bernoulli(spark, SF_SMALL).collect()}
+    assert got == want
+    assert 0.05 < len(got) / len(keys) < 0.15
+    again = {r.o_orderkey
+             for r in sample_bernoulli(spark, SF_SMALL).collect()}
+    assert again == got

@@ -1246,3 +1246,15 @@ def test_drift_psi_aggregates_before_everything(spark):
     # so it must sit ABOVE the joins in the tree (printed plans indent
     # children below parents: SinglePartition precedes the join lines)
     assert plan.index("SinglePartition") < plan.index("Join")
+
+
+def test_sample_bernoulli_zero_shuffle(spark):
+    """sample_bernoulli is a pure scan + codegen'd filter: the hash
+    threshold evaluates inside the scan's WholeStageCodegen with no
+    exchange anywhere — the only sampler shape that costs exactly one
+    pass at 100 TB."""
+    df = R.sample_bernoulli(spark, SF_SMALL)
+    plan = _plan(df)
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert plan.lstrip().startswith("*(1)")   # one codegen stage, whole plan
