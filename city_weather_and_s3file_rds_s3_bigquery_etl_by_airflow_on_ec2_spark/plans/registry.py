@@ -3863,6 +3863,39 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM w WHERE event_type = 'purchase'
         """,
     ),
+    "events_funnel": QuerySpec(
+        R.events_funnel,
+        """
+        WITH u1 AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'view' THEN ts END) AS t1
+            FROM events GROUP BY user_id
+        ), u2 AS (
+            SELECT e.user_id, u1.t1,
+                   min(CASE WHEN e.event_type = 'click'
+                            AND e.ts >= u1.t1 THEN e.ts END) AS t2
+            FROM events e JOIN u1 ON e.user_id = u1.user_id
+            GROUP BY e.user_id, u1.t1
+        ), u3 AS (
+            SELECT e.user_id, u2.t1, u2.t2,
+                   min(CASE WHEN e.event_type = 'purchase'
+                            AND e.ts >= u2.t2 THEN e.ts END) AS t3
+            FROM events e JOIN u2 ON e.user_id = u2.user_id
+            GROUP BY e.user_id, u2.t1, u2.t2
+        ), c AS (
+            SELECT count(t1) AS n1, count(t2) AS n2, count(t3) AS n3
+            FROM u3
+        )
+        SELECT 1 AS step, 'view' AS step_name,
+               CAST(n1 AS BIGINT) AS n_users,
+               round(n1 / n1, 6) AS conv_pct FROM c
+        UNION ALL
+        SELECT 2, 'click', CAST(n2 AS BIGINT), round(n2 / n1, 6) FROM c
+        UNION ALL
+        SELECT 3, 'purchase', CAST(n3 AS BIGINT), round(n3 / n1, 6)
+        FROM c
+        """,
+    ),
     "window_nth_value": QuerySpec(
         R.window_nth_value,
         """
@@ -5075,57 +5108,47 @@ REGISTRY: dict[str, QuerySpec] = {
 # future insertions anywhere in the literal above cannot silently push
 # an unchecked entry out of the window.
 _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
-    # Round-9 rotation — TOOL-GENERATED (VERDICT r8 #6/ADVICE r8: the
+    # Round-10 rotation — TOOL-GENERATED (VERDICT r8 #6/ADVICE r8: the
     # window is derived, not hand-picked) by
     #   python tools/audit_driver_window.py --propose --changed \
-    #     multimodal_phash_pairs ref_pipeline_golden \
-    #     graph_pagerank_step graph_pagerank embedding_kmeans_train \
-    #     ann_lsh_topk ann_ivf_topk dedup_simhash_pairs
+    #     embedding_pq_encode etl_scd2_apply table_snapshot_diff \
+    #     table_drift_psi sample_bernoulli text_bpe_train events_funnel
     # Standing policy, in priority order: (1) entries whose fn or
     # oracle changed this round re-enter first (this round: the
-    # payload-derived phash fingerprint, the FIVE rows-only->oracle
-    # promotions ref_pipeline_golden / graph_pagerank /
-    # embedding_kmeans_train / ann_ivf_topk / dedup_simhash_pairs plus
-    # the step oracle's generator rewrite, and ann_lsh_topk's in-entry
-    # recall floor);
-    # (2) never-driver-hashed entries, oracle-checked before
-    # rows-only, in registry order — this drains the ENTIRE remaining
-    # backlog (26 here + 2 already counted under "changed"), making
-    # the r1-r9 window union 269/269; (3) leftover slots to the 16
-    # stalest previously-hashed entries, oldest hashed round first
-    # (r1/r2/r3 scalars, then r4).
+    # pq_codes driver-surface stringification — VERDICT r9 #1, the two
+    # -key-1 insert-key fixes and the 12-bin PSI spine — ADVICE r9,
+    # the TWO rows-only->oracle promotions sample_bernoulli /
+    # text_bpe_train — VERDICT r9 #6, and the NEW events_funnel);
+    # (2) never-driver-hashed entries: NONE — the backlog has been
+    # zero since r9 (union r1-r9 = all entries) and events_funnel
+    # enters under (1); (3) the remaining 43 slots go to the stalest
+    # previously-hashed entries, oldest hashed round first — with the
+    # backlog empty this tier now drives the whole fill (VERDICT r9
+    # #5): the r1-hashed subquery/CTE/events/streaming/dedup/text core
+    # re-enters first.
     # All 50 pre-audited green by tools/audit_driver_window.py
-    # (bit-exact fetchall + pandas-bridge dtype symmetry / clean
-    # rows-only execution) before commit; entries not in the window
-    # are covered by the committed CORRECTNESS_full_r09.json artifact.
-    # LATE-r9 SWAPS: etl_scd2_apply / etl_quarantine_split /
-    # table_drift_psi were added after the original rotation; per
-    # policy rule (1) (new entries enter the window first) they
-    # displace the three STALEST re-entry slots (subquery_in_grouped /
-    # subquery_not_in / subquery_correlated_min — all r1-hashed, so
-    # the union stays complete), keeping the never-hashed backlog
-    # empty in-round. Each swapped window was re-audited green in full
-    # before commit (bit-exact fetchall + dtype symmetry).
-    "etl_scd2_apply", "etl_quarantine_split", "table_drift_psi",
-    "multimodal_phash_pairs", "ref_pipeline_golden", "ann_lsh_topk",
-    "embedding_kmeans_train", "graph_pagerank_step", "graph_pagerank",
-    "ann_ivf_topk", "dedup_simhash_pairs",
-    "retrieval_hybrid_rrf", "corpus_domain_reweight",
-    "corpus_negative_sample", "text_inverted_index",
-    "tokenizer_fertility_report", "corpus_curriculum_order",
-    "agg_theta_sketch_overlap", "events_rate_limit_sample",
-    "corpus_boilerplate_share", "grouped_arrow_lang_stats",
-    "text_mixed_language_report", "corpus_quality_ablation",
-    "join_cardinality_estimate", "ann_truncated_rerank",
-    "corpus_temperature_resample", "agg_hll_sketch_union",
-    "text_top_tokens_sketch", "embedding_pq_encode", "ann_pq_topk",
-    "ml_minhash_lsh_pairs", "ml_langid_classifier", "text_bpe_train",
-    "ann_recall_report", "dedup_cap_recall_report", "embedding_pca_power",
-    "text_bpe_encode", "scalar_null_safe_eq", "scalar_conditional_funcs",
-    "scalar_try_cast", "scalar_date_arith", "scalar_json_extract",
-    "generator_range", "sample_bernoulli", "agg_string_concat",
-    "scalar_bitwise", "scalar_format", "subquery_scalar", "subquery_in",
-    "subquery_exists_correlated",
+    # (bit-exact fetchall + pandas-bridge dtype symmetry + the r10
+    # pandas-unhashable column pre-flight / clean rows-only execution)
+    # before commit; entries not in the window are covered by the
+    # committed CORRECTNESS_full_r*.json artifacts.
+    "etl_scd2_apply", "table_drift_psi", "embedding_pq_encode",
+    "text_bpe_train", "sample_bernoulli", "table_snapshot_diff",
+    "events_funnel", "subquery_correlated_min", "subquery_in_grouped",
+    "subquery_not_in", "cte_multi_step", "events_tumbling_hour",
+    "events_sessionize", "streaming_tumbling_hour",
+    "streaming_session_windows", "events_sliding_window",
+    "streaming_stateful_totals", "dedup_exact", "dedup_content_hash",
+    "dedup_cluster_assign", "ann_cosine_topk", "embedding_norm_stats",
+    "embedding_centroid_sim", "text_token_stats", "text_quality_score",
+    "text_lang_id", "text_fingerprint", "text_redact_pii", "text_chunking",
+    "text_stratified_topk", "text_contamination_check",
+    "text_ngram_profile", "agg_rollup_grouping", "scalar_regexp_funcs",
+    "unpivot_lineitem", "session_window_bounds", "window_analytics",
+    "dedup_embedding_cosine", "text_bpe_token_count", "multimodal_meta",
+    "multimodal_decode_features", "serial_id_assignment",
+    "filter_project_pushdown", "topk_orders", "q1_pricing_summary",
+    "agg_stats_by_returnflag", "agg_count_distinct", "agg_approx_distinct",
+    "agg_rollup", "agg_cube",
 )
 assert set(_DRIVER_WINDOW_FIRST) <= set(REGISTRY), sorted(
     set(_DRIVER_WINDOW_FIRST) - set(REGISTRY))

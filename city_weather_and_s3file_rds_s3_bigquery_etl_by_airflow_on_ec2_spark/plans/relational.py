@@ -2308,6 +2308,60 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "first_touch", "last_touch", "n_prior_touches"))
 
 
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered multi-step funnel conversion (view → click → purchase):
+    a user advances to step k only with an event of step k's type AT OR
+    AFTER their step-(k-1) timestamp — the product-analytics staple
+    (Amplitude/Mixpanel funnels) the events family did not yet cover,
+    and the ordered complement of `events_attribution` (which walks
+    backward from conversions; this walks forward from entry).
+
+    Step times chain as conditional mins: t1 = min ts of 'view';
+    t2 = min ts of 'click' with ts ≥ t1; t3 = min ts of 'purchase'
+    with ts ≥ t2 — each a whole-partition window over user_id that
+    REFERENCES the previous window's column, so Catalyst stacks all
+    three Window operators (plus the per-user reduce) on ONE
+    hashpartitioning(user_id) exchange: at 100 TB the event log
+    shuffles exactly once, and the funnel table is 3 rows.
+
+    Output: (step, step_name, n_users, conv_pct) with conv_pct
+    relative to step 1 — monotone non-increasing by construction
+    (t_k non-null requires t_{k-1} non-null)."""
+    (events,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "view",
+                      F.col("ts"))).over(w)
+    s1 = events.select("user_id", "ts", "event_type", t1.alias("t1"))
+    t2 = F.min(F.when((F.col("event_type") == "click")
+                      & (F.col("ts") >= F.col("t1")),
+                      F.col("ts"))).over(w)
+    s2 = s1.select("user_id", "ts", "event_type", "t1", t2.alias("t2"))
+    t3 = F.min(F.when((F.col("event_type") == "purchase")
+                      & (F.col("ts") >= F.col("t2")),
+                      F.col("ts"))).over(w)
+    per_user = (s2.select("user_id", "t1", "t2", t3.alias("t3"))
+                .groupBy("user_id")
+                .agg(F.min("t1").alias("t1"), F.min("t2").alias("t2"),
+                     F.min("t3").alias("t3")))
+    c = per_user.agg(F.count("t1").alias("n1"),
+                     F.count("t2").alias("n2"),
+                     F.count("t3").alias("n3"))
+    steps = F.array(
+        F.struct(F.lit(1).alias("step"), F.lit("view").alias("step_name"),
+                 F.col("n1").alias("n")),
+        F.struct(F.lit(2).alias("step"), F.lit("click").alias("step_name"),
+                 F.col("n2").alias("n")),
+        F.struct(F.lit(3).alias("step"),
+                 F.lit("purchase").alias("step_name"),
+                 F.col("n3").alias("n")))
+    return (c.select(F.explode(steps).alias("s"), "n1")
+            .select(F.col("s.step").alias("step"),
+                    F.col("s.step_name").alias("step_name"),
+                    F.col("s.n").alias("n_users"),
+                    F.round(F.col("s.n") / F.col("n1"), 6)
+                     .alias("conv_pct")))
+
+
 def window_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """nth_value + IGNORE-NULLS first/last over a full-partition
     frame: per order, the second line's price and the first/last

@@ -4941,3 +4941,42 @@ def test_sample_bernoulli_hash_threshold_exact(spark):
     again = {r.o_orderkey
              for r in sample_bernoulli(spark, SF_SMALL).collect()}
     assert again == got
+
+
+def test_events_funnel_matches_python_walk(spark):
+    """events_funnel: per-step user counts equal an independent Python
+    recomputation of the ordered chain (t1 = first view, t2 = first
+    click >= t1, t3 = first purchase >= t2), counts are monotone
+    non-increasing, and conv_pct is each count over step 1's."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.relational import (
+        events_funnel,
+    )
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.sources.tables import (
+        read_parquet_table,
+    )
+
+    by_user = {}
+    for r in read_parquet_table(spark, SF_SMALL, "events").select(
+            "user_id", "ts", "event_type").collect():
+        by_user.setdefault(r.user_id, []).append((r.ts, r.event_type))
+    n = [0, 0, 0]
+    for evs in by_user.values():
+        t1 = min((ts for ts, et in evs if et == "view"), default=None)
+        if t1 is None:
+            continue
+        n[0] += 1
+        t2 = min((ts for ts, et in evs
+                  if et == "click" and ts >= t1), default=None)
+        if t2 is None:
+            continue
+        n[1] += 1
+        if any(et == "purchase" and ts >= t2 for ts, et in evs):
+            n[2] += 1
+
+    rows = {r.step: r for r in events_funnel(spark, SF_SMALL).collect()}
+    assert [rows[k + 1].n_users for k in range(3)] == n
+    assert [rows[k + 1].step_name for k in range(3)] == [
+        "view", "click", "purchase"]
+    assert n[0] >= n[1] >= n[2] > 0            # non-vacuous at this sf
+    for k in range(3):
+        assert rows[k + 1].conv_pct == round(n[k] / n[0], 6)

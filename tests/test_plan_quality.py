@@ -1258,3 +1258,18 @@ def test_sample_bernoulli_zero_shuffle(spark):
     assert "Exchange" not in plan
     assert "Join" not in plan
     assert plan.lstrip().startswith("*(1)")   # one codegen stage, whole plan
+
+
+def test_events_funnel_single_event_shuffle(spark):
+    """events_funnel: the chained conditional-min windows and the
+    per-user reduce all ride ONE hashpartitioning(user_id) exchange —
+    the event log shuffles exactly once; the only other exchange is
+    the keyless final aggregate's SinglePartition over per-user rows."""
+    df = R.events_funnel(spark, SF_SMALL)
+    plan = _plan(df)
+    assert "Join" not in plan
+    assert plan.count("Window") == 3
+    data_exchanges = [ln for ln in plan.splitlines()
+                      if "Exchange hashpartitioning" in ln]
+    assert len(data_exchanges) == 1, data_exchanges
+    assert "user_id" in data_exchanges[0]

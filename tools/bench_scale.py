@@ -96,6 +96,10 @@ SCALE_QUERIES = [
     # groups BEFORE vector math — at 10× the pruned fraction is the
     # whole win)
     "ann_filtered_topk",
+    # r10 addition: the warehouse-ETL MERGE shape (headline as of r10)
+    # — a full-outer SMJ whose both sides grow with the lake; the
+    # minimal-plan claim (no second join/window) must keep it linear
+    "etl_scd2_apply",
 ]
 
 
