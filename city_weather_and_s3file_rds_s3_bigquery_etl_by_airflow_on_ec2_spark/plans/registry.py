@@ -5131,9 +5131,15 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     # pandas-unhashable column pre-flight / clean rows-only execution)
     # before commit; entries not in the window are covered by the
     # committed CORRECTNESS_full_r*.json artifacts.
+    # LATE-r10 SWAP: events_cohort_retention re-enters per policy
+    # rule (1) — its implementation was upgraded to the
+    # single-shuffle collect_set plan (oracle unchanged) —
+    # displacing the stalest re-entry slot
+    # (subquery_correlated_min — r1-hashed, union stays
+    # complete); full 50/50 re-audit green before commit.
     "etl_scd2_apply", "table_drift_psi", "embedding_pq_encode",
     "text_bpe_train", "sample_bernoulli", "table_snapshot_diff",
-    "events_funnel", "subquery_correlated_min", "subquery_in_grouped",
+    "events_funnel", "events_cohort_retention", "subquery_in_grouped",
     "subquery_not_in", "cte_multi_step", "events_tumbling_hour",
     "events_sessionize", "streaming_tumbling_hour",
     "streaming_session_windows", "events_sliding_window",

@@ -1634,11 +1634,13 @@ def window_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel (signup → view → purchase): each stage's
-    timestamp must follow the previous stage's.  Stage timestamps are
-    conditional MINs computed per user in successive aggregations —
-    each stage is one keyed agg + one keyed join, all on user_id, so
-    AQE coalesces them onto one partitioning at scale.  Output is the
-    one-row conversion summary."""
+    timestamp must STRICTLY follow the previous stage's.  Stage
+    timestamps are conditional MINs computed per user in successive
+    aggregations — each stage is one keyed agg + one keyed join, all
+    on user_id, so AQE coalesces them onto one partitioning at scale.
+    Output is the one-row conversion summary; see `events_funnel` for
+    the per-step funnel TABLE sibling (different step chain,
+    at-or-after semantics, single-shuffle window plan)."""
     (events,) = _t(spark, sf_dir, "events")
     ev = events.select("user_id", "event_type", "ts")
     s1 = (ev.where(F.col("event_type") == "signup")
@@ -1661,23 +1663,33 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention: users grouped by the ISO week of their
     first event; for each (cohort_week, week_offset) the count of
-    cohort members active that week.  Two keyed aggs (first-event per
-    user, then distinct user-week activity) and a broadcast-size
-    result — the standard product-analytics rollup."""
+    cohort members active that week — the standard product-analytics
+    rollup (the matrix complement of the `events_funnel` family).
+
+    Plan UPGRADED in r10: the original shape was distinct → first-week
+    agg → join → count-distinct (four census-scale shuffles).  Now the
+    event log collapses to per-user state in ONE
+    hashpartitioning(user_id) shuffle — min week + collect_set of
+    active weeks, both map-side-combined, the set bounded by the
+    TIMELINE length (weeks), not event volume — and exploding that set
+    makes each (user, week) appear exactly once, so the per-cell count
+    is a plain COUNT over metadata-scale keys: no join, no
+    count-distinct expand, identical output (oracle unchanged)."""
     (events,) = _t(spark, sf_dir, "events")
     # to_date: Spark's date_trunc returns TIMESTAMP, DuckDB's returns
     # DATE for the same call — normalize to DATE
     ev = events.select("user_id",
                        F.to_date(F.date_trunc("week", F.col("ts")))
                        .alias("wk"))
-    first = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
-    active = ev.distinct()
-    return (active.join(first, "user_id")
-            .select("user_id", "cohort_week",
+    per_user = (ev.groupBy("user_id")
+                .agg(F.min("wk").alias("cohort_week"),
+                     F.collect_set("wk").alias("wks")))
+    return (per_user.select("cohort_week", F.explode("wks").alias("wk"))
+            .select("cohort_week",
                     (F.datediff(F.col("wk"), F.col("cohort_week")) / 7)
                     .cast("long").alias("week_offset"))
             .groupBy("cohort_week", "week_offset")
-            .agg(F.count_distinct("user_id").alias("n_users")))
+            .agg(F.count(F.lit(1)).alias("n_users")))
 
 
 def udaf_grouped_pandas_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2309,12 +2321,16 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered multi-step funnel conversion (view → click → purchase):
-    a user advances to step k only with an event of step k's type AT OR
-    AFTER their step-(k-1) timestamp — the product-analytics staple
-    (Amplitude/Mixpanel funnels) the events family did not yet cover,
-    and the ordered complement of `events_attribution` (which walks
-    backward from conversions; this walks forward from entry).
+    """Ordered multi-step funnel TABLE (view → click → purchase): a
+    user advances to step k only with an event of step k's type AT OR
+    AFTER their step-(k-1) timestamp — one row per step with count and
+    conversion share, the Amplitude/Mixpanel funnel-report shape.
+    Sibling of `events_funnel_conversion` (different deliverable and
+    plan: that entry is the 1-ROW signup→view→purchase count summary
+    with strictly-after semantics, built as a chain of keyed agg+join
+    stages; this is the per-step table on a single event-log shuffle)
+    and the forward complement of `events_attribution` (which walks
+    backward from conversions).
 
     Step times chain as conditional mins: t1 = min ts of 'view';
     t2 = min ts of 'click' with ts ≥ t1; t3 = min ts of 'purchase'

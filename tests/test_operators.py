@@ -4980,3 +4980,38 @@ def test_events_funnel_matches_python_walk(spark):
     assert n[0] >= n[1] >= n[2] > 0            # non-vacuous at this sf
     for k in range(3):
         assert rows[k + 1].conv_pct == round(n[k] / n[0], 6)
+
+
+def test_events_cohort_retention_matches_python(spark):
+    """events_cohort_retention (plan upgraded r10 — single-shuffle
+    collect_set, no join/count-distinct): the (cohort, offset) matrix
+    equals an independent Python recomputation over distinct
+    user-weeks, and every user appears in their own cohort's offset-0
+    cell."""
+    from datetime import timedelta
+
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.relational import (
+        events_cohort_retention,
+    )
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.sources.tables import (
+        read_parquet_table,
+    )
+
+    weeks = {}
+    for r in read_parquet_table(spark, SF_SMALL, "events").select(
+            "user_id", "ts").collect():
+        d = r.ts.date()
+        monday = d - timedelta(days=d.weekday())
+        weeks.setdefault(r.user_id, set()).add(monday)
+    want = {}
+    for wks in weeks.values():
+        c0 = min(wks)
+        for w in wks:
+            k = (w - c0).days // 7
+            want[(c0, k)] = want.get((c0, k), 0) + 1
+
+    got = {(r.cohort_week, r.week_offset): r.n_users
+           for r in events_cohort_retention(spark, SF_SMALL).collect()}
+    assert got == want
+    n_users_total = len(weeks)
+    assert sum(v for (c, k), v in got.items() if k == 0) == n_users_total

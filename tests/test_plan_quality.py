@@ -1273,3 +1273,19 @@ def test_events_funnel_single_event_shuffle(spark):
                       if "Exchange hashpartitioning" in ln]
     assert len(data_exchanges) == 1, data_exchanges
     assert "user_id" in data_exchanges[0]
+
+
+def test_cohort_retention_single_event_shuffle_no_join(spark):
+    """events_cohort_retention's r10 upgrade claim: the event log
+    collapses in ONE hashpartitioning(user_id) exchange (min +
+    collect_set, map-side combined); no join, no count-distinct
+    Expand, no single-partition funnel — the later exchange moves only
+    the (cohort, offset) census."""
+    df = R.events_cohort_retention(spark, SF_SMALL)
+    plan = _plan(df)
+    assert "Join" not in plan
+    assert "Expand" not in plan
+    assert "SinglePartition" not in plan
+    ex = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert sum("user_id" in ln for ln in ex) == 1
+    assert len(ex) == 2, ex
