@@ -100,6 +100,11 @@ SCALE_QUERIES = [
     # — a full-outer SMJ whose both sides grow with the lake; the
     # minimal-plan claim (no second join/window) must keep it linear
     "etl_scd2_apply",
+    # r10 addition: the single-shuffle funnel family — three chained
+    # whole-partition windows + per-user reduce on ONE user_id
+    # exchange; the claim that the window stack never adds a second
+    # event-log shuffle must hold as the log grows
+    "events_funnel",
 ]
 
 
