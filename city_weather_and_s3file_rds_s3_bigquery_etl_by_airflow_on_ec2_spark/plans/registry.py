@@ -5165,6 +5165,33 @@ REGISTRY = {
 }
 
 
+def _type_pandas_unhashable(dt) -> bool:
+    """True when a Spark SQL type materializes as a Python object the
+    driver's pandas canonicalizer cannot hash: ``bytearray`` (Binary),
+    ``list`` (Array), ``dict`` (Map) — at ANY depth.  StructType alone
+    is hashable (it lands as a ``Row`` tuple), but tuple hashing
+    recurses into the elements, so a ``struct<array<int>>`` column
+    crashes the canonicalizer exactly like a top-level array (ADVICE
+    r10 #2 — the lint must recurse, not stop at the top level)."""
+    from pyspark.sql.types import (ArrayType, BinaryType, MapType,
+                                   StructType)
+    if isinstance(dt, (ArrayType, BinaryType, MapType)):
+        return True
+    if isinstance(dt, StructType):
+        return any(_type_pandas_unhashable(f.dataType) for f in dt.fields)
+    return False
+
+
+def pandas_unhashable_cols(schema) -> list[str]:
+    """Driver-surface lint shared by tests/test_plan_quality.py and
+    tools/audit_driver_window.py (single predicate — the two copies
+    drifted until ADVICE r10 #2): columns whose type tree contains a
+    pandas-unhashable node.  Entries must project such payloads as
+    injective STRINGs (hex / sha2 / concat_ws) on the driver surface."""
+    return [f.name for f in schema.fields
+            if _type_pandas_unhashable(f.dataType)]
+
+
 def _fix_rounds(sql: str) -> str:
     """Rewrite every ``round(expr, n)`` into
     ``CAST(CAST(expr AS DECIMAL(38,n)) AS DOUBLE)``.

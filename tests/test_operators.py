@@ -4982,6 +4982,63 @@ def test_events_funnel_matches_python_walk(spark):
         assert rows[k + 1].conv_pct == round(n[k] / n[0], 6)
 
 
+def test_events_funnel_ordering_on_planted_lake(spark, tmp_path):
+    """ADVICE r10 #1: at sf0.001/sf0.01 every view-user fully converts,
+    so the real-lake test cannot distinguish the ordered chain from
+    plain per-event-type existence counts.  Plant a lake where order
+    is the ONLY thing separating the two:
+
+    - u1 converts in order (view < click < purchase)   -> steps 1,2,3
+    - u2's only click precedes their first view (their purchase even
+      follows the view)                                -> step 1 only
+    - u3's only purchase lands after the view but BEFORE their first
+      qualifying click                                 -> steps 1,2
+    - u4 has all three types in exactly reversed order -> step 1 only
+
+    Ordered counts must be strictly decreasing [4, 2, 1]; an
+    implementation that drops the ts >= t_{k-1} constraints counts
+    [4, 3, 3] (u2/u4 have clicks, u2/u3/u4 have purchases)."""
+    import datetime
+
+    import pandas as pd
+
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.relational import (
+        events_funnel,
+    )
+
+    t0 = datetime.datetime(2024, 3, 1, 9, 0, 0)
+
+    def at(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    rows = [
+        # u1: in-order full conversion
+        (1, at(60), 1, "view", 1.0, "{}"),
+        (2, at(65), 1, "click", 1.0, "{}"),
+        (3, at(70), 1, "purchase", 1.0, "{}"),
+        # u2: click strictly before first view; purchase after view
+        # but no qualifying click ever exists -> t2 null -> t3 null
+        (4, at(0), 2, "click", 1.0, "{}"),
+        (5, at(60), 2, "view", 1.0, "{}"),
+        (6, at(90), 2, "purchase", 1.0, "{}"),
+        # u3: purchase after view but before the first qualifying click
+        (7, at(60), 3, "view", 1.0, "{}"),
+        (8, at(62), 3, "purchase", 1.0, "{}"),
+        (9, at(65), 3, "click", 1.0, "{}"),
+        # u4: fully reversed
+        (10, at(0), 4, "purchase", 1.0, "{}"),
+        (11, at(30), 4, "click", 1.0, "{}"),
+        (12, at(60), 4, "view", 1.0, "{}"),
+    ]
+    pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                "event_type", "value", "props"]) \
+      .to_parquet(str(tmp_path / "events.parquet"), index=False)
+
+    got = {r.step: r for r in events_funnel(spark, str(tmp_path)).collect()}
+    assert [got[k].n_users for k in (1, 2, 3)] == [4, 2, 1]
+    assert [got[k].conv_pct for k in (1, 2, 3)] == [1.0, 0.5, 0.25]
+
+
 def test_events_cohort_retention_matches_python(spark):
     """events_cohort_retention (plan upgraded r10 — single-shuffle
     collect_set, no join/count-distinct): the (cohort, offset) matrix

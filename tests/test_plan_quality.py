@@ -729,24 +729,39 @@ def test_generate_entries_full_materialization_bounded(spark):
 
 
 def _pandas_unhashable_cols(schema) -> list[str]:
-    """Top-level columns the driver's pandas canonicalizer cannot
-    factorize: bytearray (Binary), list (Array), dict (Map)."""
-    from pyspark.sql.types import ArrayType, BinaryType, MapType
-    return [f.name for f in schema.fields
-            if isinstance(f.dataType, (BinaryType, ArrayType, MapType))]
+    """Columns the driver's pandas canonicalizer cannot factorize:
+    bytearray (Binary), list (Array), dict (Map) — at ANY nesting
+    depth (ADVICE r10 #2: a struct<array<int>> column yields Row
+    tuples whose hash recurses into the unhashable list).  Single
+    shared predicate — plans.registry.pandas_unhashable_cols — so the
+    test lint and the audit-tool pre-flight cannot drift."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.registry import (
+        pandas_unhashable_cols,
+    )
+    return pandas_unhashable_cols(schema)
 
 
 def test_unhashable_lint_catches_planted_offenders(spark):
     """The lint predicate itself must flag each unhashable class (and
-    only those) on a planted schema — VERDICT r9 #2's done-criterion."""
+    only those) on a planted schema — VERDICT r9 #2's done-criterion,
+    extended per ADVICE r10 #2 with nested offenders: a struct whose
+    field tree contains an array/map/binary is unhashable (Row tuple
+    hashing recurses), including one buried two structs deep; a struct
+    of plain scalars stays hashable."""
     df = spark.range(1).select(
         F.array(F.lit(1), F.lit(2)).alias("arr"),
         F.create_map(F.lit("k"), F.lit(1)).alias("map"),
         F.lit(b"\x00").alias("bin"),
         F.lit("ok").alias("str"),
         F.lit(1.5).alias("dbl"),
-        F.struct(F.lit(1).alias("x")).alias("strct"))
-    assert _pandas_unhashable_cols(df.schema) == ["arr", "map", "bin"]
+        F.struct(F.lit(1).alias("x")).alias("strct"),
+        F.struct(F.array(F.lit(1)).alias("a")).alias("strct_arr"),
+        F.struct(F.struct(F.lit(b"\x01").alias("b")).alias("inner"))
+         .alias("strct_deep_bin"),
+        F.struct(F.create_map(F.lit("k"), F.lit(1)).alias("m"))
+         .alias("strct_map"))
+    assert _pandas_unhashable_cols(df.schema) == [
+        "arr", "map", "bin", "strct_arr", "strct_deep_bin", "strct_map"]
 
 
 def test_no_unhashable_type_faces_the_driver(spark):

@@ -210,13 +210,13 @@ def main() -> int:
             # VERDICT r9 #2: the driver canonicalizes EVERY window entry
             # (rows-only included) through pandas, which cannot hash
             # binary/array/map cells — catch the pq_encode class here,
-            # before the window ships, not in the driver artifact
-            from pyspark.sql.types import (ArrayType, BinaryType,
-                                           MapType)
-            unhashable = [f.name for f in sdf.schema.fields
-                          if isinstance(f.dataType,
-                                        (BinaryType, ArrayType,
-                                         MapType))]
+            # before the window ships, not in the driver artifact.
+            # ADVICE r10 #2: shared recursive predicate (structs whose
+            # field tree contains array/map/binary crash the same way).
+            from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.registry import (  # noqa: E501
+                pandas_unhashable_cols,
+            )
+            unhashable = pandas_unhashable_cols(sdf.schema)
             if unhashable:
                 release_persisted()
                 print(f"FAIL  {name}: pandas-unhashable driver columns "
