@@ -227,7 +227,14 @@ def pq_decode_codes(codes: list[int],
 def _power_eig(cov: list[list[float]], k: int, max_iter: int,
                tol: float) -> tuple[list[list[float]], list[float], int]:
     """Driver-local deflated power iteration on a small symmetric
-    matrix → (top-k unit eigenvectors, eigenvalues, iterations)."""
+    matrix → (top-k unit eigenvectors, eigenvalues, iterations).
+
+    ``tol=0.0`` disables the drift stop entirely — exactly
+    ``max_iter`` iterations per component (the fixed-iteration mode
+    the oracle-checked registry entry pins; a plain ``drift < 0.0``
+    comparison would still fire spuriously once float noise pushes
+    ``abs(v·w)`` above 1.0 at convergence — observed at sf0.01, where
+    it stopped component 0 at iteration 598)."""
     dim = len(cov)
     comps: list[list[float]] = []
     eigs: list[float] = []
@@ -252,7 +259,7 @@ def _power_eig(cov: list[list[float]], k: int, max_iter: int,
                       for i, wi in enumerate(w))
             drift = 1.0 - abs(sum(a * b for a, b in zip(v, w)))
             v = w
-            if drift < tol:
+            if tol > 0.0 and drift < tol:
                 break
         comps.append(v)
         eigs.append(lam)

@@ -23,7 +23,7 @@ from __future__ import annotations
 import hashlib
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -130,6 +130,47 @@ def cap_band_buckets(banded: DataFrame, max_band_bucket: int,
     return banded.join(wide, keys, "left_anti")
 
 
+def _minhash_hash_exprs(hash_family: str, seed: int):
+    """The two hash expressions the MinHash signature stage is built
+    from, per family:
+
+    * ``"xxhash64"`` — the PRODUCTION family: Spark's native 64-bit
+      xxHash, one whole-stage-codegen expression per shingle, the
+      cheapest 64-bit hash the JVM exposes.
+    * ``"md5"`` — the CROSS-ENGINE family (VERDICT r10 #1, the
+      ``dedup_simhash_pairs`` promotion pattern): minhash_i(s) =
+      first 15 hex chars of md5(s || '|' || (seed+i)) parsed base-16
+      (60 bits, sign-safe in BIGINT on both engines), and the band
+      key the ':'-joined decimal spelling of its ``rows_per_band``
+      minhashes.  Bit-identical in DuckDB —
+      ``('0x' || substr(md5(s || '|' || k), 1, 15))::BIGINT`` — so
+      the ENTIRE detector (shingle → signature → AND-amplified band →
+      candidate join → exact shingle-Jaccard verify) replays under
+      the SQL oracle.  ~2× the signature-stage cost of xxhash64;
+      correctness twin, not the scale path.
+
+    Returns ``(shingle_hash(s_col, i), band_hash(sig_cols))``."""
+    if hash_family == "xxhash64":
+        def shingle_hash(s: Column, i: int) -> Column:
+            return F.xxhash64(s, F.lit(seed + i))
+
+        def band_hash(parts: list[Column]) -> Column:
+            return F.xxhash64(*parts)
+    elif hash_family == "md5":
+        def shingle_hash(s: Column, i: int) -> Column:
+            return F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", s, F.lit(str(seed + i)))),
+                    1, 15),
+                16, 10).cast("long")
+
+        def band_hash(parts: list[Column]) -> Column:
+            return F.concat_ws(":", *[p.cast("string") for p in parts])
+    else:
+        raise ValueError(f"unknown minhash hash_family: {hash_family!r}")
+    return shingle_hash, band_hash
+
+
 def minhash_lsh_pairs_native(
     df: DataFrame,
     text_col: str,
@@ -140,6 +181,7 @@ def minhash_lsh_pairs_native(
     max_exact_jaccard_distance: float | None = None,
     seed: int = 42,
     max_band_bucket: int | None = None,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """MinHash-LSH candidates as pure Catalyst expressions — the
     Spark-first fast path (no ML pipeline, no sparse vectors):
@@ -169,7 +211,8 @@ def minhash_lsh_pairs_native(
     keep a 30 %-of-corpus template out of one bucket.
     """
     banded, sets = _minhash_banded(df, text_col, id_col, shingle_size,
-                                   num_bands, rows_per_band, seed)
+                                   num_bands, rows_per_band, seed,
+                                   hash_family=hash_family)
     if max_band_bucket is not None:
         # persist the narrow band relation first (id + 2 numeric cols ×
         # num_bands rows/doc): the width census and the anti-join would
@@ -211,13 +254,18 @@ def _minhash_banded(
     rows_per_band: int,
     seed: int,
     carry_cols: tuple[str, ...] = (),
+    hash_family: str = "xxhash64",
 ) -> tuple[DataFrame, DataFrame]:
     """Shared signature stage of the LSH family: returns
     ``(banded, sets)`` where ``banded`` is the narrow
     (id, band_idx, band_hash) relation the candidate join runs on and
     ``sets`` is (id, shingle_set) for the exact verify re-attach.
     ``carry_cols`` rides extra (narrow) key columns through the banded
-    relation so blocked variants can band-join within a block key."""
+    relation so blocked variants can band-join within a block key.
+    ``hash_family`` selects the signature hashes
+    (:func:`_minhash_hash_exprs`): native xxhash64 (production) or the
+    md5-based cross-engine family the SQL oracle can replay."""
+    shingle_hash, band_hash = _minhash_hash_exprs(hash_family, seed)
     num_hashes = num_bands * rows_per_band
     carry = [F.col(c) for c in carry_cols]
     toks = df.select(F.col(id_col), *carry,
@@ -233,7 +281,7 @@ def _minhash_banded(
                F.array(*[
                    F.array_min(F.transform(
                        F.col("shingles"),
-                       lambda s: F.xxhash64(s, F.lit(seed + i))))
+                       lambda s, i=i: shingle_hash(s, i)))
                    for i in range(num_hashes)
                ]).alias("sig"),
                F.array_distinct("shingles").alias("shingle_set")))
@@ -252,7 +300,7 @@ def _minhash_banded(
         F.explode(F.array(*[
             F.struct(
                 F.lit(bi).alias("band_idx"),
-                F.xxhash64(*[
+                band_hash([
                     F.col("sig")[bi * rows_per_band + r]
                     for r in range(rows_per_band)
                 ]).alias("band_hash"))

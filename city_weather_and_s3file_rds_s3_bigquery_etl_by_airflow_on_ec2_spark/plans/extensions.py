@@ -63,6 +63,29 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       max_band_bucket=512)
 
 
+def dedup_minhash_lsh_sqltwin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_minhash_lsh`` under the CROSS-ENGINE hash family
+    (VERDICT r10 #1, the ``dedup_simhash_pairs``/``ann_ivf_topk``
+    promotion pattern): the SAME operator —
+    ``minhash_lsh_pairs_native`` with identical shingle/band geometry
+    (3-token shingles, 8 bands × 2 rows, exact-verify distance ≤ 0.5,
+    hot-band cap 512) — with ``hash_family="md5"``, whose minhashes
+    (first 15 hex chars of md5(shingle || '|' || (42+i)), base-16) and
+    ':'-joined band keys DuckDB reproduces bit-for-bit.  The oracle
+    replays the ENTIRE detector in SQL: tokenize → shingle → 16
+    minhashes → AND-amplified banding → QUALIFY bucket cap →
+    candidate self-join → exact shingle-set-Jaccard verify, so every
+    plan stage the production xxhash64 entry runs (only the hash
+    expression differs) is hash-verified cross-engine.  The xxhash64
+    entry stays the bench/scale path — native hashing is ~2× cheaper
+    in the signature stage."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs_native(documents, "text", "doc_id",
+                                      max_exact_jaccard_distance=0.5,
+                                      max_band_bucket=512,
+                                      hash_family="md5")
+
+
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash banded near-dup candidates, capped to close pairs by
     hamming distance.
@@ -3061,11 +3084,26 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     Gramian census, map-side combined — d² is metadata at d=64); the
     deflated power iteration runs driver-local on the 64×64
     covariance, the same regime split Spark ML's RowMatrix uses.
-    Rows-only by design (the eigensolve is iterative); ground truth
-    is a NumPy eigendecomposition in tests."""
+
+    Oracle-checked as of r11 (VERDICT r10 #5, the kmeans-train
+    fixed-iteration unroll): THIS ENTRY pins ``tol=0.0`` so the
+    iteration count is exactly ``max_iter`` = 1000 on every engine —
+    the synthetic lake's spectrum is near-flat (λ2/λ1 ≈ 0.987), so
+    racing a drift-based early stop to an ill-conditioned limit
+    diverges across engines at ~1e-5, while the FIXED 1000-step
+    iterate v_K = norm(C^K·v0) is a deterministic function both
+    engines reproduce to ~1e-13.  The DuckDB oracle replays the whole
+    procedure in SQL: Gramian census → covariance → the same
+    recursive 1000-step deflated power iteration from the same start
+    vectors → Rayleigh eigenvalues → sign flip.  The drift-based
+    early stop stays the operator default for production use; ground
+    truth additionally includes a NumPy eigendecomposition in tests
+    (on a well-separated planted spectrum, where the limit IS
+    well-conditioned)."""
     from ..operators.clustering import pca_power
     (embeddings,) = _t(spark, sf_dir, "embeddings")
-    comps, eigs, total_var, _ = pca_power(embeddings, n_components=2)
+    comps, eigs, total_var, _ = pca_power(embeddings, n_components=2,
+                                          max_iter=1000, tol=0.0)
     rows = [(c, d, round(comps[c][d], 6), round(eigs[c], 6),
              round(eigs[c] / total_var, 6))
             for c in range(len(comps)) for d in range(len(comps[c]))]
@@ -3256,9 +3294,13 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str,
     ``n_merged_final`` counts merged symbols SURVIVING in the output
     (nested merges absorb earlier symbols, so it can undershoot
     ``toks_raw - toks_encoded``, the number of merge operations).
-    Rows-only entry (training is iterative); ground truth is a
-    pure-Python train+encode reference in tests, checked per-document
-    on a planted nested-merge lake and in aggregate on the real one."""
+    Oracle-checked as of r11 (VERDICT r10 #5): the K=3 train unroll
+    that promoted ``text_bpe_train`` extends with a third
+    boundary-safe double-replace rewrite and the per-language ledger
+    over raw vs encoded token lists; ground truth additionally
+    includes a pure-Python train+encode reference in tests, checked
+    per-document on a planted nested-merge lake and in aggregate on
+    the real one."""
     merges = _bpe_train_merges(spark, sf_dir, n_merges)
     (documents,) = _t(spark, sf_dir, "documents")
     toks = _bpe_tokens_expr()

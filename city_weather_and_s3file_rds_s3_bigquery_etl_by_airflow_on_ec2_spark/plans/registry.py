@@ -1031,6 +1031,65 @@ REGISTRY: dict[str, QuerySpec] = {
         """,
     ),
     "dedup_minhash_lsh": QuerySpec(X.dedup_minhash_lsh, None, bench=True),
+    # Oracle promotion of the MinHash-LSH detector (VERDICT r10 #1, the
+    # r9 simhash/IVF pattern): same operator code path as
+    # dedup_minhash_lsh — minhash_lsh_pairs_native with identical
+    # geometry — under the md5 cross-engine hash family
+    # (operators/dedup._minhash_hash_exprs): minhash_i(s) = the first
+    # 15 hex chars of md5(s || '|' || (42+i)) parsed base-16 (60 bits,
+    # BIGINT-safe both engines), band key = ':'-joined decimal pair.
+    # The SQL below replays the WHOLE detector: tokenize -> 3-shingle
+    # -> 16 minhashes -> 8 AND-amplified bands -> 512-cap QUALIFY ->
+    # banded self-join -> exact shingle-set Jaccard verify at <= 0.5.
+    "dedup_minhash_lsh_sqltwin": QuerySpec(
+        X.dedup_minhash_lsh_sqltwin,
+        f"""
+        WITH tk AS (
+            SELECT doc_id, {_TOKS} AS tk FROM documents
+            WHERE len({_TOKS}) >= 3
+        ), sh AS (
+            SELECT doc_id,
+                   list_transform(generate_series(1, len(tk) - 2),
+                       i -> array_to_string(tk[i:i+2], ' ')) AS shingles
+            FROM tk
+        ), sets AS (
+            SELECT doc_id, list_distinct(shingles) AS sset FROM sh
+        ), sig AS (
+            SELECT doc_id,
+                   list_transform(generate_series(0, 15),
+                       k -> list_min(list_transform(shingles,
+                           s -> ('0x' || substr(md5(s || '|' ||
+                                                    CAST(42 + k AS VARCHAR)),
+                                                1, 15))::BIGINT))) AS sig
+            FROM sh
+        ), banded AS (
+            SELECT doc_id, bi.i AS band_idx,
+                   CAST(sig[bi.i * 2 + 1] AS VARCHAR) || ':' ||
+                   CAST(sig[bi.i * 2 + 2] AS VARCHAR) AS band_hash
+            FROM sig CROSS JOIN
+                 (SELECT unnest(generate_series(0, 7)) AS i) bi
+        ), capped AS (
+            SELECT doc_id, band_idx, band_hash FROM banded
+            QUALIFY count(*) OVER (PARTITION BY band_idx, band_hash)
+                    <= 512
+        ), cands AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM capped a JOIN capped b
+              ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b, jaccard_distance FROM (
+            SELECT c.id_a, c.id_b,
+                   round(1.0 - CAST(len(list_intersect(sa.sset, sb.sset))
+                                    AS DOUBLE)
+                         / len(list_distinct(list_concat(sa.sset, sb.sset))),
+                         4) AS jaccard_distance
+            FROM cands c
+            JOIN sets sa ON sa.doc_id = c.id_a
+            JOIN sets sb ON sb.doc_id = c.id_b)
+        WHERE jaccard_distance <= 0.5
+        """,
+    ),
     # Promoted rows-only -> oracle in r9: the pandas-UDF SimHash is
     # md5-based and therefore engine-neutral — the oracle recomputes
     # the 64-bit signature in SQL (token multiset -> per-bit +/-1
@@ -4278,7 +4337,116 @@ REGISTRY: dict[str, QuerySpec] = {
     # r7: deflated power-iteration PCA — rows-only by design (unbounded
     # iteration is not SQL-expressible); NumPy eigendecomposition parity
     # in tests/test_operators.py.
-    "embedding_pca_power": QuerySpec(X.embedding_pca_power, None),
+    # Oracle promoted in r11 (VERDICT r10 #5, the kmeans-train
+    # fixed-iteration unroll): the entry pins tol=0.0 => exactly 1000
+    # deflated power-iteration steps per component, so v_K =
+    # norm(C^K v0) is a deterministic function of (C, v0) both engines
+    # reproduce (measured bit-identical at sf0.01; the lake's
+    # near-flat spectrum makes the CONVERGED eigvec ill-conditioned,
+    # which is why the procedure, not the limit, is the contract).
+    # The recursive CTEs replay it: Gramian census -> population
+    # covariance -> 1000 matvec+normalize steps from the same start
+    # vectors (component 1 deflates against component 0's iterate) ->
+    # Rayleigh eigenvalues -> largest-|loading|-positive sign flip.
+    "embedding_pca_power": QuerySpec(
+        X.embedding_pca_power,
+        """
+        WITH RECURSIVE e AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+        ), dims AS (
+            SELECT unnest(generate_series(1, 64)) AS i
+        ), cnt AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n FROM e
+        ), mu AS (
+            SELECT i, sum(x[i]) / any_value(n) AS m
+            FROM e CROSS JOIN dims CROSS JOIN cnt GROUP BY i
+        ), cells AS MATERIALIZED (
+            SELECT d1.i AS i, d2.i AS j, sum(x[d1.i] * x[d2.i]) AS g
+            FROM e CROSS JOIN dims d1 CROSS JOIN dims d2
+            GROUP BY 1, 2
+        ), cov AS (
+            SELECT c.i, c.j, c.g / n.n - ma.m * mb.m AS c
+            FROM cells c
+            JOIN mu ma ON ma.i = c.i
+            JOIN mu mb ON mb.i = c.j
+            CROSS JOIN cnt n
+        ), covm AS MATERIALIZED (
+            SELECT list(rowlist ORDER BY i) AS C, sum(diag) AS tr
+            FROM (SELECT i, list(c ORDER BY j) AS rowlist,
+                         sum(CASE WHEN i = j THEN c ELSE 0 END) AS diag
+                  FROM cov GROUP BY i)
+        ), it1 AS (
+            SELECT 0 AS k,
+                   list_transform(v0,
+                       z -> z / sqrt(list_dot_product(v0, v0))) AS v
+            FROM (SELECT list_transform(generate_series(1, 64),
+                       t -> CASE WHEN t = 1 THEN CAST(1.0 AS DOUBLE)
+                            ELSE CAST(1.0 AS DOUBLE) / (1 + t) END) AS v0)
+            UNION ALL
+            SELECT k + 1,
+                   list_transform(w,
+                       z -> z / sqrt(list_dot_product(w, w))) AS v
+            FROM (SELECT k,
+                         list_transform(C, r -> list_dot_product(r, v)) AS w
+                  FROM it1, covm) WHERE k < 1000
+        ), c1 AS MATERIALIZED (
+            SELECT v AS v1 FROM it1 WHERE k = 1000
+        ), l1 AS (
+            SELECT list_dot_product(
+                       v1, list_transform(C,
+                           r -> list_dot_product(r, v1))) AS lam
+            FROM c1, covm
+        ), it2 AS (
+            SELECT 0 AS k,
+                   list_transform(v0,
+                       z -> z / sqrt(list_dot_product(v0, v0))) AS v
+            FROM (SELECT list_transform(generate_series(1, 64),
+                       t -> CASE WHEN t = 2 THEN CAST(1.0 AS DOUBLE)
+                            ELSE CAST(1.0 AS DOUBLE) / (2 + t) END) AS v0)
+            UNION ALL
+            SELECT k + 1,
+                   list_transform(w2,
+                       z -> z / sqrt(list_dot_product(w2, w2))) AS v
+            FROM (SELECT k,
+                         list_transform(generate_series(1, 64),
+                             t -> w[t] - d * v1[t]) AS w2
+                  FROM (SELECT k,
+                               list_transform(C,
+                                   r -> list_dot_product(r, v)) AS w,
+                               v1
+                        FROM it2, covm, c1)
+                  CROSS JOIN LATERAL (SELECT list_dot_product(w, v1) AS d))
+            WHERE k < 1000
+        ), c2 AS MATERIALIZED (
+            SELECT v AS v2 FROM it2 WHERE k = 1000
+        ), l2 AS (
+            SELECT list_dot_product(
+                       v2, list_transform(C,
+                           r -> list_dot_product(r, v2))) AS lam
+            FROM c2, covm
+        ), comps AS (
+            SELECT 0 AS component, v1 AS v,
+                   (SELECT lam FROM l1) AS lam FROM c1
+            UNION ALL
+            SELECT 1 AS component, v2 AS v,
+                   (SELECT lam FROM l2) AS lam FROM c2
+        ), flipped AS (
+            SELECT component, lam,
+                   CASE WHEN v[list_filter(generate_series(1, 64),
+                                  t -> abs(v[t]) = mx)[1]] < 0
+                        THEN list_transform(v, z -> -z) ELSE v END AS v
+            FROM (SELECT component, lam, v,
+                         list_max(list_transform(v, z -> abs(z))) AS mx
+                  FROM comps)
+        )
+        SELECT CAST(component AS INTEGER) AS component,
+               CAST(d.i - 1 AS INTEGER) AS dim,
+               round(v[d.i], 6) AS loading,
+               round(lam, 6) AS eigenvalue,
+               round(lam / tr, 6) AS explained_var_ratio
+        FROM flipped CROSS JOIN covm CROSS JOIN dims d
+        """,
+    ),
     "events_top_paths": QuerySpec(
         X.events_top_paths,
         """
@@ -4357,10 +4525,76 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM cls WHERE gid <> 7 GROUP BY 1
         """,
     ),
-    # r7: BPE tokenizer application — rows-only by design (the merge
-    # table comes from the iterative trainer); per-document Python
-    # train+encode parity in tests/test_operators.py.
-    "text_bpe_encode": QuerySpec(X.text_bpe_encode, None),
+    # Oracle promoted in r11 (VERDICT r10 #5): the text_bpe_train K=3
+    # unroll (census -> argmax -> boundary-safe double-replace rewrite,
+    # see that entry's equivalence proof) extended with the THIRD
+    # rewrite the trainer itself never needs, then the per-language
+    # compression ledger over raw (d0) vs encoded (d3) token lists.
+    # Integer sums CAST to BIGINT (DuckDB HUGEINT bridge asymmetry).
+    "text_bpe_encode": QuerySpec(
+        X.text_bpe_encode,
+        f"""
+        WITH d0 AS (
+            SELECT doc_id, lang,
+                   list_filter(list_transform({_TOKS}, t -> lower(t)),
+                               t -> NOT contains(t, '␞')) AS tk
+            FROM documents
+        ), m1 AS (
+            SELECT tk[i] AS a, tk[i+1] AS b
+            FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM d0)
+            WHERE tk[i] <> tk[i+1]
+            GROUP BY 1, 2 ORDER BY count(*) DESC, a, b LIMIT 1
+        ), d1 AS (
+            SELECT doc_id, CASE WHEN len(tk) = 0 THEN tk ELSE
+                string_split(trim(replace(replace(
+                    ' ' || array_to_string(tk, ' ') || ' ',
+                    ' ' || a || ' ' || b || ' ',
+                    ' ' || a || '␞' || b || ' '),
+                    ' ' || a || ' ' || b || ' ',
+                    ' ' || a || '␞' || b || ' ')), ' ') END AS tk
+            FROM d0 CROSS JOIN m1
+        ), m2 AS (
+            SELECT tk[i] AS a, tk[i+1] AS b
+            FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM d1)
+            WHERE tk[i] <> tk[i+1]
+            GROUP BY 1, 2 ORDER BY count(*) DESC, a, b LIMIT 1
+        ), d2 AS (
+            SELECT doc_id, CASE WHEN len(tk) = 0 THEN tk ELSE
+                string_split(trim(replace(replace(
+                    ' ' || array_to_string(tk, ' ') || ' ',
+                    ' ' || a || ' ' || b || ' ',
+                    ' ' || a || '␞' || b || ' '),
+                    ' ' || a || ' ' || b || ' ',
+                    ' ' || a || '␞' || b || ' ')), ' ') END AS tk
+            FROM d1 CROSS JOIN m2
+        ), m3 AS (
+            SELECT tk[i] AS a, tk[i+1] AS b
+            FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM d2)
+            WHERE tk[i] <> tk[i+1]
+            GROUP BY 1, 2 ORDER BY count(*) DESC, a, b LIMIT 1
+        ), d3 AS (
+            SELECT doc_id, CASE WHEN len(tk) = 0 THEN tk ELSE
+                string_split(trim(replace(replace(
+                    ' ' || array_to_string(tk, ' ') || ' ',
+                    ' ' || a || ' ' || b || ' ',
+                    ' ' || a || '␞' || b || ' '),
+                    ' ' || a || ' ' || b || ' ',
+                    ' ' || a || '␞' || b || ' ')), ' ') END AS tk
+            FROM d2 CROSS JOIN m3
+        )
+        SELECT d0.lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(d0.tk)) AS BIGINT) AS toks_raw,
+               CAST(sum(len(d3.tk)) AS BIGINT) AS toks_encoded,
+               CAST(sum(len(list_filter(d3.tk,
+                                        t -> contains(t, '␞'))))
+                    AS BIGINT) AS n_merged_final,
+               round(1.0 - CAST(sum(len(d3.tk)) AS DOUBLE)
+                     / sum(len(d0.tk)), 4) AS compression
+        FROM d0 JOIN d3 ON d0.doc_id = d3.doc_id
+        GROUP BY d0.lang
+        """,
+    ),
     "lineitem_copurchase_lift": QuerySpec(
         X.lineitem_copurchase_lift,
         """

@@ -272,6 +272,31 @@ def test_minhash_band_join_aqe_skew_split_executed(spark):
             spark.conf.set(k, v)
 
 
+def test_minhash_sqltwin_plan_matches_production_shape(spark):
+    """dedup_minhash_lsh_sqltwin (the md5 cross-engine family) must
+    keep the production entry's plan shape: the candidate self-join is
+    an equi-join on (band_idx, band_hash) — never a cartesian/BNLJ —
+    and the banded relation it shuffles stays NARROW (no shingle or
+    signature arrays ride through the band join; they re-attach only
+    on the surviving pairs)."""
+    import city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions as X
+
+    df = X.dedup_minhash_lsh_sqltwin(spark, SF_SMALL)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "band_hash" in plan
+    # the join keyed on band_hash must not carry the shingle arrays:
+    # no Exchange hashpartitioning(band_…) row mentions shingle cols
+    for line in plan.splitlines():
+        if "hashpartitioning(band_idx" in line:
+            assert "shingle" not in line and "sig" not in line, line
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.operators.cache import (
+        release_persisted,
+    )
+    release_persisted()
+
+
 # Entries where an Exchange SinglePartition is acceptable for a reason
 # OTHER than feeding a keyless final aggregate (which the lint already
 # allows structurally). Add a name here only with a written justification.

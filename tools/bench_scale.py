@@ -105,6 +105,11 @@ SCALE_QUERIES = [
     # exchange; the claim that the window stack never adds a second
     # event-log shuffle must hold as the log grows
     "events_funnel",
+    # r11 addition (VERDICT r10 #3): the r10 single-shuffle retention
+    # re-plan — one user_id exchange, collect_set bounded by timeline
+    # weeks — was motivated by scale but never measured at 10×; the
+    # bounded-set claim must hold as events-per-user grows with reps
+    "events_cohort_retention",
 ]
 
 
