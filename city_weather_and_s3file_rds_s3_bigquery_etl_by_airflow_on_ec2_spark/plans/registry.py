@@ -5342,53 +5342,46 @@ REGISTRY: dict[str, QuerySpec] = {
 # future insertions anywhere in the literal above cannot silently push
 # an unchecked entry out of the window.
 _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
-    # Round-10 rotation — TOOL-GENERATED (VERDICT r8 #6/ADVICE r8: the
+    # Round-11 rotation — TOOL-GENERATED (VERDICT r8 #6/ADVICE r8: the
     # window is derived, not hand-picked) by
     #   python tools/audit_driver_window.py --propose --changed \
-    #     embedding_pq_encode etl_scd2_apply table_snapshot_diff \
-    #     table_drift_psi sample_bernoulli text_bpe_train events_funnel
+    #     dedup_minhash_lsh_sqltwin text_bpe_encode \
+    #     embedding_pca_power dedup_minhash_lsh
     # Standing policy, in priority order: (1) entries whose fn or
-    # oracle changed this round re-enter first (this round: the
-    # pq_codes driver-surface stringification — VERDICT r9 #1, the two
-    # -key-1 insert-key fixes and the 12-bin PSI spine — ADVICE r9,
-    # the TWO rows-only->oracle promotions sample_bernoulli /
-    # text_bpe_train — VERDICT r9 #6, and the NEW events_funnel);
-    # (2) never-driver-hashed entries: NONE — the backlog has been
-    # zero since r9 (union r1-r9 = all entries) and events_funnel
-    # enters under (1); (3) the remaining 43 slots go to the stalest
-    # previously-hashed entries, oldest hashed round first — with the
-    # backlog empty this tier now drives the whole fill (VERDICT r9
-    # #5): the r1-hashed subquery/CTE/events/streaming/dedup/text core
-    # re-enters first.
+    # oracle changed this round re-enter first (this round: the THREE
+    # rows-only->oracle promotions — the NEW md5-family SQL twin
+    # dedup_minhash_lsh_sqltwin, text_bpe_encode via the third
+    # double-replace rewrite, embedding_pca_power via the
+    # fixed-iteration recursive-CTE power iteration — plus
+    # dedup_minhash_lsh itself, whose operator gained the
+    # hash_family parameter, VERDICT r10 #1/#5); (2) never-hashed:
+    # NONE beyond the new twin, which enters under (1); (3) the
+    # remaining 46 slots re-enter the stalest previously-hashed
+    # entries, oldest hashed round first — the r1/r2-era
+    # subquery/agg/join/window/set/scalar core.
     # All 50 pre-audited green by tools/audit_driver_window.py
-    # (bit-exact fetchall + pandas-bridge dtype symmetry + the r10
-    # pandas-unhashable column pre-flight / clean rows-only execution)
-    # before commit; entries not in the window are covered by the
-    # committed CORRECTNESS_full_r*.json artifacts.
-    # LATE-r10 SWAP: events_cohort_retention re-enters per policy
-    # rule (1) — its implementation was upgraded to the
-    # single-shuffle collect_set plan (oracle unchanged) —
-    # displacing the stalest re-entry slot
-    # (subquery_correlated_min — r1-hashed, union stays
-    # complete); full 50/50 re-audit green before commit.
-    "etl_scd2_apply", "table_drift_psi", "embedding_pq_encode",
-    "text_bpe_train", "sample_bernoulli", "table_snapshot_diff",
-    "events_funnel", "events_cohort_retention", "subquery_in_grouped",
-    "subquery_not_in", "cte_multi_step", "events_tumbling_hour",
-    "events_sessionize", "streaming_tumbling_hour",
-    "streaming_session_windows", "events_sliding_window",
-    "streaming_stateful_totals", "dedup_exact", "dedup_content_hash",
-    "dedup_cluster_assign", "ann_cosine_topk", "embedding_norm_stats",
-    "embedding_centroid_sim", "text_token_stats", "text_quality_score",
-    "text_lang_id", "text_fingerprint", "text_redact_pii", "text_chunking",
-    "text_stratified_topk", "text_contamination_check",
-    "text_ngram_profile", "agg_rollup_grouping", "scalar_regexp_funcs",
-    "unpivot_lineitem", "session_window_bounds", "window_analytics",
-    "dedup_embedding_cosine", "text_bpe_token_count", "multimodal_meta",
-    "multimodal_decode_features", "serial_id_assignment",
-    "filter_project_pushdown", "topk_orders", "q1_pricing_summary",
-    "agg_stats_by_returnflag", "agg_count_distinct", "agg_approx_distinct",
-    "agg_rollup", "agg_cube",
+    # (bit-exact fetchall + pandas-bridge dtype symmetry + the
+    # recursive pandas-unhashable pre-flight / clean rows-only
+    # execution) before commit; entries not in the window are covered
+    # by the committed CORRECTNESS_full_r*.json artifacts.
+    "dedup_minhash_lsh", "dedup_minhash_lsh_sqltwin",
+    "embedding_pca_power", "text_bpe_encode", "subquery_correlated_min",
+    "agg_grouping_sets", "agg_pivot", "agg_median_percentile",
+    "agg_salted_twophase", "agg_corr_covar", "agg_bool",
+    "agg_approx_quantile", "agg_having", "join_inner_3way_topk",
+    "join_5way_star", "join_left_outer_agg", "join_semi", "join_anti",
+    "join_full_outer", "join_cross", "join_theta_pairs",
+    "join_asof_events_orders", "join_composite_adjacent",
+    "join_range_events", "window_topk_per_group", "window_running_sum",
+    "window_lag_lead", "window_rank_ntile", "window_range_frame",
+    "sort_multi_key", "set_union_all", "set_union_distinct",
+    "set_intersect", "set_except", "set_intersect_all", "explode_variants",
+    "distinct_projection", "scalar_string_funcs", "scalar_date_funcs",
+    "scalar_case_math", "scalar_array_funcs", "agg_collect_sorted",
+    "text_repetition_score", "dedup_cluster_assign_star",
+    "embedding_quantize_int8", "dedup_keep_best", "text_gopher_quality",
+    "embedding_kmeans_step", "dedup_incremental_lsh",
+    "text_ngram_dup_spans",
 )
 assert set(_DRIVER_WINDOW_FIRST) <= set(REGISTRY), sorted(
     set(_DRIVER_WINDOW_FIRST) - set(REGISTRY))
