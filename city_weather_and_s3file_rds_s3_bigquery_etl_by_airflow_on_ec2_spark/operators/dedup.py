@@ -266,6 +266,15 @@ def _minhash_banded(
     (:func:`_minhash_hash_exprs`): native xxhash64 (production) or the
     md5-based cross-engine family the SQL oracle can replay."""
     shingle_hash, band_hash = _minhash_hash_exprs(hash_family, seed)
+
+    def _hash_fn(i: int):
+        # Closure factory, NOT `lambda s, i=i: ...`: F.transform calls a
+        # TWO-parameter lambda as (element, index) — a default-arg `i`
+        # is silently shadowed by the array-index column, which both
+        # collapses all num_hashes functions onto per-position seeds
+        # and (md5 family) bakes a per-build lambda-variable name into
+        # the hash input via str(Column).  One-parameter lambdas only.
+        return lambda s: shingle_hash(s, i)
     num_hashes = num_bands * rows_per_band
     carry = [F.col(c) for c in carry_cols]
     toks = df.select(F.col(id_col), *carry,
@@ -280,8 +289,7 @@ def _minhash_banded(
                id_col, *carry,
                F.array(*[
                    F.array_min(F.transform(
-                       F.col("shingles"),
-                       lambda s, i=i: shingle_hash(s, i)))
+                       F.col("shingles"), _hash_fn(i)))
                    for i in range(num_hashes)
                ]).alias("sig"),
                F.array_distinct("shingles").alias("shingle_set")))
@@ -350,6 +358,7 @@ def minhash_lsh_pairs_incremental(
     max_exact_jaccard_distance: float | None = None,
     seed: int = 42,
     max_band_bucket: int | None = None,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Incremental corpus dedup: MinHash-LSH candidates between a NEW
     batch and an EXISTING corpus (bipartite band join — never
@@ -376,10 +385,10 @@ def minhash_lsh_pairs_incremental(
     near-dup by construction — dedupe on content hash upstream."""
     banded_new, sets_new = _minhash_banded(
         new_df, text_col, id_col, shingle_size, num_bands, rows_per_band,
-        seed)
+        seed, hash_family=hash_family)
     banded_old, sets_old = _minhash_banded(
         corpus_df, text_col, id_col, shingle_size, num_bands, rows_per_band,
-        seed)
+        seed, hash_family=hash_family)
     if max_band_bucket is not None:
         # cap BOTH sides (ADVICE r6): bipartite bucket cost is
         # w_new × w_old — the corpus is the side a hot template

@@ -706,6 +706,26 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_exact_jaccard_distance=0.5)
 
 
+def dedup_incremental_lsh_sqltwin(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """``dedup_incremental_lsh`` under the CROSS-ENGINE md5 hash family
+    (r11, same promotion pattern as ``dedup_minhash_lsh_sqltwin``):
+    the SAME bipartite operator — ``minhash_lsh_pairs_incremental``
+    with the identical batch/corpus split (doc_id >= 400), geometry,
+    and verify threshold — with ``hash_family="md5"``, so the DuckDB
+    oracle replays the ENTIRE continuous-ingest shape: both sides'
+    signatures, the new×corpus band join (never new×new or
+    corpus×corpus), candidate dedup, and the exact shingle-Jaccard
+    verify across sides.  The xxhash64 entry stays the scale-set
+    path."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    new_batch = documents.where(F.col("doc_id") >= 400)
+    corpus = documents.where(F.col("doc_id") < 400)
+    return D.minhash_lsh_pairs_incremental(
+        new_batch, corpus, "text", "doc_id",
+        max_exact_jaccard_distance=0.5, hash_family="md5")
+
+
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric per-vector int8 quantization (max-abs scaling): the
     standard storage/bandwidth reduction before ANN indexing at corpus

@@ -1867,6 +1867,57 @@ REGISTRY: dict[str, QuerySpec] = {
     # rows-only: candidate set is hash-dependent (bipartite LSH);
     # ground-truthed against planted cross-side near-dups in tests
     "dedup_incremental_lsh": QuerySpec(X.dedup_incremental_lsh, None),
+    # r11: the bipartite continuous-ingest detector under the md5
+    # cross-engine family (the dedup_minhash_lsh_sqltwin pattern) —
+    # the oracle replays both sides' signatures, the new(>=400) ×
+    # corpus(<400) band join, and the cross-side shingle-Jaccard
+    # verify.  No bucket cap (the entry passes none).
+    "dedup_incremental_lsh_sqltwin": QuerySpec(
+        X.dedup_incremental_lsh_sqltwin,
+        f"""
+        WITH tk AS (
+            SELECT doc_id, {_TOKS} AS tk FROM documents
+            WHERE len({_TOKS}) >= 3
+        ), sh AS (
+            SELECT doc_id,
+                   list_transform(generate_series(1, len(tk) - 2),
+                       i -> array_to_string(tk[i:i+2], ' ')) AS shingles
+            FROM tk
+        ), sets AS (
+            SELECT doc_id, list_distinct(shingles) AS sset FROM sh
+        ), sig AS (
+            SELECT doc_id,
+                   list_transform(generate_series(0, 15),
+                       k -> list_min(list_transform(shingles,
+                           s -> ('0x' || substr(md5(s || '|' ||
+                                                    CAST(42 + k AS VARCHAR)),
+                                                1, 15))::BIGINT))) AS sig
+            FROM sh
+        ), banded AS (
+            SELECT doc_id, bi.i AS band_idx,
+                   CAST(sig[bi.i * 2 + 1] AS VARCHAR) || ':' ||
+                   CAST(sig[bi.i * 2 + 2] AS VARCHAR) AS band_hash
+            FROM sig CROSS JOIN
+                 (SELECT unnest(generate_series(0, 7)) AS i) bi
+        ), cands AS (
+            SELECT DISTINCT n.doc_id AS id_a, c.doc_id AS id_b
+            FROM (SELECT * FROM banded WHERE doc_id >= 400) n
+            JOIN (SELECT * FROM banded WHERE doc_id < 400) c
+              ON n.band_idx = c.band_idx AND n.band_hash = c.band_hash
+             AND n.doc_id <> c.doc_id
+        )
+        SELECT id_a, id_b, jaccard_distance FROM (
+            SELECT c.id_a, c.id_b,
+                   round(1.0 - CAST(len(list_intersect(sa.sset, sb.sset))
+                                    AS DOUBLE)
+                         / len(list_distinct(list_concat(sa.sset, sb.sset))),
+                         4) AS jaccard_distance
+            FROM cands c
+            JOIN sets sa ON sa.doc_id = c.id_a
+            JOIN sets sb ON sb.doc_id = c.id_b)
+        WHERE jaccard_distance <= 0.5
+        """,
+    ),
     "embedding_dim_stats": QuerySpec(
         X.embedding_dim_stats,
         """
