@@ -5415,7 +5415,14 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     # recursive pandas-unhashable pre-flight / clean rows-only
     # execution) before commit; entries not in the window are covered
     # by the committed CORRECTNESS_full_r*.json artifacts.
+    # LATE-r11 SWAP: dedup_incremental_lsh_sqltwin (NEW — the
+    # bipartite md5 twin added after the rotation, the entry that
+    # exposed the two-parameter-lambda bug) enters per policy rule
+    # (1), displacing the least-stale re-entry slot
+    # (text_ngram_dup_spans — union stays complete); full 50/50
+    # re-audit green before commit.
     "dedup_minhash_lsh", "dedup_minhash_lsh_sqltwin",
+    "dedup_incremental_lsh_sqltwin",
     "embedding_pca_power", "text_bpe_encode", "subquery_correlated_min",
     "agg_grouping_sets", "agg_pivot", "agg_median_percentile",
     "agg_salted_twophase", "agg_corr_covar", "agg_bool",
@@ -5432,7 +5439,6 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "text_repetition_score", "dedup_cluster_assign_star",
     "embedding_quantize_int8", "dedup_keep_best", "text_gopher_quality",
     "embedding_kmeans_step", "dedup_incremental_lsh",
-    "text_ngram_dup_spans",
 )
 assert set(_DRIVER_WINDOW_FIRST) <= set(REGISTRY), sorted(
     set(_DRIVER_WINDOW_FIRST) - set(REGISTRY))
