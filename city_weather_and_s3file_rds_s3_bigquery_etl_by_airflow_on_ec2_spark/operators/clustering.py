@@ -290,9 +290,13 @@ def pca_power(df: DataFrame, n_components: int = 2,
     largest-|loading| coordinate is positive — deterministic across
     runs and engines (up to float-sum ordering in the partial sums).
 
-    Not SQL-expressible in one query (the eigensolve is iterative) —
-    registry entry is rows-only by design; ground truth is a NumPy
-    eigendecomposition in tests.
+    The free-running mode (tol > 0, early exit) is not
+    SQL-expressible — but the registry entry ``embedding_pca_power``
+    pins the FIXED-ITERATION mode (max_iter=1000, tol=0.0), whose
+    deterministic procedure a DuckDB recursive CTE replays step for
+    step, so the entry is oracle-checked (promoted r11); ground truth
+    for the free-running mode stays the NumPy eigendecomposition in
+    tests.
     """
     v0 = as_double(F.col(vec_col))
     dim = df.select(F.size(v0).alias("d")).first()["d"]

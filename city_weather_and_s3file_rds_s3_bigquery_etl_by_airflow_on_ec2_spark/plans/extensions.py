@@ -30,6 +30,23 @@ def _t(spark: SparkSession, sf_dir: str, *names: str):
     return [dfs[n] for n in names]
 
 
+def _r6(x: float) -> float:
+    """Half-away-from-zero rounding to 6 places for ORACLE-FACING
+    driver-local scalars (ADVICE r11 #3).  The oracle side's round()
+    is rewritten by registry._fix_rounds to a DECIMAL(38,6) cast —
+    half-away-from-zero — while builtin round() is half-even, so an
+    exact .xxxxxx5 tie would hash-mismatch.  Quantizing the EXACT
+    binary expansion (Decimal(x), not Decimal(repr(x))) with
+    ROUND_HALF_UP pins the same rule on the Python side.  (True
+    decimal ties are unreachable for binary doubles — 10⁶ carries a
+    5⁶ factor no dyadic rational has — so this provably preserves
+    every existing hash; the point is the rule is now explicit, not
+    an accident of tie-impossibility.)"""
+    from decimal import ROUND_HALF_UP, Decimal
+    return float(Decimal(x).quantize(Decimal("0.000001"),
+                                     rounding=ROUND_HALF_UP))
+
+
 # ------------------------------------------------------------------- dedup —
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3124,8 +3141,8 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     (embeddings,) = _t(spark, sf_dir, "embeddings")
     comps, eigs, total_var, _ = pca_power(embeddings, n_components=2,
                                           max_iter=1000, tol=0.0)
-    rows = [(c, d, round(comps[c][d], 6), round(eigs[c], 6),
-             round(eigs[c] / total_var, 6))
+    rows = [(c, d, _r6(comps[c][d]), _r6(eigs[c]),
+             _r6(eigs[c] / total_var))
             for c in range(len(comps)) for d in range(len(comps[c]))]
     return spark.createDataFrame(
         rows, "component: int, dim: int, loading: double, "

@@ -3837,6 +3837,11 @@ REGISTRY: dict[str, QuerySpec] = {
     # boundary space the previous match consumed, but two missed sites
     # are never adjacent (a missed site's predecessor was matched), so
     # applying the SAME replace twice provably catches every site.
+    # (The d1/d2 CROSS JOINs here are SAFE on degenerate corpora —
+    # unlike text_bpe_encode's, see ADVICE r11 #2 — because an empty
+    # census round only annihilates downstream CENSUS rounds, which
+    # would be empty anyway: the UNION of m1..m3 still matches the
+    # Spark trainer's early break row-for-row.)
     "text_bpe_train": QuerySpec(
         X.text_bpe_train,
         f"""
@@ -4596,42 +4601,57 @@ REGISTRY: dict[str, QuerySpec] = {
             WHERE tk[i] <> tk[i+1]
             GROUP BY 1, 2 ORDER BY count(*) DESC, a, b LIMIT 1
         ), d1 AS (
-            SELECT doc_id, CASE WHEN len(tk) = 0 THEN tk ELSE
+            -- LEFT JOIN ON TRUE passthrough (ADVICE r11 #2): an empty
+            -- census round must leave tokens unchanged — the Spark fn
+            -- breaks out of _bpe_train_merges and encodes with fewer
+            -- merges — not annihilate d1 (and with it the final
+            -- d0 JOIN d3 ledger) via a CROSS JOIN with zero rows
+            SELECT doc_id, CASE WHEN a IS NULL OR len(tk) = 0 THEN tk ELSE
                 string_split(trim(replace(replace(
                     ' ' || array_to_string(tk, ' ') || ' ',
                     ' ' || a || ' ' || b || ' ',
                     ' ' || a || '␞' || b || ' '),
                     ' ' || a || ' ' || b || ' ',
                     ' ' || a || '␞' || b || ' ')), ' ') END AS tk
-            FROM d0 CROSS JOIN m1
+            FROM d0 LEFT JOIN m1 ON TRUE
         ), m2 AS (
             SELECT tk[i] AS a, tk[i+1] AS b
             FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM d1)
             WHERE tk[i] <> tk[i+1]
             GROUP BY 1, 2 ORDER BY count(*) DESC, a, b LIMIT 1
         ), d2 AS (
-            SELECT doc_id, CASE WHEN len(tk) = 0 THEN tk ELSE
+            -- LEFT JOIN ON TRUE passthrough (ADVICE r11 #2): an empty
+            -- census round must leave tokens unchanged — the Spark fn
+            -- breaks out of _bpe_train_merges and encodes with fewer
+            -- merges — not annihilate d2 (and with it the final
+            -- d0 JOIN d3 ledger) via a CROSS JOIN with zero rows
+            SELECT doc_id, CASE WHEN a IS NULL OR len(tk) = 0 THEN tk ELSE
                 string_split(trim(replace(replace(
                     ' ' || array_to_string(tk, ' ') || ' ',
                     ' ' || a || ' ' || b || ' ',
                     ' ' || a || '␞' || b || ' '),
                     ' ' || a || ' ' || b || ' ',
                     ' ' || a || '␞' || b || ' ')), ' ') END AS tk
-            FROM d1 CROSS JOIN m2
+            FROM d1 LEFT JOIN m2 ON TRUE
         ), m3 AS (
             SELECT tk[i] AS a, tk[i+1] AS b
             FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM d2)
             WHERE tk[i] <> tk[i+1]
             GROUP BY 1, 2 ORDER BY count(*) DESC, a, b LIMIT 1
         ), d3 AS (
-            SELECT doc_id, CASE WHEN len(tk) = 0 THEN tk ELSE
+            -- LEFT JOIN ON TRUE passthrough (ADVICE r11 #2): an empty
+            -- census round must leave tokens unchanged — the Spark fn
+            -- breaks out of _bpe_train_merges and encodes with fewer
+            -- merges — not annihilate d3 (and with it the final
+            -- d0 JOIN d3 ledger) via a CROSS JOIN with zero rows
+            SELECT doc_id, CASE WHEN a IS NULL OR len(tk) = 0 THEN tk ELSE
                 string_split(trim(replace(replace(
                     ' ' || array_to_string(tk, ' ') || ' ',
                     ' ' || a || ' ' || b || ' ',
                     ' ' || a || '␞' || b || ' '),
                     ' ' || a || ' ' || b || ' ',
                     ' ' || a || '␞' || b || ' ')), ' ') END AS tk
-            FROM d2 CROSS JOIN m3
+            FROM d2 LEFT JOIN m3 ON TRUE
         )
         SELECT d0.lang,
                CAST(count(*) AS BIGINT) AS n_docs,

@@ -3920,6 +3920,64 @@ def test_bpe_encode_matches_python_train_plus_encode(spark, tmp_path):
     assert any("␞" in t and t.count("␞") == 2 for d in enc for t in d)
 
 
+def test_bpe_encode_oracle_degenerate_corpus_passthrough(spark, tmp_path):
+    """ADVICE r11 #2: on a corpus where a census round finds NO
+    adjacent a<>b pair, the Spark encoder breaks out of
+    _bpe_train_merges and encodes with fewer merges — the DuckDB
+    oracle's rewrite CTE must pass tokens through (LEFT JOIN ON TRUE
+    + COALESCE-style CASE), not annihilate the final d0⋈d3 ledger via
+    a CROSS JOIN with zero rows.  Two planted regimes:
+
+    - fully degenerate (every doc one repeated token): m1 is already
+      empty — the old CROSS JOIN form returned ZERO rows here;
+    - partially degenerate ('a b' docs only): round 1 merges (a,b),
+      round 2's census is empty — the old form zeroed the ledger
+      after one good merge.
+
+    Both must yield the Spark entry's rows bit-for-bit from the
+    PRODUCTION oracle string (__spark_entry__.oracle_sql, the exact
+    text the driver runs)."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        text_bpe_encode,
+    )
+
+    lakes = {
+        "fully_degenerate": [
+            (0, "aaa aaa aaa", "en", "s0"),
+            (1, "bb bb", "en", "s0"),
+            (2, "zz zz zz zz", "fr", "s0"),
+        ],
+        "partially_degenerate": [
+            (0, "a b", "en", "s0"),
+            (1, "a b", "en", "s0"),
+            (2, "a b", "fr", "s0"),
+        ],
+    }
+    sql = entrymod.oracle_sql()["text_bpe_encode"]
+    for regime, rows in lakes.items():
+        lake = tmp_path / regime
+        lake.mkdir()
+        sf_dir = _write_documents(spark, lake, rows)
+        got = sorted(
+            (r.lang, r.n_docs, r.toks_raw, r.toks_encoded,
+             r.n_merged_final, round(r.compression, 4))
+            for r in text_bpe_encode(spark, sf_dir, n_merges=3).collect())
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS "
+                    f"SELECT * FROM '{sf_dir}/documents.parquet/*.parquet'")
+        want = sorted((lang, n, tr, te, nm, round(comp, 4))
+                      for lang, n, tr, te, nm, comp
+                      in con.sql(sql).fetchall())
+        con.close()
+        assert got, f"{regime}: Spark entry returned no rows"
+        assert got == want, f"{regime}: Spark vs oracle diverged"
+        # the regression this guards: the oracle must NOT be empty
+        assert len(want) == len({lang for _, _, lang, _ in rows})
+
+
 def test_copurchase_lift_planted_baskets(spark, tmp_path):
     """Market-basket semantics on planted orders: duplicate lineitems
     of the same part count ONCE per order (distinct baskets), pair
