@@ -1329,3 +1329,126 @@ def test_cohort_retention_single_event_shuffle_no_join(spark):
     ex = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
     assert sum("user_id" in ln for ln in ex) == 1
     assert len(ex) == 2, ex
+
+
+# --------------------------------------------------------------------------
+# VERDICT r11 #1: mechanize the no-default-arg-lambdas-in-Spark-HOFs rule.
+#
+# The r11 bug class is SILENT: pyspark's higher-order functions invoke the
+# Python callable eagerly to build the Catalyst lambda, and a callable whose
+# arity is 2 (including defaults! inspect.signature counts them) is called
+# as (element, index) — so `lambda s, i=i: ...` inside F.transform silently
+# binds the array-index column to `i`, shadowing the captured default.  The
+# repaired code uses closure factories (operators/dedup.py); every
+# planted-recall test kept passing while LSH was degenerate, so prose +
+# code comments are not enough.  This AST lint fails on ANY lambda carrying
+# a default argument passed (directly or nested) to a Spark HOF anywhere in
+# the package or in the repo-root entry/bench/tools files.
+
+# Spark SQL higher-order functions that take Python callables and re-call
+# them with (element, index) / (key, value) depending on declared arity.
+_SPARK_HOF_NAMES = frozenset({
+    "transform", "filter", "aggregate", "reduce", "exists", "forall",
+    "zip_with", "map_filter", "map_zip_with", "transform_keys",
+    "transform_values", "array_sort",
+})
+
+
+def _hof_default_arg_lambda_offenses(source: str, filename: str):
+    """All (file:line, hof_name) sites where a lambda with a positional
+    or keyword-only default is an argument of a call to a Spark-HOF
+    name.  Name-based on purpose: `F.transform`, bare `transform` from
+    a star/aliased import, and any wrapper re-exporting the name all
+    match — false positives are cheap (rewrite as a closure factory),
+    false negatives re-open the r11 bug class."""
+    import ast
+
+    offenses = []
+    tree = ast.parse(source, filename=filename)
+    for node in ast.walk(tree):
+        if not isinstance(node, ast.Call):
+            continue
+        fn = node.func
+        name = fn.attr if isinstance(fn, ast.Attribute) else (
+            fn.id if isinstance(fn, ast.Name) else None)
+        if name not in _SPARK_HOF_NAMES:
+            continue
+        for arg in list(node.args) + [kw.value for kw in node.keywords]:
+            if isinstance(arg, ast.Lambda) and (
+                    arg.args.defaults
+                    or any(d is not None for d in arg.args.kw_defaults)):
+                offenses.append(
+                    f"{filename}:{arg.lineno}: lambda with a default "
+                    f"argument passed to Spark HOF {name}(...) — its "
+                    f"arity is 2+, so pyspark calls it as (element, "
+                    f"index[, ...]), silently shadowing the default; "
+                    f"use a closure factory instead")
+    return offenses
+
+
+def test_no_default_arg_lambdas_in_spark_hofs_suite_wide():
+    """Suite-wide AST lint over every .py under the package plus the
+    repo-root driver surfaces (bench.py, __spark_entry__.py, tools/).
+    Zero tolerance: a flagged site is the r11 minhash-degeneracy bug
+    class waiting to happen, whether or not today's tests notice."""
+    import os
+
+    import city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark as pkg
+
+    pkg_root = os.path.dirname(os.path.abspath(pkg.__file__))
+    repo_root = os.path.dirname(pkg_root)
+    roots = [pkg_root, os.path.join(repo_root, "tools")]
+    files = [os.path.join(repo_root, "bench.py"),
+             os.path.join(repo_root, "__spark_entry__.py")]
+    for root in roots:
+        for dirpath, _, names in os.walk(root):
+            files.extend(os.path.join(dirpath, n)
+                         for n in names if n.endswith(".py"))
+    assert files
+    offenses = []
+    for path in sorted(set(files)):
+        with open(path, encoding="utf-8") as fh:
+            offenses.extend(_hof_default_arg_lambda_offenses(
+                fh.read(), os.path.relpath(path, repo_root)))
+    assert not offenses, "\n".join(offenses)
+
+
+def test_hof_default_arg_lambda_lint_fires_on_planted_offenders():
+    """The lint must actually fire (a lint that can't fail proves
+    nothing): planted offenders cover the exact r11 shape
+    (`lambda s, i=i:` inside F.transform), a keyword-only default, a
+    bare-name HOF import, and a lambda nested inside another HOF's
+    body — while the repaired closure-factory form stays clean."""
+    planted = (
+        "import pyspark.sql.functions as F\n"
+        "def sig(col):\n"
+        "    outs = []\n"
+        "    for i in range(16):\n"
+        "        outs.append(F.transform(col, lambda s, i=i: s * i))\n"
+        "    row = F.filter(col, lambda x, *, k=3: x > k)\n"
+        "    nested = F.transform(col, lambda xi: F.zip_with(\n"
+        "        col, col, lambda a, b, w=2: a + b * w))\n"
+        "    return outs, row, nested\n"
+    )
+    got = _hof_default_arg_lambda_offenses(planted, "planted.py")
+    assert len(got) == 3, got
+    # ast.walk is breadth-first — match sites order-independently
+    assert any("planted.py:5" in o and "transform" in o for o in got), got
+    assert any("planted.py:6" in o and "filter" in o for o in got), got
+    assert any("planted.py:8" in o and "zip_with" in o for o in got), got
+
+    bare_import = (
+        "from pyspark.sql.functions import transform\n"
+        "def f(col, i):\n"
+        "    return transform(col, lambda s, j=i: s * j)\n"
+    )
+    assert len(_hof_default_arg_lambda_offenses(bare_import, "b.py")) == 1
+
+    clean = (
+        "import pyspark.sql.functions as F\n"
+        "def _scaled(i):\n"
+        "    return lambda s: s * i   # closure factory: arity stays 1\n"
+        "def sig(col):\n"
+        "    return [F.transform(col, _scaled(i)) for i in range(16)]\n"
+    )
+    assert _hof_default_arg_lambda_offenses(clean, "clean.py") == []
