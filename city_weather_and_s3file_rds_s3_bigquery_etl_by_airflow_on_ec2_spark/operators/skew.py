@@ -136,7 +136,30 @@ def salted_replicate_join(
     ``salt_source`` defaults to a hash of the fact's key column plus
     every other fact column — deterministic (no ``rand()``: retried
     tasks and re-runs agree) while decorrelating rows that share the
-    hot key.
+    hot key.  NOTE the scale cost of that default: hashing every
+    column forces the parquet scan to read the full table width even
+    when the query projects three columns, so callers on wide facts
+    should project first (the hash of the surviving columns is just
+    as deterministic) — the r12 sf10 measurement of the registry
+    entry read all 11 lineitem columns for a 3-column rollup before
+    the entry was narrowed.
+
+    The join itself is hinted SHUFFLE_HASH on BOTH sides: salting
+    exists precisely to make the salted-key distribution uniform, so
+    sort-merge's skew resilience buys nothing here and its two full
+    sorts (fact stream + salt_buckets × dim) are pure overhead — at
+    10× scale with a fixed partition count they were the dominant
+    cost (r12: 29× wall for 10× data; shuffled-hash restored
+    sublinearity, 5.2× wall for 10× data, beating even the plain
+    unsalted sort-merge join).  Hinting both sides (rather than
+    pinning the dim as build) matters because replication changes
+    which side is smaller: the build side should be
+    min(|fact|, salt_buckets × |dim|), and Catalyst's size estimates
+    pick exactly that when both sides carry the hint (measured r12:
+    forced dim-build 79 s vs stats-picked fact-build 34 s at sf10).
+    Whichever side is built, uniformity caps the per-partition hash
+    table at (side rows) / (shuffle partitions) — no hot-key blowup
+    by construction.
 
     LIMITATION (duplicate-heavy facts): because the default salt is a
     pure function of the row's bytes, BYTE-IDENTICAL duplicate fact
@@ -157,6 +180,8 @@ def salted_replicate_join(
     fact_s = fact.withColumn(_SALT, salt.cast("int"))
     dim_s = dim.withColumn(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))))
+    fact_s = fact_s.hint("shuffle_hash")
+    dim_s = dim_s.hint("shuffle_hash")
     joined = fact_s.join(
         dim_s,
         (fact_s[fact_key] == dim_s[dim_key]) & (fact_s[_SALT] == dim_s[_SALT]),

@@ -3723,9 +3723,15 @@ def join_salted_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast trick does not apply).  The oracle is the PLAIN inner
     join + status rollup, so the rewrite's exactness is hash-checked
     every round.  DECIMAL-summed revenue so partition addition order
-    cannot perturb double bits."""
+    cannot perturb double bits.  The fact is projected to the three
+    surviving columns BEFORE salting: the operator's default salt
+    hashes every fact column it is handed, and handing it the whole
+    lineitem defeats parquet column pruning (the r12 sf10 plan read
+    all 11 columns for this 3-column rollup)."""
     from ..operators.skew import salted_replicate_join
     lineitem, orders = _t(spark, sf_dir, "lineitem", "orders")
+    lineitem = lineitem.select("l_orderkey", "l_extendedprice", "l_discount")
+    orders = orders.select("o_orderkey", "o_orderstatus")
     j = salted_replicate_join(lineitem, orders, "l_orderkey", "o_orderkey",
                               salt_buckets=8)
     return (j.groupBy("o_orderstatus")

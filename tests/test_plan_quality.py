@@ -1005,7 +1005,11 @@ def test_salted_replicate_join_plan_salted_shuffle(spark):
     """salted_replicate_join with auto-broadcast off: ONE shuffle join
     whose key set includes the salt column, the dim replicated by a
     map-side Generate (explode of the salt sequence), and no broadcast
-    anywhere — the full-salting physical shape."""
+    anywhere — the full-salting physical shape.  The join must be
+    ShuffledHashJoin (the operator hints it): salting makes the key
+    distribution uniform by construction, so sort-merge's two full
+    sorts are pure overhead — at sf10 they were the spill-prone
+    dominant cost (r12: 29× wall for 10× data before the hint)."""
     from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.operators.skew import (
         salted_replicate_join,
     )
@@ -1021,8 +1025,8 @@ def test_salted_replicate_join_plan_salted_shuffle(spark):
         orders = read_parquet_table(spark, SF_SMALL, "orders")
         plan = _plan(salted_replicate_join(
             lineitem, orders, "l_orderkey", "o_orderkey", salt_buckets=8))
-        assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") \
-            == 1
+        assert plan.count("ShuffledHashJoin") == 1
+        assert "SortMergeJoin" not in plan      # no sort on salted-uniform keys
         assert "BroadcastHashJoin" not in plan
         assert plan.count("Generate") == 1      # dim-side salt replication
         assert "__salt" in plan                 # salt participates in keys
