@@ -480,6 +480,57 @@ def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
     )
 
 
+def prefix_filter_rows(
+    t: DataFrame,
+    id_col: str,
+    join_keys: list[str],
+    min_jaccard: float,
+) -> DataFrame:
+    """PPJoin prefix rows for ``token_jaccard_pairs``: under a global
+    rarest-first token order, emit each doc's (n - ⌈t·n⌉ + 1)-token
+    prefix as (id, *join_keys, tok) rows.  Factored out of the
+    operator (r12) so the work census (``tools/diag_jaccard_pairs.py``)
+    measures exactly the production candidate stage — the
+    ``diag_minhash_pairs`` pattern.  ``t`` must carry a ``tokset``
+    array column."""
+    t_eff = min_jaccard - 1e-4             # margin for round(jac, 4)
+    tok_rows = t.select(id_col, *join_keys, F.explode("tokset").alias("tok"))
+    freq = tok_rows.groupBy("tok").agg(F.count(F.lit(1)).alias("tok_freq"))
+    ordered = (
+        tok_rows.join(freq, "tok")        # AQE: broadcast while vocab fits
+        .groupBy(id_col, *join_keys)
+        .agg(F.transform(
+            F.array_sort(F.collect_list(F.struct("tok_freq", "tok"))),
+            lambda s: s.tok).alias("ord_toks"))
+    )
+    n = F.size("ord_toks")
+    prefix_len = n - F.ceil(n.cast("double") * F.lit(t_eff)).cast("int") + 1
+    return (
+        ordered.select(
+            id_col, *join_keys,
+            F.explode(F.slice("ord_toks", 1, F.greatest(prefix_len, F.lit(1))))
+             .alias("tok"))
+    )
+
+
+def prefix_join_candidates(
+    prefix_rows: DataFrame,
+    id_col: str,
+    join_keys: list[str],
+) -> DataFrame:
+    """Distinct candidate pairs from the prefix×prefix equi-join on
+    (*join_keys, tok) — the blocked PPJoin candidate stage, shared by
+    ``token_jaccard_pairs`` and the work census."""
+    pa, pb = prefix_rows.alias("pa"), prefix_rows.alias("pb")
+    return (
+        pa.join(pb, on=[*join_keys, "tok"])
+        .where(F.col(f"pa.{id_col}") < F.col(f"pb.{id_col}"))
+        .select(F.col(f"pa.{id_col}").alias("id_a"),
+                F.col(f"pb.{id_col}").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def token_jaccard_pairs(
     df: DataFrame,
     text_col: str,
@@ -642,32 +693,8 @@ def token_jaccard_pairs(
     # the same candidate set. Hot tokens (stopwords) sort last and never
     # enter a prefix, so index fanout stays bounded at scale. Exact
     # intersect/union then runs on candidates only.
-    t_eff = min_jaccard - 1e-4             # margin for round(jac, 4)
-    tok_rows = t.select(id_col, *join_keys, F.explode("tokset").alias("tok"))
-    freq = tok_rows.groupBy("tok").agg(F.count(F.lit(1)).alias("tok_freq"))
-    ordered = (
-        tok_rows.join(freq, "tok")        # AQE: broadcast while vocab fits
-        .groupBy(id_col, *join_keys)
-        .agg(F.transform(
-            F.array_sort(F.collect_list(F.struct("tok_freq", "tok"))),
-            lambda s: s.tok).alias("ord_toks"))
-    )
-    n = F.size("ord_toks")
-    prefix_len = n - F.ceil(n.cast("double") * F.lit(t_eff)).cast("int") + 1
-    prefix_rows = (
-        ordered.select(
-            id_col, *join_keys,
-            F.explode(F.slice("ord_toks", 1, F.greatest(prefix_len, F.lit(1))))
-             .alias("tok"))
-    )
-    pa, pb = prefix_rows.alias("pa"), prefix_rows.alias("pb")
-    cands = (
-        pa.join(pb, on=[*join_keys, "tok"])
-        .where(F.col(f"pa.{id_col}") < F.col(f"pb.{id_col}"))
-        .select(F.col(f"pa.{id_col}").alias("id_a"),
-                F.col(f"pb.{id_col}").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    prefix_rows = prefix_filter_rows(t, id_col, join_keys, min_jaccard)
+    cands = prefix_join_candidates(prefix_rows, id_col, join_keys)
     sets = t.select(id_col, "tokset")
     if degrade:
         # --- degrade path: banded minhash WITHIN oversized blocks ----
