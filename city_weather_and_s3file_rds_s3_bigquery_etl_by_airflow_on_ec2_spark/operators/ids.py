@@ -85,12 +85,15 @@ def range_bucket_expr(df: DataFrame, sketch_expr, second_expr, n: int):
     avoid.  Heavy values are detected from the raw (duplicated)
     quantile list and their rows sub-bucketed by quantiles of
     ``second_expr`` (the tiebreak column's double image), computed over
-    just the tied rows — one extra metadata-sized job per heavy value,
-    at most ``_MAX_TIE_SPLITS`` (a RuntimeWarning names any heavy
-    values the cap drops).  Each such job is sequential and driver-side
-    and, when the input is NOT persisted (e.g. ``prefix_sum(...,
-    persist_input=False)``), re-runs the full input lineage per heavy
-    value — callers with expensive upstreams should persist first.
+    just the tied rows — ALL heavy values share ONE batched
+    metadata-sized job (r12: per-value conditional ``percentile_approx``
+    aggregates replace the former one-sequential-``approxQuantile``-job-
+    per-value loop, which dominated the loader's wall at sf0.1), at
+    most ``_MAX_TIE_SPLITS`` of them (a RuntimeWarning names any heavy
+    values the cap drops).  When the input is NOT persisted (e.g.
+    ``prefix_sum(..., persist_input=False)``), that one job re-runs the
+    full input lineage once — callers with expensive upstreams should
+    still persist first.
     Bucket ids stay monotone w.r.t. the
     lexicographic (lead, second) order: within an old bucket, sub-v
     rows (< v) keep the first slot and v's sub-buckets follow.
@@ -118,9 +121,9 @@ def range_bucket_expr(df: DataFrame, sketch_expr, second_expr, n: int):
                        key=lambda v: -mult[v])
     heavy = all_heavy[:_MAX_TIE_SPLITS]
     if len(all_heavy) > _MAX_TIE_SPLITS:
-        # ADVICE r6: each split costs one sequential driver-side
-        # approxQuantile job (a full lineage re-run when the input is
-        # not persisted), so the cap is deliberate — but dropping a
+        # ADVICE r6: every split widens the batched sub-sketch
+        # aggregate and the final bucket-id expression, so the cap is
+        # deliberate — but dropping a
         # heavy value means its rows stay concentrated in one bucket,
         # which the caller should hear about rather than discover as a
         # straggler task.  A mult-2 drop concentrates only ~2/n of the
@@ -141,22 +144,35 @@ def range_bucket_expr(df: DataFrame, sketch_expr, second_expr, n: int):
             logging.getLogger(__name__).info(msg)
     if not heavy:
         return base
+    # ONE batched sub-sketch job for every heavy value (r12, guide §5:
+    # the former loop ran one sequential driver-side approxQuantile job
+    # PER heavy value — on a tiny relation every value looks heavy, so
+    # serial_id fired up to 9 eager jobs before its main lineage).  A
+    # conditional percentile_approx per heavy value shares one scan;
+    # ApproximatePercentile ignores the NULLs the when() emits for
+    # non-tied rows, and runs the same QuantileSummaries sketch at the
+    # same 1/(100·n) relative error as approxQuantile, so boundary
+    # placement stays sketch-grade (results are invariant to where the
+    # boundaries land — only bucket fan-out depends on them).
+    acc_lit = F.lit(int(round(100 * n)))
+    sub_aggs = []
+    for v in heavy:
+        sp = [i / mult[v] for i in range(1, mult[v])]
+        sub_aggs.append(
+            F.percentile_approx(
+                F.when(sketch_expr == F.lit(v), second_expr),
+                F.array(*[F.lit(p) for p in sp]), acc_lit)
+            .alias(f"__rb_sub_{len(sub_aggs)}"))
+    sub_row = df.agg(*sub_aggs).first()
+    sub_bounds: dict[float, list[float]] = {
+        v: sorted({x for x in (sub_row[i] or []) if x is not None})
+        for i, v in enumerate(heavy)}
     # slot layout: old bucket j expands to 1 + k_j slots (non-tie rows
     # first, then the tie value's k_j sub-buckets)
     widths = []
-    sub_bounds: dict[float, list[float]] = {}
-    tmp2 = "__rb_sub"
     for j, v in enumerate(bounds):
         if v in heavy:
-            k = mult[v]
-            sp = [i / k for i in range(1, k)]
-            sb = sorted(set(
-                df.where(sketch_expr == F.lit(v))
-                  .withColumn(tmp2, second_expr)
-                  .stat.approxQuantile(tmp2, sp, 1.0 / (100 * n)))) \
-                if k > 1 else []
-            sub_bounds[v] = sb
-            widths.append(1 + len(sb) + 1)
+            widths.append(1 + len(sub_bounds[v]) + 1)
         else:
             widths.append(1)
     widths.append(1)                       # the open last bucket
@@ -179,7 +195,8 @@ def range_bucket_expr(df: DataFrame, sketch_expr, second_expr, n: int):
 
 
 def serial_id(df: DataFrame, key_cols: list[str], id_col: str = "id",
-              num_ranges: int | None = None, eager: bool = False) -> DataFrame:
+              num_ranges: int | None = None, eager: bool = False,
+              bounded_input: bool = False) -> DataFrame:
     """Assign a dense 1-based BIGINT ``id_col`` ordered by ``key_cols``
     without a single-partition global sort.
 
@@ -207,7 +224,28 @@ def serial_id(df: DataFrame, key_cols: list[str], id_col: str = "id",
     tagged input before returning (bounded-lifetime cache instead of
     waiting on the ContextCleaner; the lazy default leaves the cache
     pinned so the caller's first action reuses it).
+
+    ``bounded_input=True`` (r12, guide §5): the caller asserts the
+    input is METADATA-SCALE BY CONSTRUCTION (e.g. a budget cut or a
+    fixed-fanout aggregate bounds it independent of corpus size).  The
+    two-phase machinery then costs more than it saves — its boundary
+    sketch, batched tie sub-sketch, and offset collect are three eager
+    driver round-trips, each re-executing the (tiny) upstream lineage —
+    so this mode plans the textbook single-window form instead:
+    ``row_number() OVER (ORDER BY key_cols)``, zero eager jobs, one
+    bounded-size exchange.  Results are identical by the operator's own
+    contract (ids depend only on each row's rank).  NEVER pass this for
+    a relation that grows with the corpus — the global sort funnel is
+    exactly what the default plan exists to avoid; the suite-wide
+    SinglePartition lint holds every registry entry that opts in to a
+    written boundedness justification.
     """
+    if bounded_input:
+        w = Window.orderBy(*[F.col(c) for c in key_cols])
+        out = df.withColumn(id_col, F.row_number().over(w).cast("long"))
+        if eager:
+            out = out.localCheckpoint(eager=True)
+        return out
     spark = df.sparkSession
     n = num_ranges or _default_ranges(spark)
     lead = key_cols[0]

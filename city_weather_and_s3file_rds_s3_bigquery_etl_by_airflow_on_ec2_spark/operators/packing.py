@@ -54,7 +54,8 @@ def prefix_sum(df: DataFrame, weight_col: str, order_cols: list[str],
                out_col: str = "prefix_sum",
                num_ranges: int | None = None,
                persist_input: bool = True,
-               stop_after: int | None = None) -> DataFrame:
+               stop_after: int | None = None,
+               bounded_input: bool = False) -> DataFrame:
     """Running total of ``weight_col`` ordered by ``order_cols``
     (inclusive of the current row) without a single-partition window.
 
@@ -87,7 +88,27 @@ def prefix_sum(df: DataFrame, weight_col: str, order_cols: list[str],
     the unpruned plan; rows whose prefix start is ≥ ``stop_after`` are
     ABSENT from the result, so the caller's own cut filter must be at
     least as strict.
+
+    ``bounded_input=True`` (r12, guide §5 — see ``serial_id``): the
+    caller asserts the input is metadata-scale by construction (e.g.
+    already reduced by a budget cut), so the two-phase machinery's
+    three eager driver round-trips cost more than they save; plan the
+    plain global running-total window instead (zero eager jobs, one
+    bounded-size exchange, identical values by the rank contract).
+    ``stop_after`` keeps its exact visible semantics via a post-window
+    cut filter; ``persist_input`` is moot (nothing re-reads the input).
+    NEVER pass this for a corpus-scale relation.
     """
+    if bounded_input:
+        w = (Window.orderBy(*[F.col(c) for c in order_cols])
+             .rowsBetween(Window.unboundedPreceding, 0))
+        out = df.withColumn(
+            out_col, F.sum(F.col(weight_col).cast("long")).over(w))
+        if stop_after is not None:
+            out = out.where(
+                F.col(out_col) - F.col(weight_col).cast("long")
+                < F.lit(stop_after))
+        return out
     spark = df.sparkSession
     if persist_input:
         # scoped (VERDICT r6 #3): tracked in operators/cache.py and

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import as_double, cosine
+from ..functions.vectors import as_double, cosine, dot, norm
 
 
 def brute_force_topk(
@@ -33,8 +33,18 @@ def brute_force_topk(
     rows per query, excluding self-matches, ties broken by corpus id
     for full determinism. Vectors are cast to double before any
     arithmetic so accumulation precision is engine-independent."""
-    q = queries.select(F.col(query_id), as_double(vec_col).alias("__qv"))
-    c = corpus.select(F.col(corpus_id), as_double(vec_col).alias("__cv"))
+    # Hoist each side's norm OUT of the pair expression (r12, guide §2
+    # "shuffle/compute fewer bytes per pair"): cosine(a, b) re-ran THREE
+    # array aggregates per (query × corpus) pair — dot, norm(a), norm(b)
+    # — but the norms depend on one side only.  Computing them once per
+    # row before the join leaves ONE aggregate (the dot product) per
+    # pair: ~3× less per-pair work for a k-query fan-out, bit-identical
+    # because the hoisted norm is the same expression over the same
+    # doubles (the oracle re-verifies the rounded sims bit-exact).
+    q = (queries.select(F.col(query_id), as_double(vec_col).alias("__qv"))
+         .withColumn("__qn", norm(F.col("__qv"))))
+    c = (corpus.select(F.col(corpus_id), as_double(vec_col).alias("__cv"))
+         .withColumn("__cn", norm(F.col("__cv"))))
     # Broadcast the query side: the corpus (the 100 TB side) streams
     # through map tasks with zero shuffle.
     sims = (
@@ -42,7 +52,8 @@ def brute_force_topk(
         .where(F.col(query_id) != F.col(corpus_id))
         .select(
             query_id, corpus_id,
-            F.round(cosine(F.col("__qv"), F.col("__cv")), sim_decimals)
+            F.round(dot(F.col("__qv"), F.col("__cv"))
+                    / (F.col("__qn") * F.col("__cn")), sim_decimals)
              .alias("cos_sim"),
         )
     )
@@ -288,10 +299,21 @@ def ivf_topk(
              .limit(num_centroids))
 
     def assign(df: DataFrame, id_out: str, n: int) -> DataFrame:
-        """nearest-n centroids per row by cosine (broadcast centroids)."""
-        scored = (df.crossJoin(F.broadcast(cents))
+        """nearest-n centroids per row by cosine (broadcast centroids).
+
+        Norms are hoisted out of the (row × centroid) pair expression
+        (r12, same move as ``brute_force_topk``): each side's norm is
+        computed once per row / once per centroid instead of once per
+        pair, leaving one dot-product aggregate per pair —
+        bit-identical doubles, ~3× less per-pair work on the
+        corpus × num_centroids fan-out."""
+        scored = (df.withColumn("__vn", norm(F.col("__v")))
+                  .crossJoin(F.broadcast(
+                      cents.withColumn("__cvn", norm(F.col("cv")))))
                   .select(id_out, "cent_id",
-                          cosine(F.col("__v"), F.col("cv")).alias("__cs")))
+                          (dot(F.col("__v"), F.col("cv"))
+                           / (F.col("__vn") * F.col("__cvn")))
+                          .alias("__cs")))
         w = Window.partitionBy(id_out).orderBy(
             F.col("__cs").desc(), F.col("cent_id"))
         return (scored.withColumn("__rn", F.row_number().over(w))

