@@ -70,11 +70,35 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     return _normalize_types(df)
 
 
+# Schema memo (r12, guide §5): schema-less `spark.read.parquet` runs a
+# footer-sampling inference JOB at every plan build — one per table per
+# bench pass (join_5way_star paid five).  A real deployment reads table
+# schemas from the catalog/metastore, not from file footers per query;
+# this memo is that catalog.  METADATA ONLY — never rows, never plans,
+# never results: every execution still scans the parquet.  Keyed on
+# (realpath, mtime, size) so a rewritten lake under the same path
+# re-infers.
+_SCHEMA_CACHE: dict[tuple[str, float, int], T.StructType] = {}
+
+
 def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from ..session import ensure_session_confs
 
     ensure_session_confs(spark)  # driver sessions lack engine confs
-    return _normalize_types(spark.read.parquet(table_path(sf_dir, name)))
+    path = table_path(sf_dir, name)
+    try:
+        st = os.stat(path)
+        key = (os.path.realpath(path), st.st_mtime, st.st_size)
+    except OSError:
+        key = None  # let Spark surface the missing-path error itself
+    schema = _SCHEMA_CACHE.get(key) if key is not None else None
+    if schema is None:
+        df = spark.read.parquet(path)
+        if key is not None:
+            _SCHEMA_CACHE[key] = df.schema
+    else:
+        df = spark.read.schema(schema).parquet(path)
+    return _normalize_types(df)
 
 
 def load_tables(spark: SparkSession, sf_dir: str,
