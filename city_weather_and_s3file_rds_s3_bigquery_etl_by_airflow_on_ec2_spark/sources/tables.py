@@ -86,19 +86,29 @@ def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame
 
     ensure_session_confs(spark)  # driver sessions lack engine confs
     path = table_path(sf_dir, name)
+    if not os.path.exists(path):
+        # schema-less read so Spark surfaces its own missing-path error
+        return _normalize_types(spark.read.parquet(path))
+    schema = read_parquet_schema(spark, path)
+    return _normalize_types(spark.read.schema(schema).parquet(path))
+
+
+def read_parquet_schema(spark: SparkSession, path: str) -> T.StructType:
+    """Raw (pre-normalization) schema of a lake parquet path, memoized
+    in the same metadata catalog as ``read_parquet_table`` — streaming
+    readers must pass an explicit schema, and schema-less inference
+    costs one footer-sampling job per call (r12, guide §5)."""
     try:
         st = os.stat(path)
         key = (os.path.realpath(path), st.st_mtime, st.st_size)
     except OSError:
-        key = None  # let Spark surface the missing-path error itself
-    schema = _SCHEMA_CACHE.get(key) if key is not None else None
-    if schema is None:
-        df = spark.read.parquet(path)
-        if key is not None:
-            _SCHEMA_CACHE[key] = df.schema
-    else:
-        df = spark.read.schema(schema).parquet(path)
-    return _normalize_types(df)
+        key = None
+    if key is not None and key in _SCHEMA_CACHE:
+        return _SCHEMA_CACHE[key]
+    schema = spark.read.parquet(path).schema
+    if key is not None:
+        _SCHEMA_CACHE[key] = schema
+    return schema
 
 
 def load_tables(spark: SparkSession, sf_dir: str,

@@ -39,7 +39,8 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tables import normalize_event_ts
 
     ensure_session_confs(spark)
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    from ..sources.tables import read_parquet_schema
+    raw_schema = read_parquet_schema(spark, f"{sf_dir}/events.parquet")
     s = (spark.readStream.schema(raw_schema)
          .option("pathGlobFilter", "events.parquet")
          .parquet(sf_dir))

@@ -38,7 +38,8 @@ def run_interval_join_stream(
     from ..sources.tables import normalize_event_ts
 
     ensure_session_confs(spark)
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    from ..sources.tables import read_parquet_schema
+    raw_schema = read_parquet_schema(spark, f"{sf_dir}/events.parquet")
 
     def side(event_type: str, prefix: str) -> DataFrame:
         s = (spark.readStream.schema(raw_schema)

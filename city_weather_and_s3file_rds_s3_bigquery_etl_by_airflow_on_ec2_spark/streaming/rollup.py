@@ -26,7 +26,8 @@ def continuous_hourly_rollup(spark: SparkSession, sf_dir: str,
     from ..session import ensure_session_confs
 
     ensure_session_confs(spark)
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    from ..sources.tables import read_parquet_schema
+    raw_schema = read_parquet_schema(spark, f"{sf_dir}/events.parquet")
     stream = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")

@@ -64,7 +64,8 @@ def running_user_totals_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..session import ensure_session_confs
 
     ensure_session_confs(spark)
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    from ..sources.tables import read_parquet_schema
+    raw_schema = read_parquet_schema(spark, f"{sf_dir}/events.parquet")
     stream = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")

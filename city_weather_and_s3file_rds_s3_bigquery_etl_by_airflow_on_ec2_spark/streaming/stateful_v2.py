@@ -95,7 +95,8 @@ def running_user_totals_stream_v2(spark: SparkSession,
     from .stateful import final_user_state
 
     ensure_session_confs(spark)
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    from ..sources.tables import read_parquet_schema
+    raw_schema = read_parquet_schema(spark, f"{sf_dir}/events.parquet")
     stream = (spark.readStream.schema(raw_schema)
               .option("pathGlobFilter", "events.parquet")
               .parquet(sf_dir))
