@@ -605,6 +605,60 @@ def test_serial_id_two_phase_matches_global_window(spark):
     assert got == want
 
 
+def test_bounded_input_mode_matches_two_phase(spark):
+    """r12: ``bounded_input=True`` (the zero-eager-job single-window
+    plan for caller-proven metadata-scale inputs, used by
+    corpus_loader_pipeline's budget-bounded stages) must return values
+    BIT-IDENTICAL to the default two-phase plan for both serial_id and
+    prefix_sum — including stop_after's exact row-drop semantics — and
+    its plan must contain none of the two-phase machinery's eager
+    artifacts (no quantile sketch columns, no offsets join)."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.operators.ids import (
+        serial_id,
+    )
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.operators.packing import (
+        prefix_sum,
+    )
+
+    data = [((i * 37) % 101, i, i % 5 + 1) for i in range(200)]
+    df = spark.createDataFrame(data, ["k", "tie", "w"])
+
+    two = {(r.k, r.tie): r.id
+           for r in serial_id(df, ["k", "tie"], num_ranges=8).collect()}
+    bnd = {(r.k, r.tie): r.id
+           for r in serial_id(df, ["k", "tie"],
+                              bounded_input=True).collect()}
+    assert bnd == two
+
+    twop = {(r.k, r.tie): r.c
+            for r in prefix_sum(df, "w", ["k", "tie"], out_col="c",
+                                num_ranges=8).collect()}
+    bndp = {(r.k, r.tie): r.c
+            for r in prefix_sum(df, "w", ["k", "tie"], out_col="c",
+                                bounded_input=True).collect()}
+    assert bndp == twop
+
+    # stop_after parity: identical retained rows and values
+    cut = 120
+    twos = {(r.k, r.tie): r.c
+            for r in prefix_sum(df, "w", ["k", "tie"], out_col="c",
+                                num_ranges=8, stop_after=cut).collect()
+            if r.c - r.w < cut}
+    bnds = {(r.k, r.tie): r.c
+            for r in prefix_sum(df, "w", ["k", "tie"], out_col="c",
+                                bounded_input=True,
+                                stop_after=cut).collect()}
+    assert bnds == twos
+    assert bnds and max(v for v in bnds.values()) >= cut  # cut really bit
+
+    # zero eager machinery: the bounded plan is one window, no
+    # broadcast offsets join, no __serial/__ps helper columns
+    plan = (serial_id(df, ["k", "tie"], bounded_input=True)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" not in plan
+    assert "__serial" not in plan
+
+
 def test_serial_id_skewed_leading_key(spark):
     """VERDICT r2 #5: 90% of rows share one leading-key value. Ids must
     stay correct (equal to the global-window ids) and the duplicate
