@@ -326,7 +326,7 @@ _SINGLE_PARTITION_WHITELIST: dict[str, str] = {
 }
 
 
-def test_no_unjustified_single_partition_suite_wide(spark):
+def test_no_unjustified_single_partition_suite_wide(registry_sweep):
     """VERDICT r2 #8: suite-wide lint. No registry entry may funnel data
     through an ``Exchange SinglePartition`` unless the exchange input is
     already reduced to one row per upstream partition — i.e. its child is
@@ -334,17 +334,13 @@ def test_no_unjustified_single_partition_suite_wide(spark):
     harmless final step of a scalar aggregate, where the exchange moves
     #partitions rows, not data). Global Sorts and unpartitioned Windows
     over real data — the 100 TB killers — trip this for every current
-    and future entry."""
+    and future entry.  (r13: plans come from the shared one-build
+    ``registry_sweep`` capture — same entry set, same predicate.)"""
     import re
 
-    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.registry import (
-        queries,
-    )
-
     offenders: dict[str, str] = {}
-    for name, fn in queries().items():
-        df = fn(spark, SF_SMALL)
-        plan = _plan(df)
+    for name, rec in registry_sweep.items():
+        plan = rec.executed
         if "SinglePartition" not in plan or name in _SINGLE_PARTITION_WHITELIST:
             continue
         lines = plan.splitlines()
@@ -720,7 +716,7 @@ def test_window_ewma_single_keyed_exchange(spark):
     assert "event_type" in exchanges[0]
 
 
-def test_generate_entries_full_materialization_bounded(spark):
+def test_generate_entries_full_materialization_bounded(spark, registry_sweep):
     """VERDICT r5 #4: the corpus_dsir_weights scale-killer (CollapseProject
     inlining a per-doc expression ABOVE the explode's Generate, re-running
     it once per gram row) was invisible to .count() probes and found only
@@ -733,7 +729,14 @@ def test_generate_entries_full_materialization_bounded(spark):
 
     Streaming entries are excluded: their builders execute a real
     micro-batch harness (timing measures the harness, not a plan shape)
-    and their batch-side twins are already in the sweep."""
+    and their batch-side twins are already in the sweep.
+
+    r13 (VERDICT r12 #1): Generate DISCOVERY now reads the shared
+    ``registry_sweep`` capture (SF_SMALL optimized plans — Generate
+    presence is a logical-plan property of the query text, not of the
+    data size) instead of re-building all ~276 entries at SF_MED; only
+    the found entries are then built fresh at SF_MED for the
+    materialization gate, which is unchanged."""
     import os
     import time
 
@@ -744,20 +747,17 @@ def test_generate_entries_full_materialization_bounded(spark):
     from .conftest import SF_MED
 
     ceiling = float(os.environ.get("SPARK_GRAFT_GENERATE_CEILING_SEC", "30"))
-    found = []
-    for name, spec in sorted(REGISTRY.items()):
-        if name.startswith("streaming_"):
-            continue
-        df = spec.fn(spark, SF_MED)
-        plan = df._jdf.queryExecution().optimizedPlan().toString()
-        if "Generate" in plan:
-            found.append((name, df))
+    found_names = [
+        name for name, rec in sorted(registry_sweep.items())
+        if not name.startswith("streaming_") and "Generate" in rec.optimized
+    ]
     # the sweep must keep finding the known Generate-bearing families
     # (shingling, dup spans, seq/shard packing, sentence split, ngrams);
     # if this drops the discovery predicate broke, not the registry
-    assert len(found) >= 10, [n for n, _ in found]
+    assert len(found_names) >= 10, found_names
     times = {}
-    for name, df in found:
+    for name in found_names:
+        df = REGISTRY[name].fn(spark, SF_MED)
         t0 = time.perf_counter()
         df.collect()
         times[name] = time.perf_counter() - t0
@@ -830,7 +830,7 @@ def test_unhashable_lint_catches_planted_offenders(spark):
         "arr", "map", "bin", "strct_arr", "strct_deep_bin", "strct_map"]
 
 
-def test_no_unhashable_type_faces_the_driver(spark):
+def test_no_unhashable_type_faces_the_driver(registry_sweep):
     """VERDICT r6 #2, extended per VERDICT r9 #2: the driver's
     canonicalizer (a pandas order-insensitive sort) cannot factorize
     anything pandas can't hash — ``bytearray`` (BinaryType), ``list``
@@ -843,19 +843,17 @@ def test_no_unhashable_type_faces_the_driver(spark):
     lint now covers EVERY entry, oracle or not.  Convention: project
     payloads injectively as STRINGs (``hex(...)``, ``sha2(...)``,
     ``concat_ws('-', ...)``) in the driver-facing entry and keep the
-    raw bytes/array on the operator API and in unit tests."""
-    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.registry import (
-        REGISTRY,
-    )
-
+    raw bytes/array on the operator API and in unit tests.  (r13:
+    schemas come from the shared one-build ``registry_sweep`` capture —
+    same entry set, same predicate.)"""
     offenders = {}
-    for name, spec in sorted(REGISTRY.items()):
+    for name, rec in sorted(registry_sweep.items()):
         # streaming builders execute a full micro-batch harness just to
         # produce a schema; their settled outputs are numeric/timestamp
         # aggregates already exercised by the oracle parity suite
         if name.startswith("streaming_"):
             continue
-        bad_cols = _pandas_unhashable_cols(spec.fn(spark, SF_SMALL).schema)
+        bad_cols = _pandas_unhashable_cols(rec.schema)
         if bad_cols:
             offenders[name] = bad_cols
     assert not offenders, (
