@@ -16,7 +16,9 @@ DataFrame land so Catalyst owns the plan):
    with *different* boundaries and silently corrupt the ids — observed
    at sf0.01.)  Equal leading-key values always share a bucket.
 2. count rows per bucket — a metadata-sized aggregate (one row per
-   bucket) collected to the driver to compute cumulative offsets;
+   bucket) whose cumulative offsets are computed LAZILY inside the
+   same plan (broadcast theta self-join over the bucket counts, r13 —
+   formerly an eager driver collect);
 3. per-bucket ``row_number`` (window partitioned by the bucket id —
    N independent groups, no global funnel) plus the broadcast offset
    of all preceding buckets.
@@ -24,8 +26,8 @@ DataFrame land so Catalyst owns the plan):
 Result is identical to the global-window id whenever ``key_cols`` is a
 total order (ids depend only on each row's rank, not on where bucket
 boundaries land). Cost in the main job: ONE hash shuffle on the bucket
-id; plus a column-pruned quantile scan and a metadata-scale count job
-up front. Every stage parallel.
+id plus the metadata-scale count/offset subtree; plus a column-pruned
+quantile scan up front. Every stage parallel.
 
 Skew note: bucket sizes track the quantile sketch, so heavy duplicate
 mass on a single leading-key value concentrates in one bucket; pass a
@@ -69,6 +71,37 @@ def _sortable_double(df: DataFrame, col: str):
 
 
 _MAX_TIE_SPLITS = 8
+
+
+def exclusive_prefix_offsets(bucket_aggs: DataFrame, val_col: str,
+                             pid_col: str, off_col: str) -> DataFrame:
+    """LAZY exclusive running offsets over a metadata-scale per-bucket
+    aggregate (r13, guide §5 — VERDICT r12 #3): each bucket's offset is
+    the sum of every LOWER bucket's ``val_col``, computed as a
+    broadcast theta self-join + re-aggregate instead of a driver-side
+    ``collect()``.
+
+    The former eager collect was one scheduler round-trip per
+    ``serial_id``/``prefix_sum`` call that re-ran the (persisted)
+    upstream lineage before the main job could even be planned; this
+    form keeps the offsets a plan subtree, so the whole operator is one
+    action.  Crucially it stays SinglePartition-free (the suite-wide
+    lint): a global window over the bucket aggregate would plan an
+    ``Exchange SinglePartition``, while the theta join is
+    BroadcastNestedLoopJoin over one-row-per-bucket relations — O(n²)
+    pair work on a relation bounded by the bucket fan-out (≈ shuffle
+    partitions), i.e. metadata scale by construction at ANY corpus
+    size.  Determinism also strictly improves: the offsets and the
+    final rows are now computed inside the SAME job from the same
+    persisted materialization, rather than in two separately scheduled
+    jobs."""
+    a, b = bucket_aggs.alias("__off_a"), bucket_aggs.alias("__off_b")
+    return (a.join(F.broadcast(b),
+                   F.col(f"__off_b.{pid_col}") < F.col(f"__off_a.{pid_col}"),
+                   "left")
+            .groupBy(F.col(f"__off_a.{pid_col}").alias(pid_col))
+            .agg(F.coalesce(F.sum(F.col(f"__off_b.{val_col}")),
+                            F.lit(0)).cast("long").alias(off_col)))
 
 
 def range_bucket_expr(df: DataFrame, sketch_expr, second_expr, n: int):
@@ -206,8 +239,11 @@ def serial_id(df: DataFrame, key_cols: list[str], id_col: str = "id",
     beyond 2^53 would lose double precision; temporal leads bucket on
     their epoch image — monotone under the UTC-pinned session — while
     the per-bucket window orders by the original column).
-    Triggers two eager metadata-sized jobs (boundary sketch +
-    per-bucket counts) when called.
+    Triggers ONE eager metadata-sized job when called (the boundary
+    quantile sketch; plus one batched tie sub-sketch when heavy
+    leading-key ties exist) — the per-bucket counts and their running
+    offsets are lazy subtrees of the main job since r13 (guide §5,
+    see ``exclusive_prefix_offsets``).
 
     The bucket-tagged input is ``persist(MEMORY_AND_DISK)``-ed before
     the counts job (ADVICE r2): the offsets and the final rows must
@@ -279,17 +315,14 @@ def serial_id(df: DataFrame, key_cols: list[str], id_col: str = "id",
     pid_expr = range_bucket_expr(sk, F.col(_SKETCH), second, n)
     tagged = sk.withColumn(_PID, pid_expr).drop(_SKETCH)
 
-    # one row per bucket — metadata scale, safe to collect
-    counts = {r[_PID]: r["cnt"]
-              for r in tagged.groupBy(_PID).agg(F.count("*").alias("cnt"))
-                             .collect()}
-    offsets, acc = [], 0
-    for pid in sorted(counts):
-        offsets.append((pid, acc))
-        acc += counts[pid]
-    if not offsets:
-        offsets = [(0, 0)]
-    off_df = spark.createDataFrame(offsets, f"{_PID} int, {_OFF} long")
+    # one row per bucket — metadata scale; offsets stay LAZY (r13,
+    # guide §5): a broadcast theta self-join over the bucket counts
+    # replaces the former eager collect() round-trip, so the counts,
+    # the offsets, and the final rows all compute inside ONE job from
+    # one persisted materialization (see exclusive_prefix_offsets)
+    off_df = exclusive_prefix_offsets(
+        tagged.groupBy(_PID).agg(F.count(F.lit(1)).alias("__serial_cnt")),
+        "__serial_cnt", _PID, _OFF)
 
     w = Window.partitionBy(_PID).orderBy(*keys)
     out = (tagged.join(F.broadcast(off_df), _PID)

@@ -43,6 +43,7 @@ from .ids import (
     _default_ranges,
     _NUMERIC_TYPES,
     _sortable_double,
+    exclusive_prefix_offsets,
     range_bucket_expr,
 )
 
@@ -61,8 +62,11 @@ def prefix_sum(df: DataFrame, weight_col: str, order_cols: list[str],
 
     ``order_cols`` must be a total order; the leading order column must
     be numeric (it feeds the driver-side quantile sketch, exactly as in
-    ``serial_id``).  Triggers two metadata-sized eager jobs (boundary
-    sketch + per-bucket weight sums).
+    ``serial_id``).  Triggers ONE eager metadata-sized job (the
+    boundary quantile sketch; plus one batched tie sub-sketch when
+    heavy leading-key ties exist) — the per-bucket weight sums and
+    their running offsets are lazy subtrees of the main job since r13
+    (guide §5, ``ids.exclusive_prefix_offsets``).
 
     ``persist_input`` (default True, r6 — the corpus_loader_pipeline
     lesson in BASELINE.md): the input is persisted MEMORY_AND_DISK so
@@ -97,6 +101,14 @@ def prefix_sum(df: DataFrame, weight_col: str, order_cols: list[str],
     bounded-size exchange, identical values by the rank contract).
     ``stop_after`` keeps its exact visible semantics via a post-window
     cut filter; ``persist_input`` is moot (nothing re-reads the input).
+    Note (ADVICE r12): with ``stop_after`` the two modes return
+    different ROW SETS — bounded_input applies the exact cut (drops
+    every row whose prefix start is ≥ ``stop_after``) while the
+    two-phase path retains a SUPERSET via bucket-granular pruning
+    (whole buckets survive when their offset is under the cut).  The
+    contract already obliges the caller's own cut filter to be at
+    least as strict, so retained-row VALUES agree in both modes; do
+    not toggle the flag expecting identical unfiltered row sets.
     NEVER pass this for a corpus-scale relation.
     """
     if bounded_input:
@@ -133,27 +145,24 @@ def prefix_sum(df: DataFrame, weight_col: str, order_cols: list[str],
         df, F.col(lead).cast("double"), second, n)
     tagged = df.withColumn(_PID, pid_expr)
 
-    # one row per bucket — metadata scale, safe to collect
-    sums = {r[_PID]: r["w"]
-            for r in tagged.groupBy(_PID)
-                           .agg(F.sum(F.col(weight_col).cast("long"))
-                                 .alias("w"))
-                           .collect()}
-    offsets, acc = [], 0
-    for pid in sorted(sums):
-        offsets.append((pid, acc))
-        acc += sums[pid] or 0
-    if not offsets:
-        offsets = [(0, 0)]
+    # one row per bucket — metadata scale; offsets stay LAZY (r13,
+    # guide §5): a broadcast theta self-join over the bucket weight
+    # sums replaces the former eager collect() round-trip, so the
+    # sums, the offsets, and the final rows all compute inside ONE
+    # job from one materialization (see ids.exclusive_prefix_offsets)
+    off_df = exclusive_prefix_offsets(
+        tagged.groupBy(_PID).agg(F.sum(F.col(weight_col).cast("long"))
+                                  .alias("__ps_w")),
+        "__ps_w", _PID, _OFF)
     if stop_after is not None:
         # budget-cut bucket pruning: a bucket whose prefix offset is
         # already past the cut holds no row with running-before <
-        # stop_after.  The off_df inner join below then drops those
-        # buckets' rows before the window shuffles them.
-        offsets = [(pid, off) for pid, off in offsets if off < stop_after]
-        if not offsets:
-            offsets = [(-1, 0)]  # no bucket qualifies -> empty result
-    off_df = spark.createDataFrame(offsets, f"{_PID} int, {_OFF} long")
+        # stop_after (within a bucket, running-before ≥ the bucket
+        # offset).  The off_df inner join below then drops those
+        # buckets' rows before the window shuffles them — now as a
+        # lazy filter on the offset relation instead of a driver-side
+        # list comprehension.
+        off_df = off_df.where(F.col(_OFF) < F.lit(stop_after))
 
     w = Window.partitionBy(_PID).orderBy(*[F.col(c) for c in order_cols])
     return (tagged.join(F.broadcast(off_df), _PID)

@@ -2113,6 +2113,43 @@ def corpus_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("pct_tokens")))
 
 
+def _loader_budget_selection(spark: SparkSession, sf_dir: str,
+                             budget: int) -> DataFrame:
+    """The loader's CORPUS-SCALE stage, factored out (ADVICE r12 #4)
+    so ``tests/test_plan_quality.test_loader_pipeline_no_single_
+    partition`` lints exactly the production selection sub-plan
+    instead of a hand-replicated copy: quality-greedy token-budget cut
+    via the two-phase ``stop_after``-pruned prefix sum.
+
+    Zero-token docs are filtered BEFORE the cut (ADVICE r12 #2): they
+    carry no tokens, so the selection is unchanged wherever they could
+    appear — but admitting them under the cut would (a) let ``sel``
+    grow with corpus size (breaking the ≤-budget boundedness the
+    downstream ``bounded_input`` windows assert BY CONSTRUCTION), and
+    (b) feed ``start == end`` rows into the descending-``F.sequence``
+    edge in the packing fanout (``sequence(a, a-1)`` emits spurious
+    rows).  With the filter the bound is exact: every selected doc
+    bears ≥ 1 token, so ``sel`` holds < budget docs at ANY corpus
+    size."""
+    from ..operators.packing import prefix_sum
+    (documents,) = _t(spark, sf_dir, "documents")
+    t = documents.select(
+        "doc_id",
+        TX.quality_score("text").alias("quality"),
+        TX.token_count("text").alias("n_toks"),
+    ).withColumn("neg_q", -F.col("quality")).where(F.col("n_toks") > 0)
+    # stop_after=budget (r8): the selection consumes only rows whose
+    # running total BEFORE the row is < budget, so prefix_sum prunes
+    # every range bucket past the cut BEFORE the selection window —
+    # at 100 TB the greedy cut windows the selected prefix, never the
+    # whole corpus (values of retained rows are unchanged; the .where
+    # below is the exact in-bucket cut)
+    return (prefix_sum(t, "n_toks", ["neg_q", "doc_id"], out_col="sel_cum",
+                       stop_after=budget)
+            .where(F.col("sel_cum") - F.col("n_toks") < budget)
+            .select("doc_id", "n_toks"))
+
+
 def corpus_loader_pipeline(spark: SparkSession, sf_dir: str,
                            budget: int = 2000,
                            seq_len: int = 128) -> DataFrame:
@@ -2144,31 +2181,16 @@ def corpus_loader_pipeline(spark: SparkSession, sf_dir: str,
     relation."""
     from ..operators.ids import serial_id
     from ..operators.packing import prefix_sum
-    (documents,) = _t(spark, sf_dir, "documents")
-    t = documents.select(
-        "doc_id",
-        TX.quality_score("text").alias("quality"),
-        TX.token_count("text").alias("n_toks"),
-    ).withColumn("neg_q", -F.col("quality"))
-    # stop_after=budget (r8): the selection consumes only rows whose
-    # running total BEFORE the row is < budget, so prefix_sum prunes
-    # every range bucket past the cut BEFORE the selection window —
-    # at 100 TB the greedy cut windows the selected prefix, never the
-    # whole corpus (values of retained rows are unchanged; the .where
-    # below is the exact in-bucket cut)
-    sel = (prefix_sum(t, "n_toks", ["neg_q", "doc_id"], out_col="sel_cum",
-                      stop_after=budget)
-           .where(F.col("sel_cum") - F.col("n_toks") < budget)
-           .select("doc_id", "n_toks"))
+    sel = _loader_budget_selection(spark, sf_dir, budget)
 
     # bounded_input (r12): sel is the BUDGET CUT's output — the greedy
     # selection stops once the quality-ordered running total reaches
-    # budget (2000 tokens), so sel holds ≤ budget token-bearing docs at
-    # ANY corpus size (plus any zero-token docs admitted under the cut
-    # — absent from these generated lakes and pathological in a quality
-    # -filtered corpus).  The global running-total window over it moves
-    # a budget-bounded relation, never the corpus; the corpus-scale
-    # stage above keeps the two-phase stop_after-pruned prefix_sum.
+    # budget (2000 tokens), and zero-token docs are filtered before
+    # the cut (ADVICE r12 #2, see _loader_budget_selection), so sel
+    # holds < budget docs BY CONSTRUCTION at ANY corpus size.  The
+    # global running-total window over it moves a budget-bounded
+    # relation, never the corpus; the corpus-scale stage above keeps
+    # the two-phase stop_after-pruned prefix_sum.
     # Eliminates 3 eager driver jobs per bench pass (guide §5).
     ps = prefix_sum(sel, "n_toks", ["doc_id"], out_col="cum",
                     bounded_input=True)

@@ -605,6 +605,119 @@ def test_serial_id_two_phase_matches_global_window(spark):
     assert got == want
 
 
+def test_two_phase_offsets_are_lazy_one_eager_job(spark):
+    """r13 (guide §5, VERDICT r12 #3): building a two-phase
+    ``serial_id``/``prefix_sum`` plan fires at most the boundary
+    quantile sketch plus (only under heavy leading-key ties) the ONE
+    batched tie sub-sketch — the per-bucket counts/sums and their
+    running offsets must stay lazy subtrees of the main job, not an
+    eager ``collect()`` round-trip."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.operators.ids import (
+        serial_id,
+    )
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.operators.packing import (
+        prefix_sum,
+    )
+
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.operators.cache import (
+        scoped_persist,
+    )
+
+    tracker = spark.sparkContext.statusTracker()
+
+    def jobs_during(build):
+        j0 = len(tracker.getJobIdsForGroup(None))
+        out = build()
+        return out, len(tracker.getJobIdsForGroup(None)) - j0
+
+    # baseline: the boundary sketch alone (persist + approxQuantile on
+    # an identical clone — the session may charge extra jobs for local-
+    # data conversion/cache materialization, so the gate is RELATIVE)
+    uniq = spark.createDataFrame(
+        [(i, i) for i in range(500)], ["k", "tie"])
+    _, n_sketch = jobs_during(
+        lambda: scoped_persist(uniq.withColumn("__s", F.col("k")
+                                               .cast("double")))
+        .stat.approxQuantile("__s", [i / 8 for i in range(1, 8)],
+                             1.0 / 800))
+    # unique lead key: no heavy ties -> the build fires ONLY the
+    # sketch's own jobs; the counts/offsets must add ZERO eager jobs
+    uniq2 = spark.createDataFrame(
+        [(i, i + 1) for i in range(500)], ["k", "tie"])
+    df_u, n_uniq = jobs_during(lambda: serial_id(uniq2, ["k", "tie"],
+                                                 num_ranges=8))
+    assert n_uniq <= n_sketch, (
+        f"two-phase build fired {n_uniq} eager jobs vs {n_sketch} for "
+        "the boundary sketch alone - the offsets regressed to eager")
+    # the offsets live in the plan as the broadcast theta self-join
+    # (a driver-collected offsets relation would print as a broadcast
+    # over a LocalTableScan and plan no BNLJ)
+    plan = df_u._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+
+    # heavy duplicate lead keys: sketch + ONE batched tie sub-sketch
+    dup = spark.createDataFrame(
+        [(i % 3, i) for i in range(500)], ["k", "tie"])
+    df_dup, n_dup = jobs_during(lambda: prefix_sum(dup, "tie", ["k", "tie"],
+                                                   num_ranges=8))
+    assert n_dup <= n_sketch + 2, (
+        "expected at most the sketch's jobs plus the ONE batched tie "
+        f"sub-sketch aggregate (which AQE may run as 2 jobs): "
+        f"{n_sketch}+2, got {n_dup}")
+    # and the lazily-joined offsets still produce the exact prefix sums
+    from pyspark.sql import Window
+    w = (Window.orderBy("k", "tie")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    want = {(r.k, r.tie): r.c for r in dup.withColumn(
+        "c", F.sum(F.col("tie").cast("long")).over(w)).collect()}
+    got = {(r.k, r.tie): r.prefix_sum for r in df_dup.collect()}
+    assert got == want
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.operators.cache import (
+        release_persisted,
+    )
+    release_persisted()
+
+
+def test_loader_zero_token_docs_are_inert(spark, tmp_path):
+    """ADVICE r12 #2: zero-token docs (null text — the only way to
+    carry 0 tokens under whitespace tokenization) must be INERT in the
+    loader: they carry no tokens, so filtering them before the budget
+    cut changes nothing — while ADMITTING them would both break the
+    ≤-budget boundedness of the downstream bounded_input windows and
+    feed start == end rows into the descending-F.sequence packing edge
+    (sequence(a, a-1) emits spurious rows).  Gate: the pipeline on a
+    lake WITH planted null-text docs (which sort FIRST under the
+    quality order — nulls-first ascending neg_q — i.e. straight into
+    the selected prefix) equals the pipeline on the same lake without
+    them."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.operators.cache import (
+        release_persisted,
+    )
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
+        corpus_loader_pipeline,
+    )
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.sources.tables import (
+        read_parquet_table,
+    )
+
+    docs = read_parquet_table(spark, SF_SMALL, "documents")
+    planted = docs.unionByName(
+        spark.createDataFrame(
+            [(100_000 + i, None, "en", "planted", 0) for i in range(5)],
+            docs.schema))
+    clean_dir, planted_dir = str(tmp_path / "clean"), str(tmp_path / "planted")
+    for d, frame in ((clean_dir, docs), (planted_dir, planted)):
+        import os
+        os.makedirs(d, exist_ok=True)
+        frame.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(d, "documents.parquet"))
+    want = sorted(map(tuple, corpus_loader_pipeline(spark, clean_dir).collect()))
+    release_persisted()
+    got = sorted(map(tuple, corpus_loader_pipeline(spark, planted_dir).collect()))
+    release_persisted()
+    assert got == want and len(got) > 0
+
+
 def test_bounded_input_mode_matches_two_phase(spark):
     """r12: ``bounded_input=True`` (the zero-eager-job single-window
     plan for caller-proven metadata-scale inputs, used by

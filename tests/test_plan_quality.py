@@ -604,28 +604,15 @@ def test_loader_pipeline_no_single_partition(spark):
     global windows — the input there is ≤ budget tokens of docs / ≤
     ~budget/seq_len sequences by construction, justified in
     _SINGLE_PARTITION_WHITELIST — so the full-plan assert moved to the
-    selection sub-plan, replicated here exactly as the loader builds
-    it.)"""
-    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.functions import (
-        text as TX,
-    )
-    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.operators.packing import (
-        prefix_sum,
-    )
+    selection sub-plan — since r13 via the SHARED
+    ``_loader_budget_selection`` helper the loader itself calls, so
+    the linted sub-plan cannot drift from the production construction
+    (ADVICE r12 #4).)"""
     from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.plans.extensions import (
-        _t,
+        _loader_budget_selection,
     )
 
-    (documents,) = _t(spark, SF_SMALL, "documents")
-    t = documents.select(
-        "doc_id",
-        TX.quality_score("text").alias("quality"),
-        TX.token_count("text").alias("n_toks"),
-    ).withColumn("neg_q", -F.col("quality"))
-    sel = (prefix_sum(t, "n_toks", ["neg_q", "doc_id"], out_col="sel_cum",
-                      stop_after=2000)
-           .where(F.col("sel_cum") - F.col("n_toks") < 2000)
-           .select("doc_id", "n_toks"))
+    sel = _loader_budget_selection(spark, SF_SMALL, 2000)
     assert "SinglePartition" not in _plan(sel)
     # and the full loader's only SinglePartition exchanges are the two
     # budget-bounded windows above the cut (plus nothing else)
