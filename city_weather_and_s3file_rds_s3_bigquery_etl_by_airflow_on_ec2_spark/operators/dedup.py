@@ -130,7 +130,7 @@ def cap_band_buckets(banded: DataFrame, max_band_bucket: int,
     return banded.join(wide, keys, "left_anti")
 
 
-def _minhash_hash_exprs(hash_family: str, seed: int):
+def _minhash_hash_exprs(hash_family: str):
     """The two hash expressions the MinHash signature stage is built
     from, per family:
 
@@ -149,18 +149,28 @@ def _minhash_hash_exprs(hash_family: str, seed: int):
       the SQL oracle.  ~2× the signature-stage cost of xxhash64;
       correctness twin, not the scale path.
 
-    Returns ``(shingle_hash(s_col, i), band_hash(sig_cols))``."""
+    Returns ``(shingle_hash(s_col, k_col), band_hash(sig_cols))``
+    where ``k_col`` is the INT hash-function id (seed + i) as a Column
+    — since r13 the signature iterates hash functions with a nested
+    ``transform`` over ``sequence(seed, seed + num_hashes - 1)``
+    (guide §5: one expression subtree instead of ``num_hashes``
+    independent copies, which dominated the operator's driver-side
+    Catalyst analysis time), so the id arrives as the sequence element
+    rather than a per-function literal.  An IntegerType value hashes
+    identically whether literal or computed, and its decimal string
+    spelling is unchanged, so both families' hashes are bit-identical
+    to the former per-literal construction."""
     if hash_family == "xxhash64":
-        def shingle_hash(s: Column, i: int) -> Column:
-            return F.xxhash64(s, F.lit(seed + i))
+        def shingle_hash(s: Column, k: Column) -> Column:
+            return F.xxhash64(s, k)
 
         def band_hash(parts: list[Column]) -> Column:
             return F.xxhash64(*parts)
     elif hash_family == "md5":
-        def shingle_hash(s: Column, i: int) -> Column:
+        def shingle_hash(s: Column, k: Column) -> Column:
             return F.conv(
                 F.substring(
-                    F.md5(F.concat_ws("|", s, F.lit(str(seed + i)))),
+                    F.md5(F.concat_ws("|", s, k.cast("string"))),
                     1, 15),
                 16, 10).cast("long")
 
@@ -265,17 +275,8 @@ def _minhash_banded(
     ``hash_family`` selects the signature hashes
     (:func:`_minhash_hash_exprs`): native xxhash64 (production) or the
     md5-based cross-engine family the SQL oracle can replay."""
-    shingle_hash, band_hash = _minhash_hash_exprs(hash_family, seed)
+    shingle_hash, band_hash = _minhash_hash_exprs(hash_family)
 
-    def _hash_fn(i: int):
-        # Closure factory, NOT `lambda s, i=i: ...`: F.transform calls a
-        # TWO-parameter lambda as (element, index) — a default-arg `i`
-        # is silently shadowed by the array-index column, which both
-        # collapses all num_hashes functions onto per-position seeds
-        # and (md5 family) bakes a per-build lambda-variable name into
-        # the hash input via str(Column).  One-parameter lambdas only.
-        return lambda s: shingle_hash(s, i)
-    num_hashes = num_bands * rows_per_band
     carry = [F.col(c) for c in carry_cols]
     toks = df.select(F.col(id_col), *carry,
                      tokens(F.col(text_col)).alias("toks")) \
@@ -284,16 +285,6 @@ def _minhash_banded(
         F.sequence(F.lit(0), F.size("toks") - shingle_size),
         lambda i: F.concat_ws(" ", F.slice("toks", i + 1, shingle_size)),
     )
-    sig = (toks.withColumn("shingles", shingle_expr)
-           .select(
-               id_col, *carry,
-               F.array(*[
-                   F.array_min(F.transform(
-                       F.col("shingles"), _hash_fn(i)))
-                   for i in range(num_hashes)
-               ]).alias("sig"),
-               F.array_distinct("shingles").alias("shingle_set")))
-
     # Band join and pair dedup run NARROW — (id, band_idx, band_hash)
     # only. A near-dup cluster of size k collides in every band, so the
     # join emits ~bands × k²/2 rows per cluster; carrying shingle arrays
@@ -303,19 +294,55 @@ def _minhash_banded(
     # Shingle sets are re-attached to the ~|pairs| survivors afterwards;
     # AQE broadcasts the attach joins while the doc table fits and
     # switches to shuffle joins past that — the 100 TB shape.
-    banded = sig.select(
+    #
+    # ONE nested-transform banding expression (r13, guide §5 — VERDICT
+    # r12 #4): the former construction built num_hashes INDEPENDENT
+    # copies of the minhash subtree (`F.array(*[array_min(transform(
+    # shingles, hash_i)) ...])`) plus num_bands struct trees over it,
+    # and Catalyst re-walks that whole width at every downstream
+    # transformation — measured ~0.7 s of driver-side analysis per
+    # dedup_minhash_lsh build, linear in num_hashes.  Iterating bands
+    # as DATA (transform over sequence(0, num_bands-1)) plans one
+    # constant-size subtree in which every hash function id
+    # k = seed + band_idx·rows_per_band + r appears — and is evaluated —
+    # exactly once per row, the same total work as before (each minhash
+    # feeds exactly one band key).  Values are bit-identical: an
+    # IntegerType id hashes/prints the same whether literal or
+    # computed.  (A sig-array intermediate + element_at would NOT be
+    # safe here: without CreateArray the optimizer cannot statically
+    # simplify the extracts, and inlining the signature into the
+    # generator re-computes all num_hashes minhashes per reference —
+    # measured 14× exec.)  Nested one-parameter lambdas only — a
+    # two-parameter transform lambda is called (element, index), the
+    # r11 degeneracy bug class the suite's AST lint pins.
+    def _minhash_fn(bi, r: int):
+        # closure factory over the OUTER lambda's band-index Column
+        # `bi` and the python row index `r` (arity-1 inner lambda only
+        # — the AST lint): hash-function id k = seed + bi·rows_per_band
+        # + r, the same ids in the same order as the former
+        # sig[bi·rows_per_band + r]
+        k = bi * F.lit(rows_per_band) + F.lit(seed + r)
+        return lambda s: shingle_hash(s, k)
+
+    def _band_struct(bi):
+        return F.struct(
+            bi.alias("band_idx"),
+            band_hash([
+                F.array_min(F.transform(F.col("shingles"),
+                                        _minhash_fn(bi, r)))
+                for r in range(rows_per_band)
+            ]).alias("band_hash"))
+
+    band_structs = F.transform(
+        F.sequence(F.lit(0), F.lit(num_bands - 1)), _band_struct)
+    shingled = toks.withColumn("shingles", shingle_expr)
+    banded = shingled.select(
         id_col, *carry,
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(bi).alias("band_idx"),
-                band_hash([
-                    F.col("sig")[bi * rows_per_band + r]
-                    for r in range(rows_per_band)
-                ]).alias("band_hash"))
-            for bi in range(num_bands)
-        ])).alias("band"),
+        F.explode(band_structs).alias("band"),
     ).select(id_col, *carry_cols, "band.band_idx", "band.band_hash")
-    return banded, sig.select(id_col, "shingle_set")
+    sets = shingled.select(
+        id_col, F.array_distinct("shingles").alias("shingle_set"))
+    return banded, sets
 
 
 def _verify_shingle_jaccard(

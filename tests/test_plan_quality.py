@@ -191,6 +191,10 @@ def test_aqe_skew_join_split_executed(spark):
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256k",
         "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64k",
         "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        # the scaled-down skew geometry was tuned at 32 shuffle
+        # partitions; the r13 test session defaults to 8 (suite-budget
+        # conf), so pin 32 here like the other thresholds
+        "spark.sql.shuffle.partitions": "32",
     }
     prev = {k: spark.conf.get(k) for k in confs}
     try:
@@ -239,6 +243,10 @@ def test_minhash_band_join_aqe_skew_split_executed(spark):
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8k",
         "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2k",
         "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        # the scaled-down skew geometry was tuned at 32 shuffle
+        # partitions; the r13 test session defaults to 8 (suite-budget
+        # conf), so pin 32 here like the other thresholds
+        "spark.sql.shuffle.partitions": "32",
     }
     prev = {k: spark.conf.get(k) for k in confs}
     try:
@@ -654,6 +662,10 @@ def test_spatial_grid_join_hot_cell_aqe_skew_split_executed(spark):
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8k",
         "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2k",
         "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        # the scaled-down skew geometry was tuned at 32 shuffle
+        # partitions; the r13 test session defaults to 8 (suite-budget
+        # conf), so pin 32 here like the other thresholds
+        "spark.sql.shuffle.partitions": "32",
     }
     prev = {k: spark.conf.get(k) for k in confs}
     try:
