@@ -76,9 +76,10 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
 # schemas from the catalog/metastore, not from file footers per query;
 # this memo is that catalog.  METADATA ONLY — never rows, never plans,
 # never results: every execution still scans the parquet.  Keyed on
-# (realpath, mtime, size) so a rewritten lake under the same path
-# re-infers.
-_SCHEMA_CACHE: dict[tuple[str, float, int], T.StructType] = {}
+# (realpath, mtime, size) — plus, for directory tables, the entry
+# count and newest child (mtime, size) (ADVICE r12 #1) — so a
+# rewritten lake under the same path re-infers.
+_SCHEMA_CACHE: dict[tuple, T.StructType] = {}
 
 
 def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -93,16 +94,38 @@ def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame
     return _normalize_types(spark.read.schema(schema).parquet(path))
 
 
+def _schema_cache_key(path: str) -> tuple | None:
+    """Cache key for the schema memo (ADVICE r12 #1 hardening): for a
+    REGULAR FILE, (realpath, mtime, size) is sound — rewriting the file
+    bumps mtime/size.  For a DIRECTORY-style parquet table, a part-file
+    rewritten in place does not necessarily bump the directory's own
+    mtime/size, so the key additionally folds in the count and the
+    newest (mtime, size) of the directory's entries — an in-place
+    part-file rewrite then changes the key and forces re-inference.
+    Unstat-able paths return None (never cached)."""
+    try:
+        st = os.stat(path)
+        real = os.path.realpath(path)
+        if not os.path.isdir(path):
+            return (real, st.st_mtime, st.st_size)
+        newest = (0.0, 0)
+        n = 0
+        with os.scandir(path) as entries:
+            for e in entries:
+                es = e.stat()
+                n += 1
+                newest = max(newest, (es.st_mtime, es.st_size))
+        return (real, st.st_mtime, st.st_size, n, newest)
+    except OSError:
+        return None
+
+
 def read_parquet_schema(spark: SparkSession, path: str) -> T.StructType:
     """Raw (pre-normalization) schema of a lake parquet path, memoized
     in the same metadata catalog as ``read_parquet_table`` — streaming
     readers must pass an explicit schema, and schema-less inference
     costs one footer-sampling job per call (r12, guide §5)."""
-    try:
-        st = os.stat(path)
-        key = (os.path.realpath(path), st.st_mtime, st.st_size)
-    except OSError:
-        key = None
+    key = _schema_cache_key(path)
     if key is not None and key in _SCHEMA_CACHE:
         return _SCHEMA_CACHE[key]
     schema = spark.read.parquet(path).schema

@@ -331,3 +331,35 @@ def test_custom_http_datasource_streaming_polls(spark, tmp_path):
     # the offset stops advancing at max_polls: exactly 4 polls x 3 urls
     assert len(rows) == 12
     assert all(r.city == "Houston" and r.pressure == 1024 for r in rows)
+
+
+def test_schema_memo_reinfers_on_inplace_directory_rewrite(spark, tmp_path):
+    """ADVICE r12 #1 / VERDICT r12 #7: the schema memo must not serve a
+    stale schema after a DIRECTORY-style parquet table is rewritten in
+    place.  A part-file swap that preserves file names need not bump
+    the directory's own mtime/size, so the key folds in the newest
+    child (mtime, size); this test rewrites the table with a DIFFERENT
+    schema under the same directory path and asserts re-inference."""
+    import os
+    import time
+
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.sources.tables import (
+        read_parquet_schema,
+    )
+
+    tbl = str(tmp_path / "t.parquet")
+    spark.range(5).selectExpr("id", "cast(id as double) as x") \
+        .coalesce(1).write.mode("overwrite").parquet(tbl)
+    first = read_parquet_schema(spark, tbl)
+    assert [f.name for f in first.fields] == ["id", "x"]
+    assert read_parquet_schema(spark, tbl) is first      # memo hit
+
+    time.sleep(0.05)  # ensure the new part-file's mtime can differ
+    spark.range(5).selectExpr("id", "cast(id as string) as y") \
+        .coalesce(1).write.mode("overwrite").parquet(tbl)
+    # pin the directory's own stat to the pre-rewrite values — the
+    # in-place-rewrite scenario where only the children changed
+    os.utime(tbl, (1_000_000_000, 1_000_000_000))
+    second = read_parquet_schema(spark, tbl)
+    assert [f.name for f in second.fields] == ["id", "y"], (
+        "stale schema served after in-place rewrite")
