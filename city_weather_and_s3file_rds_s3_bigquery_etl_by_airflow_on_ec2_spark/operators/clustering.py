@@ -147,19 +147,37 @@ def pq_train(df: DataFrame, m: int = 4, k: int = 16,
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
-    books: list[list[list[float]]] = []
-    for j in range(m):
+
+    # r13 (guide §2.6 — overlap independent jobs): the m subspace
+    # trainings are fully independent Lloyd loops, each a chain of
+    # small sequential driver jobs (seeds collect + per-iteration
+    # assign/means/collect) — run SEQUENTIALLY they serialized ~40
+    # driver round-trips (~70 s at sf0.001, the slowest build in the
+    # registry).  A small thread pool overlaps the m chains' jobs and
+    # plan analysis; each thread computes its own codebook from its
+    # own deterministic seeds, so results are byte-identical to the
+    # sequential loop.  Each subspace also persists its sliced input
+    # (kmeans_train re-reads it twice per iteration by contract —
+    # "the caller owns the cache lifetime"), released right after
+    # training.
+    def _train_one(j: int) -> list[list[float]]:
         sl = df.select(
             F.col(id_col),
             F.slice(as_double(F.col(vec_col)), j * sub + 1, sub)
-            .alias(vec_col))
-        seeds = [r.v for r in sl
-                 .orderBy(F.xxhash64(F.col(id_col), F.lit(j)))
-                 .limit(k).select(F.col(vec_col).alias("v")).collect()]
-        cb, _, _ = kmeans_train(sl, seeds, vec_col=vec_col,
-                                id_col=id_col, max_iter=max_iter)
-        books.append(cb)
-    return books
+            .alias(vec_col)).persist()
+        try:
+            seeds = [r.v for r in sl
+                     .orderBy(F.xxhash64(F.col(id_col), F.lit(j)))
+                     .limit(k).select(F.col(vec_col).alias("v")).collect()]
+            cb, _, _ = kmeans_train(sl, seeds, vec_col=vec_col,
+                                    id_col=id_col, max_iter=max_iter)
+            return cb
+        finally:
+            sl.unpersist()
+
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=m) as pool:
+        return list(pool.map(_train_one, range(m)))
 
 
 def pq_encode(df: DataFrame, codebooks: list[list[list[float]]],
