@@ -109,6 +109,28 @@ def rolling_hash(text: Column | str, mod: int = 1_000_000_007,
     )
 
 
+def rolling_hash_prenormalized(text: Column | str,
+                               mod: int = 1_000_000_007,
+                               base: int = 31) -> Column:
+    """``rolling_hash`` minus its normalization pass, for inputs that
+    are whitespace-normalized BY CONSTRUCTION — tokens produced by
+    split-on-``\\s+`` of trimmed text (whitespace-free, non-empty
+    except the empty-document ``""`` edge, which hashes to 0 on both
+    paths) and grams joining such tokens with single spaces.  On those
+    inputs trim + ``regexp_replace(\\s+, ' ')`` are identities, so the
+    values are bit-identical to :func:`rolling_hash` while skipping a
+    regex per hashed string on the hot explode paths (r13, guide
+    §2.3).  Callers own the normalization proof; arbitrary text must
+    keep using :func:`rolling_hash`."""
+    codes = F.transform(F.split(_c(text), ""),
+                        lambda ch: F.ascii(ch).cast("long"))
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * base + c) % F.lit(mod),
+    )
+
+
 def redact_pii(text: Column | str) -> Column:
     """Regex-based PII scrubbing (corpus-cleaning staple): masks
     email-shaped tokens, long digit runs (phone/ids), and 16-digit

@@ -1865,7 +1865,10 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str,
     tok = documents.select(
         "doc_id", F.explode(TX.tokens("text")).alias("t")
     ).select("doc_id", F.lower(F.col("t")).alias("tok"))
-    bucket = TX.rolling_hash(F.col("tok")) % F.lit(n_buckets)
+    # tokens are whitespace-normalized by construction, so the hash's
+    # trim/regex pass is a no-op — skip it (r13, bit-identical; see
+    # rolling_hash_prenormalized)
+    bucket = TX.rolling_hash_prenormalized(F.col("tok")) % F.lit(n_buckets)
     return (tok.select("doc_id", bucket.alias("bucket"))
             .groupBy("doc_id", "bucket")
             .agg(F.count(F.lit(1)).alias("n_tokens")))
@@ -2319,6 +2322,29 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str,
         toks,
         F.transform(bi_pairs,
                     lambda p: F.concat_ws(" ", p["w1"], p["w2"])))
+    # LEAN per-gram rolling hash (r13, guide §2.3 — strip no-op work
+    # from the hot loop): ``TX.rolling_hash`` first normalizes its
+    # input (trim + regexp_replace(\s+, ' ')), but every gram here is
+    # whitespace-normalized BY CONSTRUCTION — tokens come from
+    # split-on-\s+ of trimmed text (whitespace-free, non-empty except
+    # the empty-document [""] edge, which hashes to 0 on both paths),
+    # and bigram grams join two such tokens with exactly one ' '.  So
+    # the per-gram trim and regex were 2×grams pure overhead on the
+    # operator's dominant stage.  Same split, same codepoints, same
+    # h ← (h·31 + c) mod p fold — bit-identical hashes, re-verified by
+    # the DuckDB oracle (which replays the ORIGINAL normalized
+    # definition in SQL).  Census first-materialization measured
+    # 1.72–2.0 s → 1.33 s at sf0.1.
+    #
+    # (Two rejected variants, measured: a per-token (h, 31^len)
+    # composition that computes each bigram hash in O(1) — the struct
+    # accumulator's per-char allocation cost more than the saved
+    # characters (2.6–3.3 s); and an element_at-composed form whose
+    # array sub-expressions inline per reference and go quadratic
+    # (45 s) — the same inlining trap documented in
+    # operators/dedup._minhash_banded.)
+    gram_hashes = F.transform(
+        grams, lambda g: TX.rolling_hash_prenormalized(g))
     # The target flag is deliberately NOT projected alongside the
     # explode: CollapseProject would inline the quality expression
     # (stopword ArrayFilter + two regexes over the FULL text) into the
@@ -2328,10 +2354,10 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str,
     # side and joined back onto the already-combined (doc, bucket)
     # census, which is ~3x smaller than the gram stream.
     feat = documents.select(
-        "doc_id", F.explode(grams).alias("gram")
+        "doc_id", F.explode(gram_hashes).alias("gram_h")
     ).select(
         "doc_id",
-        (TX.rolling_hash(F.col("gram")) % F.lit(n_buckets)).alias("bucket"))
+        (F.col("gram_h") % F.lit(n_buckets)).alias("bucket"))
     # persist the combined census (narrow: ≤ n_buckets rows/doc of 3
     # numeric cols): it feeds BOTH the marginals and the final per-doc
     # reduce, and without the cache the gram explode+hash shuffle —

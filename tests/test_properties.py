@@ -79,6 +79,26 @@ def test_rolling_hash_matches_python(spark, ts):
     assert got == {i: py_roll(t) for i, t in enumerate(ts)}
 
 
+def test_rolling_hash_prenormalized_equals_full_on_normalized(spark):
+    """r13: the lean hash (no trim/regex pass) must be bit-identical to
+    rolling_hash on whitespace-normalized inputs — single tokens from
+    split-on-\\s+ and single-space-joined grams — including the
+    empty-string edge (both hash to 0) and non-ASCII codepoints."""
+    from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.functions.text import (
+        rolling_hash_prenormalized,
+    )
+
+    samples = ["", "a", "token", "two words", "Ünïcødé tökens",
+               "punct,.!?", "x" * 200, "a b", "0 1 2 3"]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(samples)], ["i", "t"])
+    rows = df.select(
+        "i", rolling_hash("t").alias("full"),
+        rolling_hash_prenormalized("t").alias("lean")).collect()
+    assert all(r.full == r.lean for r in rows), [
+        (r.i, r.full, r.lean) for r in rows if r.full != r.lean]
+
+
 def test_sha_fingerprint_matches_hashlib(spark):
     from city_weather_and_s3file_rds_s3_bigquery_etl_by_airflow_on_ec2_spark.functions.text import (
         fingerprint_sha,
