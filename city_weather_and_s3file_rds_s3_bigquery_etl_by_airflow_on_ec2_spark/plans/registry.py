@@ -5499,47 +5499,48 @@ REGISTRY: dict[str, QuerySpec] = {
 # future insertions anywhere in the literal above cannot silently push
 # an unchecked entry out of the window.
 _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
-    # Round-12 rotation — TOOL-GENERATED (VERDICT r8 #6/ADVICE r8: the
+    # Round-13 rotation — TOOL-GENERATED (VERDICT r8 #6/ADVICE r8: the
     # window is derived, not hand-picked) by
     #   python tools/audit_driver_window.py --propose --changed \
-    #     ann_lsh_topk_sqltwin text_bpe_encode embedding_pca_power
+    #     <the 23 entries whose operator bodies changed this round>
     # Standing policy, in priority order: (1) entries whose fn or
-    # oracle changed this round re-enter first (this round:
-    # embedding_pca_power — driver-local rounding now pins the
-    # half-away DECIMAL rule via extensions._r6, ADVICE r11 #3;
-    # text_bpe_encode — the oracle's rewrite CTEs gained the
-    # LEFT JOIN ON TRUE degenerate-corpus passthrough, ADVICE r11 #2;
-    # and the NEW ann_lsh_topk_sqltwin — the r12 oracle promotion,
-    # VERDICT r11 #2: sign-RP LSH under the cross-engine Knuth integer
-    # plane family, recall floor included); (2) never-hashed: NONE
-    # beyond the new twin, which enters under (1); (3) the remaining
-    # 47 slots re-enter the stalest previously-hashed entries, oldest
-    # hashed round first — the r11 window's core rotates out, the
-    # r3-r7-era text/corpus/multimodal families rotate back in.
+    # oracle changed this round re-enter first — this round the
+    # serial_id/prefix_sum consumers (lazy offsets + the loader's
+    # n_toks>0 budget-cut bound), the MinHash-LSH family (the
+    # nested-transform banding), the PQ family (threaded pq_train),
+    # and the lean-rolling-hash pair (corpus_dsir_weights,
+    # text_feature_hashing) — 23 entries; (2) never-hashed: none;
+    # (3) the remaining 27 slots re-enter the stalest
+    # previously-hashed entries, oldest hashed round first (the
+    # r4-r10-era streaming/sql/agg/window families rotate back in).
     # All 50 pre-audited green by tools/audit_driver_window.py
     # (bit-exact fetchall + pandas-bridge dtype symmetry + the
     # recursive pandas-unhashable pre-flight / clean rows-only
     # execution) before commit; entries not in the window are covered
-    # by the committed CORRECTNESS_full_r*.json artifacts.
-    "embedding_pca_power", "text_bpe_encode", "ann_lsh_topk_sqltwin",
-    "text_ngram_dup_spans", "text_line_dedup", "corpus_shard_pack",
-    "text_tfidf_topk", "text_bigram_pmi", "corpus_clean_pipeline",
-    "corpus_train_val_split", "corpus_mixture_sample",
-    "dedup_method_agreement", "text_bm25_topk", "graph_triangle_count",
-    "dedup_semdedup", "text_unigram_logprob", "corpus_seq_pack",
-    "corpus_token_budget_sample", "corpus_epoch_shuffle",
-    "corpus_loader_pipeline", "corpus_dedup_savings",
-    "text_sentence_split", "multimodal_audio_energy", "ann_range_search",
-    "embedding_whiten", "corpus_dsir_weights", "text_ppl_buckets",
-    "text_bpe_merge_step", "table_expectations", "events_attribution",
-    "window_nth_value", "sql_execute_immediate", "dedup_containment",
-    "graph_degree_stats", "text_vocab_table", "text_bigram_logprob",
-    "join_spatial_grid_radius", "text_trigram_langid", "window_ewma",
-    "text_ngram_novelty", "embedding_outlier_knn", "flagship_weather_join",
-    "streaming_date_bin", "events_anomaly_mad", "text_token_entropy",
-    "dedup_token_jaccard", "multimodal_arrow_meta",
-    "udf_scalar_iter_tokens", "events_date_bin_downsample",
-    "multimodal_wav_roundtrip",
+    # by the committed CORRECTNESS_full_r*.json artifacts
+    # (CORRECTNESS_full_r13.json: 263 oracle bit-exact + 13 rows-only,
+    # taken after every r13 change).
+    "corpus_shard_pack", "corpus_clean_pipeline", "dedup_method_agreement",
+    "corpus_seq_pack", "corpus_token_budget_sample",
+    "corpus_epoch_shuffle", "corpus_loader_pipeline",
+    "corpus_dedup_savings", "corpus_dsir_weights", "text_ppl_buckets",
+    "dedup_containment", "text_vocab_table", "dedup_token_jaccard",
+    "serial_id_assignment", "dedup_minhash_lsh",
+    "dedup_minhash_lsh_sqltwin", "dedup_keep_best",
+    "dedup_incremental_lsh", "dedup_incremental_lsh_sqltwin",
+    "embedding_pq_encode", "ann_pq_topk", "text_feature_hashing",
+    "ann_recall_report", "multimodal_png_roundtrip", "embedding_dim_stats",
+    "streaming_interval_join", "streaming_interval_join_outer",
+    "sample_weighted", "multimodal_resize", "multimodal_frame_sample",
+    "streaming_dedup_keys", "streaming_dedup_watermarked",
+    "recursive_cte_date_spine", "window_gapfill_locf",
+    "text_langid_confusion", "agg_linear_regression", "join_exists_flag",
+    "agg_higher_moments", "scalar_datetime_make", "window_topk_with_ties",
+    "sql_udf_surface", "set_union_evolved_schema", "agg_bitmap_distinct",
+    "agg_filter_clause", "sql_session_variables",
+    "sql_scripting_control_flow", "join_null_safe",
+    "agg_histogram_fixed_bins", "table_profile",
+    "window_time_range_rolling",
 )
 assert set(_DRIVER_WINDOW_FIRST) <= set(REGISTRY), sorted(
     set(_DRIVER_WINDOW_FIRST) - set(REGISTRY))
