@@ -78,7 +78,11 @@ def prefix_sum(df: DataFrame, weight_col: str, order_cols: list[str],
     zero-cache behavior for callers that manage their own persistence;
     genuinely nondeterministic upstreams must still checkpoint first —
     a non-replicated cache block lost to executor failure is recomputed
-    from lineage.
+    from lineage.  (r13 note: the lazy offset theta-join references the
+    bucket-sum aggregate on BOTH sides, so an UNPERSISTED expensive
+    upstream pays one extra pass vs the old eager-collect plan — all
+    in-repo callers persist, and callers opting out own that
+    trade-off too.)
 
     ``stop_after`` (r8): when the caller only consumes rows whose
     running total BEFORE the row is < ``stop_after`` (a budget cut,
